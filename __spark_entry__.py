@@ -1,38 +1,403 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship extraction over the synthesized pages table at
+sf0.001.  ``queries()``/``oracle_sql()`` — one entry per implemented operator
+from SURVEY.md §2 + the training-data ops, DuckDB-checked at sf0.01.
+
+Column names are aliased identically on both sides; floats are rounded on
+both sides (the driver hash compares values after sorting columns by name).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: synthesize pages from sf0.001 documents + reference fixtures,
+    run the fused extraction kernel, return the results table."""
+    from html_parser_spark.data.pages import pages_df
+    from html_parser_spark.spark.pipeline import extract_pages
+
+    pages = pages_df(spark, "/root/testdata/sf0.001", include_fixtures=True)
+    res = extract_pages(pages, num_partitions=16)
+    return res.select(
+        "url", "lang", "fmt", "n_entries", F.length("extracted_text").alias("text_len")
+    )
+
+
+# --------------------------------------------------------------------------
+# helpers
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _tbl(spark, sf_dir, name):
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --- relational operator analogs (SURVEY.md §2.5/§2.6) --------------------
+
+
+def q_filter_project(spark, sf_dir):
+    """S1/S2 — predicate + projection with pushdown-friendly shape."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    # no rounding: the per-row product is the same IEEE double in any engine,
+    # while round() half-up/half-even boundary behavior differs across engines
+    return li.filter(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_discount") > 0.05)
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+    )
+
+
+def q_agg_pricing(spark, sf_dir):
+    """M15-style flag/stat aggregation (TPC-H Q1 shape: map-side partial agg)."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_dim_broadcast_join(spark, sf_dir):
+    """F4 analog — broadcast map-side join against small dimensions."""
+    c = _tbl(spark, sf_dir, "customer")
+    n = _tbl(spark, sf_dir, "nation")
+    r = _tbl(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+def q_window_order_check(spark, sf_dir):
+    """M14 — lag-over-order violation check (alphabetical-order analog)."""
+    o = _tbl(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    flagged = o.withColumn("prev_price", F.lag("o_totalprice").over(w))
+    return (
+        flagged.filter(F.col("prev_price").isNotNull() & (F.col("o_totalprice") < F.col("prev_price")))
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("violations"))
+    )
+
+
+def q_merge_by_key(spark, sf_dir):
+    """M1 — merge-by-spelling analog: order-preserving group-fold of order
+    statuses per customer (concat of date-ordered statuses)."""
+    o = _tbl(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.withColumn("rn", F.row_number().over(w)).withColumn(
+        "tagged", F.concat_ws("@", F.col("o_orderstatus"), F.date_format("o_orderdate", "yyyy-MM-dd"))
+    )
+    return (
+        seq.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.concat_ws(",", F.sort_array(F.collect_list(F.struct("rn", "tagged"))).tagged).alias(
+                "status_seq"
+            ),
+        )
+    )
+
+
+def q_topk(spark, sf_dir):
+    """S3/top-k — deterministic sort + limit."""
+    p = _tbl(spark, sf_dir, "part")
+    return (
+        p.orderBy(F.col("p_retailprice").desc(), F.col("p_partkey").asc())
+        .limit(10)
+        .select("p_partkey", "p_name", F.round("p_retailprice", 2).alias("price"))
+    )
+
+
+# --- training-data ops over documents -------------------------------------
+
+
+def q_exact_dedup(spark, sf_dir):
+    from html_parser_spark.ops.dedup import exact_duplicates
+
+    return exact_duplicates(_docs(spark, sf_dir))
+
+
+def q_fingerprint(spark, sf_dir):
+    from html_parser_spark.ops.text import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir))
+
+
+def q_token_stats(spark, sf_dir):
+    from html_parser_spark.ops.text import token_count
+
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+
+
+def q_quality_score(spark, sf_dir):
+    from html_parser_spark.ops.text import quality_features
+
+    return quality_features(_docs(spark, sf_dir))
+
+
+def q_lang_profile(spark, sf_dir):
+    from html_parser_spark.ops.text import lang_profile
+
+    return lang_profile(_docs(spark, sf_dir))
+
+
+def q_minhash_sig(spark, sf_dir):
+    from html_parser_spark.ops.dedup import minhash_signature
+
+    sigs = minhash_signature(_docs(spark, sf_dir), num_hashes=4)
+    return sigs.select(
+        "doc_id",
+        F.col("minhash")[0].alias("sig_0"),
+        F.col("minhash")[1].alias("sig_1"),
+        F.col("minhash")[2].alias("sig_2"),
+        F.col("minhash")[3].alias("sig_3"),
+    )
+
+
+def q_near_dup_pairs(spark, sf_dir):
+    from html_parser_spark.ops.dedup import lsh_near_duplicates
+
+    return lsh_near_duplicates(_docs(spark, sf_dir), num_hashes=4, bands=2)
+
+
+def q_cosine_topk(spark, sf_dir):
+    from html_parser_spark.ops.similarity import cosine_topk
+
+    return cosine_topk(_tbl(spark, sf_dir, "embeddings"), query_ids_below=10, k=5)
+
+
+# --- the parse kernel itself (rows-only unless oracle provided) -----------
+
+
+def q_extract_text(spark, sf_dir):
+    """The fused extraction UDF over deterministic synthetic pages.  The
+    oracle reconstructs extracted_text symbolically from documents.text —
+    a REAL cross-engine check of the whole parse path."""
+    from html_parser_spark.data.pages import synthetic_pages_df
+    from html_parser_spark.spark.pipeline import extract_pages
+
+    pages = synthetic_pages_df(spark, sf_dir)
+    res = extract_pages(pages)
+    return res.select(
+        "url", "fmt", "n_entries", F.col("extracted_text").alias("extracted_text")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q_filter_project": q_filter_project,
+        "q_agg_pricing": q_agg_pricing,
+        "q_dim_broadcast_join": q_dim_broadcast_join,
+        "q_window_order_check": q_window_order_check,
+        "q_merge_by_key": q_merge_by_key,
+        "q_topk": q_topk,
+        "q_exact_dedup": q_exact_dedup,
+        "q_fingerprint": q_fingerprint,
+        "q_token_stats": q_token_stats,
+        "q_quality_score": q_quality_score,
+        "q_lang_profile": q_lang_profile,
+        "q_minhash_sig": q_minhash_sig,
+        "q_near_dup_pairs": q_near_dup_pairs,
+        "q_cosine_topk": q_cosine_topk,
+        "q_extract_text": q_extract_text,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_STOP = ["the", "a", "of", "and", "to", "in"]
+_STOP_SUM = " + ".join(
+    f"(len(string_split(' ' || text || ' ', ' {w} ')) - 1)" for w in _STOP
+)
+
+_MINHASH_CTE = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3 THEN
+           list_transform(range(1, len(t) - 1),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+         ELSE [] END AS shingles
+  FROM toks
+)
+SELECT doc_id,
+       list_min(list_transform(shingles, s -> md5('0|' || s))) AS sig_0,
+       list_min(list_transform(shingles, s -> md5('1|' || s))) AS sig_1,
+       list_min(list_transform(shingles, s -> md5('2|' || s))) AS sig_2,
+       list_min(list_transform(shingles, s -> md5('3|' || s))) AS sig_3
+FROM sh
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q_filter_project": """
+            SELECT l_orderkey, l_linenumber, l_quantity,
+                   l_extendedprice * (1 - l_discount) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_discount > 0.05
+        """,
+        "q_agg_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q_dim_broadcast_join": """
+            SELECT r_name, count(*) AS customers,
+                   round(sum(c_acctbal), 2) AS total_acctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "q_window_order_check": """
+            WITH w AS (
+              SELECT o_custkey, o_totalprice,
+                     lag(o_totalprice) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ) AS prev_price
+              FROM orders
+            )
+            SELECT o_custkey, count(*) AS violations
+            FROM w WHERE prev_price IS NOT NULL AND o_totalprice < prev_price
+            GROUP BY o_custkey
+        """,
+        "q_merge_by_key": """
+            SELECT o_custkey, count(*) AS n_orders,
+                   string_agg(o_orderstatus || '@' || strftime(o_orderdate, '%Y-%m-%d'),
+                              ',' ORDER BY o_orderdate, o_orderkey) AS status_seq
+            FROM orders
+            GROUP BY o_custkey
+        """,
+        "q_topk": """
+            SELECT p_partkey, p_name, round(p_retailprice, 2) AS price
+            FROM part
+            ORDER BY p_retailprice DESC, p_partkey ASC
+            LIMIT 10
+        """,
+        "q_exact_dedup": """
+            SELECT md5(text) AS h, count(*) AS dup_count,
+                   min(doc_id) AS canonical_id
+            FROM documents GROUP BY md5(text)
+        """,
+        "q_fingerprint": """
+            SELECT doc_id,
+                   md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS fingerprint,
+                   len(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm_len
+            FROM documents
+        """,
+        "q_token_stats": """
+            SELECT doc_id,
+                   CASE WHEN len(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+            FROM documents
+        """,
+        "q_quality_score": f"""
+            WITH f AS (
+              SELECT doc_id, lang,
+                     len(text) AS n_chars_m,
+                     CASE WHEN len(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+                     ({_STOP_SUM}) AS n_stopwords
+              FROM documents
+            )
+            SELECT doc_id, lang, n_chars_m, n_tokens, n_stopwords,
+                   CASE WHEN n_tokens > 0
+                        THEN round((n_chars_m - (n_tokens - 1)) / CAST(n_tokens AS DOUBLE), 4)
+                        ELSE 0.0 END AS mean_token_len,
+                   CASE WHEN n_tokens > 0
+                        THEN round(n_stopwords / CAST(n_tokens AS DOUBLE), 4)
+                        ELSE 0.0 END AS stopword_ratio,
+                   round(least(1.0, n_tokens / 100.0) *
+                         (1.0 - CASE WHEN n_tokens > 0
+                                     THEN round(n_stopwords / CAST(n_tokens AS DOUBLE), 4)
+                                     ELSE 0.0 END), 4) AS quality_score
+            FROM f
+        """,
+        "q_lang_profile": """
+            SELECT lang, count(*) AS docs,
+                   round(avg(len(text)), 2) AS avg_chars,
+                   round(avg(CASE WHEN len(trim(text)) = 0 THEN 0
+                             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END), 2)
+                     AS avg_tokens,
+                   sum(CASE WHEN regexp_matches(text, 'spark') THEN 1 ELSE 0 END)
+                     AS docs_with_spark
+            FROM documents GROUP BY lang
+        """,
+        "q_minhash_sig": _MINHASH_CTE,
+        "q_near_dup_pairs": f"""
+            WITH sigs AS ({_MINHASH_CTE}),
+            bands AS (
+              SELECT doc_id, 0 AS band_id, sig_0 || '|' || sig_1 AS band_key FROM sigs
+              UNION ALL
+              SELECT doc_id, 1 AS band_id, sig_2 || '|' || sig_3 AS band_key FROM sigs
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+            FROM bands a JOIN bands b
+              ON a.band_id = b.band_id AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        """,
+        "q_cosine_topk": """
+            WITH scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     round(list_dot_product(q.embedding, c.embedding) /
+                           (sqrt(list_dot_product(q.embedding, q.embedding)) *
+                            sqrt(list_dot_product(c.embedding, c.embedding))), 4) AS cosine
+              FROM embeddings q JOIN embeddings c ON q.vec_id < 10
+               AND c.vec_id != q.vec_id
+            ), ranked AS (
+              SELECT query_id, neighbor_id, cosine,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, neighbor_id ASC) AS rank
+              FROM scored
+            )
+            SELECT query_id, neighbor_id, cosine, rank
+            FROM ranked WHERE rank <= 5
+        """,
+        "q_extract_text": """
+            -- symbolic reconstruction of the P20 innerText-flatten over the
+            -- deterministic synthetic format-A template (pages.py): per-line
+            -- whitespace runs collapse to one space, line tails are stripped
+            SELECT 'https://synth.example/' || lang || '/' || doc_id || '-0.html' AS url,
+                   'A' AS fmt,
+                   1 AS n_entries,
+                   rtrim(regexp_replace(
+                     'DOC' || doc_id || ' сущ. ' || substr(text, 1, 2000) ||
+                     '♦ ' || substr(text, 1, 80) || ' перен. ' || substr(text, 81, 200),
+                     ' {2,}', ' ', 'g')) AS extracted_text
+            FROM documents
+        """,
+    }

@@ -1,0 +1,191 @@
+"""Benchmark harness.
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line.  Also evidences the BASELINE.json north-rule scaling criterion in this
+single-node sandbox: the identical extraction job at two parallelism levels
+(local[N/4] vs local[N]) on the same input → throughput at both + efficiency
+(= (thr_4N / thr_N) / 4), written to BENCH/BASELINE.md.
+
+Set SPARK_GRAFT_BENCH_SCALING=0 to skip the second (low-parallelism) run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+COPIES = int(os.environ.get("SPARK_GRAFT_BENCH_COPIES", "4"))
+DO_SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
+
+# sf encoded in the dir name, e.g. .../sf0.1
+try:
+    SF = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", ""))
+except ValueError:
+    SF = -1.0
+
+
+def _measure_extraction_inprocess(master_cores: int) -> dict:
+    """Runs inside a FRESH interpreter (subprocess): warm-up pass (JIT,
+    Python-worker spawn, page cache) then the timed run."""
+    from html_parser_spark.data.pages import synthetic_pages_df
+    from html_parser_spark.spark.pipeline import extract_pages, quality_metrics
+    from html_parser_spark.spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"bench-extract-{master_cores}",
+        master=f"local[{master_cores}]",
+        shuffle_partitions=master_cores * 2,
+    )
+    try:
+        # partition the cached input like a real table would be (a 100TB scan
+        # arrives as thousands of splits); without this the 5000-row parquet +
+        # crossJoin collapses to ~1 partition and the timed job's cache scan /
+        # shuffle write runs single-threaded — a fake serial bottleneck
+        pages = (
+            synthetic_pages_df(spark, SF_DIR, copies=COPIES)
+            .repartition(master_cores * 4)
+            .persist()
+        )
+        n_docs = pages.count()
+        # warm-up: full pipeline on the same input (not timed)
+        quality_metrics(extract_pages(pages, num_partitions=master_cores * 4)).collect()
+        t0 = time.time()
+        res = extract_pages(pages, num_partitions=master_cores * 4)
+        row = quality_metrics(res).collect()[0]
+        wall = time.time() - t0
+        assert row["errors"] == 0, f"extraction errors: {row['errors']}"
+        assert row["docs"] == n_docs
+        return {"wall": wall, "docs": n_docs, "cores": master_cores}
+    finally:
+        spark.stop()
+
+
+def run_extraction(master_cores: int) -> tuple[float, int]:
+    """Measure in a SEPARATE interpreter so each parallelism level gets a cold
+    JVM (same-process reruns inherit JIT state and skew the comparison)."""
+    import subprocess
+
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--measure-extraction", str(master_cores)],
+        capture_output=True,
+        text=True,
+        env=os.environ.copy(),
+        timeout=1800,
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(f"extraction measurement failed:\n{proc.stderr[-2000:]}")
+    r = json.loads(proc.stdout.strip().splitlines()[-1])
+    return r["wall"], r["docs"]
+
+
+def run_queries(spark) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+
+    headline = [
+        "q_agg_pricing",
+        "q_dim_broadcast_join",
+        "q_window_order_check",
+        "q_merge_by_key",
+        "q_exact_dedup",
+        "q_minhash_sig",
+        "q_near_dup_pairs",
+        "q_cosine_topk",
+        "q_quality_score",
+    ]
+    qs = entrymod.queries()
+    out = {}
+    for name in headline:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main():
+    from html_parser_spark.spark.session import get_spark
+
+    results: dict = {"sf": SF, "unit": "sec"}
+
+    # headline relational/text queries at full parallelism
+    spark = get_spark(app_name="bench-queries", master=f"local[{CPUS}]")
+    queries = run_queries(spark)
+    spark.stop()
+
+    # extraction throughput at full parallelism
+    wall_hi, n_docs = run_extraction(CPUS)
+    thr_hi = n_docs / wall_hi
+    queries["q_extract"] = round(wall_hi, 3)
+
+    scaling = None
+    if DO_SCALING and CPUS >= 4:
+        lo = max(1, CPUS // 4)
+        wall_lo, _ = run_extraction(lo)
+        thr_lo = n_docs / wall_lo
+        eff = (thr_hi / thr_lo) / (CPUS / lo)
+        scaling = {
+            "cores_lo": lo,
+            "cores_hi": CPUS,
+            "docs": n_docs,
+            "wall_lo_sec": round(wall_lo, 3),
+            "wall_hi_sec": round(wall_hi, 3),
+            "docs_per_sec_lo": round(thr_lo, 1),
+            "docs_per_sec_hi": round(thr_hi, 1),
+            "scaling_efficiency": round(eff, 3),
+        }
+        write_baseline_md(scaling)
+
+    out = {
+        "metric": "extraction_wall_sec",
+        "value": round(wall_hi, 3),
+        "unit": "sec",
+        "sf": SF,
+        "docs": n_docs,
+        "docs_per_sec": round(thr_hi, 1),
+        "queries": queries,
+    }
+    if scaling:
+        out["scaling"] = scaling
+    print(json.dumps(out))
+
+
+def write_baseline_md(s: dict):
+    os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH"), exist_ok=True)
+    p = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "BASELINE.md")
+    with open(p, "w") as f:
+        f.write(
+            f"""# BENCH baseline — scaling evidence (sandbox protocol)
+
+North rule (BASELINE.json): throughput scaling efficiency >= 0.8 from N to 4N
+executors.  Sandbox stand-in (per driver instruction): the identical fused
+extraction job on the identical input at two local parallelism levels.
+
+| config | value |
+|---|---|
+| input | synthetic pages from {SF_DIR} documents x{COPIES} copies ({s['docs']} docs) |
+| cores (N) | {s['cores_lo']} |
+| cores (4N) | {s['cores_hi']} |
+| wall @ N | {s['wall_lo_sec']} s |
+| wall @ 4N | {s['wall_hi_sec']} s |
+| docs/sec @ N | {s['docs_per_sec_lo']} |
+| docs/sec @ 4N | {s['docs_per_sec_hi']} |
+| **efficiency (thr_4N/thr_N)/4** | **{s['scaling_efficiency']}** |
+
+Reference ceiling for the same workload shape: sequential headless-Chromium
+parse, ~10 docs/sec on one core (BASELINE.md).
+"""
+        )
+
+
+if __name__ == "__main__":
+    if len(sys.argv) >= 3 and sys.argv[1] == "--measure-extraction":
+        print(json.dumps(_measure_extraction_inprocess(int(sys.argv[2]))))
+    else:
+        main()

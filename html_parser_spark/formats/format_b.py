@@ -1,0 +1,125 @@
+"""Format B — MS-Word-exported dictionary HTML with inline/computed styles.
+
+Reimplements ``/root/reference/rus-lez-35k/parser.js:10-80`` (P8-P11 in
+SURVEY.md §2.3) browser-free, with ``html_parser_spark.css.StyleResolver``
+standing in for ``getComputedStyle``:
+
+* P8  entry-line scan: ``p.a7`` paragraphs, fallback ``p.msonormal``
+      (parser.js:11-14; the pages have no doctype → quirks-mode
+      case-insensitive class match)
+* P9  headword pick: first childNode's trimmed textContent; skip if empty
+      (parser.js:19-20)
+* P10 recursive styled-text serializer (parser.js:24-47): skip children of
+      SUP (homonym numerals); skip elements computing to the headword red
+      ``rgb(192, 80, 77)``; text under bold → ``{…}``, under italic → ``<…>``,
+      else raw; flags re-derived at every element from computed style
+* P11 numbered-definition splitter (parser.js:49-69): split at top-level
+      ``N.`` with parens balanced; the FIRST numeral stays inline
+      (``numAndDotCount > 1``); pieces trimmed, newlines → spaces
+
+Replicated JS quirks:
+
+* ``!isNaN(text[i])`` uses Number coercion: true for ASCII digits AND any
+  JS-whitespace character (``Number(' ') === 0``) — so ``' .'`` also starts a
+  split point.  ``js_char_not_nan`` reproduces this exactly.
+* Output records are ``{spelling, definitions: [str]}`` — no inflection.
+"""
+
+from __future__ import annotations
+
+from html_parser_spark.css import StyleResolver
+from html_parser_spark.dom import Node, parse_html
+from html_parser_spark.jsstr import JS_WS_CHARS, js_trim
+
+HEADWORD_RED = "rgb(192, 80, 77)"  # #C0504D
+
+_DIGITS = set("0123456789")
+_NOT_NAN = _DIGITS | set(JS_WS_CHARS)
+
+
+def js_char_not_nan(c: str) -> bool:
+    """JS ``!isNaN(c)`` for a single character (Number coercion: digits are
+    numbers; whitespace coerces to 0)."""
+    return c in _NOT_NAN
+
+
+def serialize_styled_text(line_el: Node, styles: StyleResolver) -> str:
+    """P10 — DFS serializer; returns the markup string for one line."""
+    out: list[str] = []
+
+    def walk(el: Node, is_bold: bool, is_cursive: bool):
+        parent = el.parent
+        if parent is not None and parent.kind == "element" and parent.tag == "sup":
+            return
+        if el.kind != "text" and el.kind != "element":
+            return  # comments: textContent irrelevant, JS also skips via nodeType checks
+        if el.kind == "element" and styles.color(el) == HEADWORD_RED:
+            return
+        if el.kind == "text":
+            if is_bold:
+                out.append("{" + el.text_content + "}")
+            elif is_cursive:
+                out.append("<" + el.text_content + ">")
+            else:
+                out.append(el.text_content)
+            return
+        is_cursive = styles.font_style(el) == "italic"
+        is_bold = styles.font_weight(el) == "700"
+        for child in el.child_nodes:
+            walk(child, is_bold, is_cursive)
+
+    walk(line_el, False, False)
+    return "".join(out)
+
+
+def split_numbered_definitions(text: str) -> list[str]:
+    """P11 — parser.js:49-69, exact splitter semantics."""
+    definitions: list[str] = []
+    open_brackets = 0
+    curr = ""
+    num_and_dot = 0
+    n = len(text)
+    for i in range(n):
+        c = text[i]
+        if c == "(":
+            open_brackets += 1
+        elif c == ")":
+            open_brackets -= 1
+        is_new_def = (
+            js_char_not_nan(c) and i + 1 < n and text[i + 1] == "." and open_brackets == 0
+        )
+        if is_new_def:
+            num_and_dot += 1
+        if is_new_def and num_and_dot > 1:
+            definitions.append(js_trim(curr).replace("\n", " "))
+            curr = c
+        else:
+            curr += c
+    if curr:  # JS truthiness: '' falsy
+        definitions.append(js_trim(curr).replace("\n", " "))
+    return definitions
+
+
+def parse_format_b(html_text: str) -> list[dict]:
+    """Full format-B kernel: html text → ``[{spelling, definitions: [str]}]``."""
+    doc = parse_html(html_text)
+    styles = StyleResolver(doc)
+    lines = doc.query_selector_all("p.a7")
+    if not lines:
+        # quirks-mode case-insensitive class match (pages lack a doctype)
+        lines = doc.query_selector_all("p.msonormal") or doc.query_selector_all(
+            "p.MsoNormal"
+        )
+    records = []
+    for line_el in lines:
+        children = line_el.child_nodes
+        if not children:
+            continue  # childNodes[0] undefined would throw in the reference
+        spelling = js_trim(children[0].text_content)
+        if len(spelling) == 0:
+            continue
+        text = serialize_styled_text(line_el, styles)
+        records.append(
+            {"spelling": spelling, "definitions": split_numbered_definitions(text)}
+        )
+    return records

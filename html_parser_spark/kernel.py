@@ -1,0 +1,82 @@
+"""Unified per-document parse kernel.
+
+``parse_document(html_bytes)`` is the pure function the Arrow-batched pandas
+UDF vectorizes (one call per row inside a batch, zero Spark dependencies):
+
+  bytes → {fmt, extracted_text, entries, n_entries, error}
+
+Entries are normalized to the V1 record shape across all four formats
+(markup-serialized definitions, as the reference's own sinks emit):
+
+  {spelling: str, inflection: str|None, definitions: [str]}
+
+Per-document failures are captured in ``error`` instead of raised — at
+10^12-document scale a malformed page must cost one row, not one task.
+"""
+
+from __future__ import annotations
+
+import traceback
+
+from html_parser_spark.dom import decode_html_bytes
+from html_parser_spark.formats.detect import (
+    FORMAT_A,
+    FORMAT_B,
+    FORMAT_C,
+    FORMAT_D,
+    detect_format,
+)
+from html_parser_spark.formats.format_a import parse_format_a
+from html_parser_spark.formats.format_b import parse_format_b
+from html_parser_spark.formats.format_c import parse_format_c, refine
+from html_parser_spark.formats.format_d import parse_format_d
+from html_parser_spark.formats.textflat import extract_text
+
+
+def _normalize(fmt: str, records: list[dict]) -> list[dict]:
+    out = []
+    for r in records:
+        out.append(
+            {
+                "spelling": r.get("spelling"),
+                "inflection": r.get("inflection"),
+                "definitions": [d if isinstance(d, str) else str(d) for d in r.get("definitions", [])],
+            }
+        )
+    return out
+
+
+def parse_document(html_bytes: bytes) -> dict:
+    try:
+        text = decode_html_bytes(html_bytes)
+        fmt = detect_format(text)
+        if fmt == FORMAT_A:
+            entries = _normalize(fmt, parse_format_a(text))
+        elif fmt == FORMAT_B:
+            entries = _normalize(fmt, parse_format_b(text))
+        elif fmt == FORMAT_C:
+            entries = _normalize(fmt, refine(parse_format_c(text)))
+        elif fmt == FORMAT_D:
+            pairs = parse_format_d(text)
+            entries = [
+                {"spelling": p["left"], "inflection": None, "definitions": [p["right"]]}
+                for p in pairs
+            ]
+        else:
+            entries = []
+        extracted = extract_text(text)
+        return {
+            "fmt": fmt,
+            "extracted_text": extracted,
+            "entries": entries,
+            "n_entries": len(entries),
+            "error": None,
+        }
+    except Exception:
+        return {
+            "fmt": "error",
+            "extracted_text": None,
+            "entries": [],
+            "n_entries": 0,
+            "error": traceback.format_exc(limit=3),
+        }

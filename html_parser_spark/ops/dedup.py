@@ -1,0 +1,248 @@
+"""Deduplication operators (brief §extras): exact, MinHash+LSH, SimHash,
+n-gram Jaccard.
+
+Scale notes (the part that matters at 100TB):
+
+* exact dedup — hash-groupBy on md5(text): one shuffle on a uniform key; AQE
+  coalesces; no skew possible (hashes are uniform).
+* MinHash — signatures are computed per-row with higher-order functions
+  (``transform``/``array_min``) entirely in the JVM; the LSH band join
+  shuffles on (band, band_hash) — tiny keys, uniform — instead of an O(n²)
+  crossJoin.  Portable hashing: md5 hex (lexicographic min), identical in
+  DuckDB for the oracle.
+* SimHash — 64-bit signature via per-token md5→bits majority vote, then
+  near-dup candidates by banding on 16-bit chunks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical documents: fingerprint, count, canonical id."""
+    h = F.md5(F.encode(F.col(text_col), "UTF-8"))
+    return (
+        docs.select(F.col("doc_id"), h.alias("h"))
+        .groupBy("h")
+        .agg(F.count("*").alias("dup_count"), F.min("doc_id").alias("canonical_id"))
+    )
+
+
+def word_shingles(text_col, k: int = 3):
+    """k-word shingles as an array<string>, JVM-side: split → slide window via
+    transform over index sequence.  Empty/short docs → empty array.
+
+    PERF: callers must bind this to a real column (withColumn) before mapping
+    further lambdas over it — Catalyst does no CSE inside higher-order
+    function bodies, so an inlined shingle expression re-splits the text once
+    per array element per consumer (measured 30× slowdown)."""
+    toks = F.split(F.trim(text_col), r"\s+")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(-1)))
+    return F.when(n >= k, F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def _with_shingles(docs: DataFrame, text_col: str, k: int) -> DataFrame:
+    """Two-step materialization: tokens column, then shingles column, so each
+    is computed exactly once per row (see word_shingles PERF note)."""
+    d = docs.withColumn("_toks", F.split(F.trim(F.col(text_col)), r"\s+"))
+    n = F.size(F.col("_toks"))
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(-1)))
+    return d.withColumn(
+        "_shingles",
+        F.when(
+            n >= k,
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, k))),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+
+
+def minhash_signature(docs: DataFrame, text_col: str = "text", num_hashes: int = 8,
+                      shingle_k: int = 3) -> DataFrame:
+    """MinHash signatures: for seed i, sig_i = min(md5(i || shingle)).
+    md5-hex min is portable (same lexicographic order in any engine)."""
+
+    def hasher(seed: int):
+        prefix = f"{seed}|"
+        # NB: keep the lambda unary — pyspark passes the array INDEX as a
+        # second argument to binary lambdas, clobbering default-arg captures
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+    sh = F.col("_shingles")
+    sig = F.array(
+        *[F.array_min(F.transform(sh, hasher(i))) for i in range(num_hashes)]
+    )
+    return _with_shingles(docs, text_col, shingle_k).select(
+        "doc_id", sig.alias("minhash")
+    )
+
+
+def lsh_near_duplicates(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via LSH banding: docs sharing ANY band
+    of rows_per_band consecutive minhashes.  Returns (doc_a, doc_b, n_bands).
+
+    The join shuffles on (band_id, band_key) — uniform small keys — never on
+    raw text; the self-join explodes only bucket-mates, so cost is
+    O(sum bucket²) not O(n²)."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signature(docs, text_col, num_hashes, shingle_k)
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat_ws(
+                            "|", F.slice("minhash", b * rows_per_band + 1, rows_per_band)
+                        ).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_key")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_bands"))
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, text_col: str = "text", shingle_k: int = 3, threshold: float = 0.5,
+    id_limit: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs (verification stage after
+    LSH; here exposed directly with an optional id_limit for bounded runs)."""
+    sh = docs.select(
+        "doc_id", F.array_distinct(word_shingles(F.col(text_col), shingle_k)).alias("sh")
+    )
+    if id_limit is not None:
+        sh = sh.filter(F.col("doc_id") < id_limit)
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+SIMHASH_BITS = 60
+
+
+def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """SimHash from whitespace tokens: per-bit majority vote over token md5
+    bits.  Returns (doc_id, simhash STRING of '0'/'1' × 60) — a bit string
+    rather than a BIGINT so the representation is portable (no cross-engine
+    integer-width traps) and banding/Hamming ops are plain substrings.
+
+    JVM-only: tokens → md5 → 15 hex chars → 60-bit binary string; the
+    majority vote scans the materialized bit strings once per bit position."""
+    # materialize tokens and per-token bit strings as columns: lambdas below
+    # scan them 60× (once per bit) and Catalyst does no CSE in lambda bodies
+    docs = docs.withColumn(
+        "_toks", F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
+    ).withColumn(
+        "_tok_bits",
+        F.transform(
+            F.col("_toks"),
+            lambda t: F.lpad(
+                F.bin(F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")),
+                SIMHASH_BITS,
+                "0",
+            ),
+        ),
+    )
+    half = F.size(F.col("_toks")) / F.lit(2.0)
+    positions = F.sequence(F.lit(1), F.lit(SIMHASH_BITS))
+    bit_chars = F.transform(
+        positions,
+        lambda p: F.when(
+            F.aggregate(
+                F.col("_tok_bits"),
+                F.lit(0),
+                lambda acc, s: acc + s.substr(p, F.lit(1)).cast("int"),
+            )
+            >= half,
+            F.lit("1"),
+        ).otherwise(F.lit("0")),
+    )
+    return docs.select("doc_id", F.concat_ws("", bit_chars).alias("simhash"))
+
+
+def simhash_near_duplicates(
+    docs: DataFrame, text_col: str = "text", bands: int = 4, max_hamming: int = 6
+) -> DataFrame:
+    """SimHash banding: candidates share one of ``bands`` signature chunks;
+    survivors filtered by exact Hamming distance ≤ max_hamming.  Same
+    shuffle shape as MinHash-LSH (uniform small band keys)."""
+    width = SIMHASH_BITS // bands
+    sigs = simhash(docs, text_col)
+    banded = sigs.select(
+        "doc_id",
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.substring("simhash", b * width + 1, width).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_id", "band.band_key")
+    a, b = banded.alias("a"), banded.alias("b")
+    hamming = F.size(
+        F.filter(
+            F.zip_with(
+                F.split(F.col("a.simhash"), ""),
+                F.split(F.col("b.simhash"), ""),
+                lambda x, y: x != y,
+            ),
+            lambda d: d,
+        )
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,99 @@
+"""Similarity search over the ``embeddings`` table (array<float> column).
+
+* ``cosine_topk`` — brute-force cosine top-k: the correctness baseline.
+  Pure higher-order-function arithmetic (zip_with/aggregate) — JVM-side,
+  no UDF.  The candidate join broadcasts the (small) query set; the top-k is
+  a per-query window, so the plan is scan + broadcast-join + partial topk.
+* ``lsh_bucketed_cosine`` — the scale path: random-hyperplane LSH signs
+  bucket vectors; candidates share a bucket; exact cosine re-rank inside
+  buckets only.  At 10^12 vectors the bucket join replaces the O(n·q) scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_ids_below: int = 10,
+    k: int = 5,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """For each query vector (vec_id < query_ids_below): top-k most similar
+    other vectors by cosine.  Returns (query_id, neighbor_id, cosine, rank)."""
+    queries = embeddings.filter(F.col("vec_id") < query_ids_below).select(
+        F.col("vec_id").alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    cands = embeddings.select(F.col("vec_id").alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    joined = cands.crossJoin(F.broadcast(queries)).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    cos = F.round(_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), 4)
+    scored = joined.select("query_id", "neighbor_id", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def lsh_bucketed_cosine(
+    embeddings: DataFrame,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Random-hyperplane LSH bucketing: signature = sign bits against n_planes
+    deterministic pseudo-random hyperplanes (hash-derived, seed-free).
+    Returns (vec_id, bucket) — the join key for bucketed ANN."""
+    # deterministic hyperplanes: plane p, dim d → ±1 from md5 parity (JVM-only)
+    def plane(p: int):
+        # unary lambda on purpose — binary transform lambdas receive the index
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d: F.when(
+                F.conv(F.substring(F.md5(F.concat_ws("_", F.lit(p), d)), 1, 6), 16, 10)
+                .cast("long")
+                .bitwiseAND(F.lit(1).cast("long"))
+                == 1,
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0)),
+        )
+
+    planes = [plane(p) for p in range(n_planes)]
+    bits = [
+        F.when(_dot(F.col(vec_col), pl) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for pl in planes
+    ]
+    return embeddings.select("vec_id", F.concat(*bits).alias("bucket"))
+
+
+def bucket_histogram(embeddings: DataFrame, n_planes: int = 8) -> DataFrame:
+    """Bucket occupancy — the skew diagnostic for the ANN path."""
+    return (
+        lsh_bucketed_cosine(embeddings, n_planes)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("vectors"))
+    )

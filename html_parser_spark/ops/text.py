@@ -1,0 +1,84 @@
+"""Text-analysis operators for the training-data pipeline (brief §extras):
+language-ID heuristic, quality scoring, token counting, fingerprinting.
+
+All pure ``pyspark.sql.functions`` column expressions — JVM-side, whole-stage
+codegen, no Python in the hot path.  Each has an ANSI-SQL twin in
+``__spark_entry__.oracle_sql`` (DuckDB-checked), so regex/semantics here are
+deliberately restricted to the portable subset (ASCII classes, md5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# deliberately tiny, portable stopword list (the synthetic corpus vocabulary)
+STOPWORDS = ["the", "a", "of", "and", "to", "in"]
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization; '' → empty array (portable to DuckDB)."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count(col: Column) -> Column:
+    return F.when(F.length(F.trim(col)) == 0, F.lit(0)).otherwise(
+        F.size(tokens(col))
+    )
+
+
+def stopword_count(col: Column) -> Column:
+    c = F.lit(0)
+    for w in STOPWORDS:
+        # count word-bounded occurrences of each stopword
+        c = c + F.size(F.split(F.concat(F.lit(" "), col, F.lit(" ")), f" {w} ")) - 1
+    return c
+
+
+def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features + a composite score (rounded for
+    cross-engine comparability)."""
+    t = F.col(text_col)
+    n_tok = token_count(t)
+    n_chars = F.length(t)
+    n_stop = stopword_count(t)
+    mean_tok_len = F.when(n_tok > 0, F.round((n_chars - (n_tok - 1)) / n_tok, 4)).otherwise(
+        F.lit(0.0)
+    )
+    stop_ratio = F.when(n_tok > 0, F.round(n_stop / n_tok, 4)).otherwise(F.lit(0.0))
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_chars.alias("n_chars_m"),
+        n_tok.alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        mean_tok_len.alias("mean_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        F.round(
+            F.least(F.lit(1.0), n_tok / F.lit(100.0)) * (F.lit(1.0) - stop_ratio), 4
+        ).alias("quality_score"),
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 of the whitespace-normalized text (the
+    rolling-hash analog, portable to any engine)."""
+    norm = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    return docs.select(
+        "doc_id",
+        F.md5(F.encode(norm, "UTF-8")).alias("fingerprint"),
+        F.length(norm).alias("norm_len"),
+    )
+
+
+def lang_profile(docs: DataFrame) -> DataFrame:
+    """Corpus profile per language tag (n-gram language-ID support table)."""
+    t = F.col("text")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("docs"),
+            F.round(F.avg(F.length(t)), 2).alias("avg_chars"),
+            F.round(F.avg(token_count(t)), 2).alias("avg_tokens"),
+            F.sum(F.when(t.rlike("spark"), 1).otherwise(0)).alias("docs_with_spark"),
+        )
+    )

@@ -1,0 +1,85 @@
+"""The flagship extraction pipeline: pages table → results table.
+
+Physical plan (SURVEY.md §4.3):
+
+    Scan(pages, prune=[url, warc_ts, html, lang])
+    → Exchange (salted repartition by xxhash64(url) % P)   # skew defeat
+    → ArrowEvalPython [parse_document kernel]              # ONE fused UDF stage
+    → Project [url, warc_ts, lang, fmt, extracted_text, entries, n_entries, ...]
+    → sink (parquet here; Iceberg MERGE INTO in production)
+
+Everything per-document → the parse is a pure partition-parallel map; the
+only exchange is the explicit salting one.  The UDF is a single pandas UDF
+returning a struct column (Arrow-batched, no per-row Python at the Spark
+API level), honoring BASELINE.json input_hint.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+ENTRY_TYPE = T.StructType(
+    [
+        T.StructField("spelling", T.StringType()),
+        T.StructField("inflection", T.StringType()),
+        T.StructField("definitions", T.ArrayType(T.StringType())),
+    ]
+)
+
+PARSED_TYPE = T.StructType(
+    [
+        T.StructField("fmt", T.StringType()),
+        T.StructField("extracted_text", T.StringType()),
+        T.StructField("entries", T.ArrayType(ENTRY_TYPE)),
+        T.StructField("n_entries", T.IntegerType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+@F.pandas_udf(PARSED_TYPE)
+def parse_html_udf(html: pd.Series) -> pd.DataFrame:
+    # import inside the UDF so executors resolve the package from --py-files
+    from html_parser_spark.kernel import parse_document
+
+    rows = [parse_document(b if b is not None else b"") for b in html]
+    return pd.DataFrame(rows)
+
+
+def salted_repartition(df: DataFrame, num_partitions: int) -> DataFrame:
+    """Explicit skew defeat: deterministic url-hash salt spreads hot domains
+    and pathological input orderings uniformly (SURVEY.md §4.2).  Plain
+    DataFrame code — no Catalyst extension needed."""
+    return df.repartition(num_partitions, F.pmod(F.xxhash64("url"), F.lit(num_partitions)))
+
+
+def extract_pages(pages: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) → results table (one row per url)."""
+    # project early so the scan prunes to exactly the columns we read
+    src = pages.select("url", "warc_ts", "html", "lang")
+    if num_partitions:
+        src = salted_repartition(src, num_partitions)
+    parsed = src.withColumn("parsed", parse_html_udf(F.col("html")))
+    return parsed.select(
+        "url",
+        "warc_ts",
+        "lang",
+        F.col("parsed.fmt").alias("fmt"),
+        F.col("parsed.extracted_text").alias("extracted_text"),
+        F.col("parsed.entries").alias("entries"),
+        F.col("parsed.n_entries").alias("n_entries"),
+        F.length("html").alias("n_bytes_in"),
+        F.col("parsed.error").alias("error"),
+    )
+
+
+def quality_metrics(results: DataFrame) -> DataFrame:
+    """Aggregate job metrics (the reference's console counters, M15-style)."""
+    return results.agg(
+        F.count("*").alias("docs"),
+        F.sum("n_entries").alias("entries"),
+        F.sum("n_bytes_in").alias("bytes_in"),
+        F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("errors"),
+        F.sum(F.length("extracted_text")).alias("text_chars"),
+    )

@@ -1,0 +1,306 @@
+"""Format-kernel tests: synthetic micro-cases with hand-derived expectations
+(reference semantics from /root/reference, file:line cited per case) plus
+structure checks on real fixture pages."""
+
+import json
+
+from html_parser_spark.dom import decode_html_bytes
+from html_parser_spark.formats.detect import detect_format
+from html_parser_spark.formats.format_a import (
+    add_tags_within_spaces,
+    aggregate_definitions,
+    parse_format_a,
+)
+from html_parser_spark.formats.format_b import (
+    parse_format_b,
+    split_numbered_definitions,
+)
+from html_parser_spark.formats.format_c import (
+    parse_format_c,
+    postprocess_spans,
+    refine,
+)
+from html_parser_spark.formats.layout import column_offsets
+from tests.conftest import read_fixture
+
+
+# --- format A -------------------------------------------------------------
+
+A_SHELL = """<!doctype html><html><head><meta charset="utf-8"></head><body>{body}</body></html>"""
+
+
+def _a(body):
+    return parse_format_a(A_SHELL.format(body=body))
+
+
+def test_a_basic_entry():
+    recs = _a(
+        '<p class="af1"><span class="af">АБА</span> '
+        '<span class="a1">бот</span>. definition text</p>'
+    )
+    assert recs == [
+        {"spelling": "АБА", "inflection": None, "definitions": [" <бот>. definition text"]}
+    ]
+
+
+def test_a_tag_requires_known_abbreviation():
+    # a1 text not in the 197-entry map stays Plain (lez-rus-35k/index.ts:96-104)
+    recs = _a('<p class="af1"><span class="af">X</span><span class="a1">notatag</span>rest</p>')
+    assert recs[0]["definitions"] == ["notatagrest"]
+
+
+def test_a_inflection_parenthesis_geometry():
+    # aff0 '(…)' → inflection, enclosing parens stripped (index.ts:37-57,159)
+    recs = _a('<p class="af1"><span class="af">X</span><span class="aff0">(-ди, -да)</span>def</p>')
+    assert recs[0]["inflection"] == "-ди, -да"
+    assert recs[0]["definitions"] == ["def"]
+
+
+def test_a_example_bold_wrapped_in_braces():
+    recs = _a('<p class="af1"><span class="af">X</span><span class="aff0">пример текст</span> y</p>')
+    assert recs[0]["definitions"] == ["{пример текст} y"]
+
+
+def test_a_sibling_coalescing_merges_same_class():
+    # adjacent a1 spans merge BEFORE tag lookup → 'мест. указ.' not a tag
+    recs = _a(
+        '<p class="af1"><span class="af">X</span>'
+        '<span class="a1">мест</span><span class="a1">. указ</span>. y</p>'
+    )
+    assert recs[0]["definitions"] == ["мест. указ. y"]
+
+
+def test_a_single_tag_span_with_dot_next():
+    # single a1 'бот' + plain '.' → tag_key 'бот.' found → Tag
+    recs = _a('<p class="af1"><span class="af">X</span><span class="a1">бот</span>. y</p>')
+    assert recs[0]["definitions"] == ["<бот>. y"]
+
+
+def test_a_later_af_span_demoted_to_plain():
+    recs = _a(
+        '<p class="af1"><span class="af">X</span>mid<span class="af">NOT-SPELLING</span></p>'
+    )
+    assert recs[0]["spelling"] == "X"
+    assert recs[0]["definitions"] == ["midNOT-SPELLING"]
+
+
+def test_a_continuation_line_appends_to_previous():
+    recs = _a(
+        '<p class="af1"><span class="af">X</span>one</p>'
+        '<p class="af1">♦ <span class="aff0">ex</span></p>'
+    )
+    assert len(recs) == 1
+    assert recs[0]["definitions"] == ["one♦ {ex}"]
+
+
+def test_a_anchor_unwrap():
+    recs = _a(
+        '<p class="af1"><span class="af">X</span><a href="#"><span class="aff0">пример один</span></a></p>'
+    )
+    assert recs[0]["definitions"] == ["{пример один}"]
+
+
+def test_add_tags_within_spaces_preserves_one_space():
+    assert add_tags_within_spaces(" бот. ", "<", ">") == " <бот.> "
+    assert add_tags_within_spaces("бот.", "<", ">") == "<бот.>"
+    assert add_tags_within_spaces("\xa0x", "{", "}") == " {x}"
+
+
+def test_aggregate_definitions_join_semantics():
+    defs = [
+        {"text": "plain ", "type": "Plain"},
+        {"text": "ex", "type": "Example"},
+        {"text": " t", "type": "Tag"},
+        {"spelling": ""},  # stray no-text object → '' (JS join of undefined)
+    ]
+    assert aggregate_definitions(defs) == ["plain {ex} <t>"]
+
+
+# --- format B -------------------------------------------------------------
+
+B_SHELL = (
+    "<html><head><style>p.a7{{margin:0}}span.hw{{color:#C0504D;font-weight:bold}}"
+    "span.it{{font-style:italic}}span.b{{font-weight:bold}}</style></head>"
+    "<body>{body}</body></html>"
+)
+
+
+def _b(body):
+    return parse_format_b(B_SHELL.format(body=body))
+
+
+def test_b_red_headword_excluded_from_text():
+    recs = _b('<p class=a7><span class=hw>АБА</span> rest of line</p>')
+    assert recs == [{"spelling": "АБА", "definitions": ["rest of line"]}]
+
+
+def test_b_bold_braces_italic_angles_sup_skipped():
+    recs = _b(
+        "<p class=a7><span class=hw>X</span><sup>1</sup>"
+        "<i>союз </i><span class=b>жирный</span> plain</p>"
+    )
+    assert recs[0]["definitions"] == ["<союз >{жирный} plain"]
+
+
+def test_b_numbered_split_keeps_first_numeral():
+    assert split_numbered_definitions("intro 1. one 2. two 3. three") == [
+        "intro 1. one",
+        "2. two",
+        "3. three",
+    ]
+
+
+def test_b_no_split_inside_parens():
+    assert split_numbered_definitions("a 1. x (b 2. y) 3. z") == ["a 1. x (b 2. y)", "3. z"]
+
+
+def test_b_isnan_whitespace_quirk():
+    # JS Number(' ') === 0 → ' .' counts as a numbered start too
+    assert split_numbered_definitions("a 1. x w . tail") == ["a 1. x w", ". tail"]
+
+
+def test_b_skip_line_with_empty_first_child():
+    recs = _b("<p class=a7> <span class=hw>X</span>y</p>")
+    # first childNode is whitespace text → spelling '' → line skipped
+    assert recs == []
+
+
+# --- format C -------------------------------------------------------------
+
+def _c_span(text, font="TimesNewRomanPSMT_f7b", left="100px", bottom="500px"):
+    return {
+        "text": text,
+        "isUpperCase": __import__(
+            "html_parser_spark.formats.format_c", fromlist=["_is_uppercase"]
+        )._is_uppercase(text),
+        "style": {"fontFamily": font, "fontSize": "14px", "left": left, "bottom": bottom},
+    }
+
+
+BOLD = "TimesNewRomanPS-BoldMT_f7m"
+ITALIC = "TimesNewRomanPS-ItalicMT_f7i"
+
+
+def test_c_title_drop_single_top_span():
+    spans = [
+        _c_span("А ", font=BOLD, bottom="1134px"),
+        _c_span("АБА ", font=BOLD, bottom="1000px"),
+        _c_span("дед ", bottom="1000px"),
+    ]
+    out = postprocess_spans(spans)
+    assert [e["spelling"] for e in out] == ["АБА "]
+    assert out[0]["definitions"] == [{"text": "дед ", "type": "Plain"}]
+
+
+def test_c_title_kept_when_not_single():
+    spans = [
+        _c_span("АБИ ", font=BOLD, bottom="1134px"),
+        _c_span("ЖЕН ", font=BOLD, bottom="1134px"),
+    ]
+    out = postprocess_spans(spans)
+    # both uppercase at same bottom → first kept, then merged (both-upper rule)
+    assert [e["spelling"] for e in out] == ["АБИ ЖЕН "]
+
+
+def test_c_hyphenation_repair_and_upper_merge():
+    spans = [
+        _c_span("ЖВ ", font=BOLD, bottom="1000px"),  # shares bottom → kept
+        _c_span("АБ- ", font=BOLD, bottom="1000px"),
+        _c_span("ГУБ ", font=BOLD, bottom="990px"),
+        _c_span("деф ", bottom="990px"),
+    ]
+    out = postprocess_spans(spans)
+    # '- ' removed (P15), consecutive uppercase runs coalesce (P16)
+    assert [e["spelling"] for e in out] == ["ЖВ АБГУБ "]
+
+
+def test_c_inflection_dash_rule():
+    spans = [
+        _c_span("ИК ", font=BOLD, bottom="1134px"),
+        _c_span("АБА ", font=BOLD),
+        _c_span("-йи ", font=ITALIC),
+        _c_span("дед ", font="plainfont"),
+    ]
+    out = postprocess_spans(spans)
+    assert out[0]["spelling"] == "АБА "
+    assert out[0]["inflection"] == "-йи "
+    assert out[0]["definitions"] == [{"text": "дед ", "type": "Plain"}]
+
+
+def test_c_definition_typing_by_font():
+    spans = [
+        _c_span("ИК ", font=BOLD, bottom="1134px"),
+        _c_span("АБА ", font=BOLD),
+        _c_span("пример ", font=BOLD),
+        _c_span("тег ", font=ITALIC),
+    ]
+    out = postprocess_spans(spans)
+    # bold+lower after upper: not merged (different case), typed Example
+    assert out[0]["definitions"] == [
+        {"text": "пример ", "type": "Example"},
+        {"text": "тег ", "type": "Tag"},
+    ]
+
+
+def test_c_refine_uppercases_and_aggregates():
+    out = refine(
+        [
+            {
+                "spelling": "аба ",
+                "inflection": "",
+                "definitions": [
+                    {"text": "дед ", "type": "Plain"},
+                    {"text": "пример ", "type": "Example"},
+                ],
+            }
+        ]
+    )
+    assert out == [{"spelling": "АБА ", "definitions": ["дед {пример} "]}]
+
+
+def test_column_offsets_histogram():
+    spans = [
+        _c_span("АБВ ", font=BOLD, left="203px"),
+        _c_span("ГДЕ ", font=BOLD, left="207px"),
+        _c_span("ЖЗИ ", font=BOLD, left="561px"),
+        _c_span("КЛМ ", font=BOLD, left="565px"),
+        _c_span("НОП ", font=BOLD, left="204px"),
+        _c_span("lower ", left="300px"),
+    ]
+    assert set(column_offsets(spans)) == {200, 560}
+
+
+# --- real fixture structure ----------------------------------------------
+
+def test_fixture_format_a_structure():
+    raw = read_fixture("lez-rus-35k", "dictionary", "letters", "A_Bukva.html")
+    recs = parse_format_a(decode_html_bytes(raw))
+    assert len(recs) == 1783
+    assert recs[0]["spelling"] == "А"
+    assert all(isinstance(r["definitions"], list) and len(r["definitions"]) == 1 for r in recs)
+
+
+def test_fixture_format_b_structure():
+    raw = read_fixture("rus-lez-35k", "dictionary", "BUKVA1.HTM")
+    recs = parse_format_b(decode_html_bytes(raw))
+    assert len(recs) == 632
+    assert recs[0]["spelling"] == "А"
+    assert recs[0]["definitions"][0].startswith("<союз >")
+
+
+def test_fixture_format_c_structure():
+    raw = read_fixture("tab-rus-25k", "dictionary", "40.html")
+    recs = refine(parse_format_c(decode_html_bytes(raw)))
+    assert len(recs) >= 10
+    assert recs[0]["spelling"].startswith("АБА")
+
+
+def test_fixture_detection():
+    cases = [
+        (("lez-rus-35k", "dictionary", "letters", "A_Bukva.html"), "A"),
+        (("rus-lez-35k", "dictionary", "BUKVA1.HTM"), "B"),
+        (("tab-rus-25k", "dictionary", "40.html"), "C"),
+        (("lez-eng", "dictionary", "Lezgi-English-Dictionary_cleanup_1-15p.html"), "D"),
+    ]
+    for parts, want in cases:
+        assert detect_format(decode_html_bytes(read_fixture(*parts))) == want
