@@ -203,7 +203,7 @@ def q_extract_text(spark, sf_dir):
     from html_parser_spark.data.pages import synthetic_pages_df
     from html_parser_spark.spark.pipeline import extract_pages
 
-    pages = synthetic_pages_df(spark, sf_dir)
+    pages = synthetic_pages_df(spark, sf_dir, paragraphs=1)
     res = extract_pages(pages)
     return res.select(
         "url", "fmt", "n_entries", F.col("extracted_text").alias("extracted_text")

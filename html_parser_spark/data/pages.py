@@ -76,12 +76,18 @@ def _esc(col):
     return F.regexp_replace(c, ">", "&gt;")
 
 
-def synthetic_pages_df(spark: SparkSession, sf_dir: str, copies: int = 1) -> DataFrame:
+def synthetic_pages_df(
+    spark: SparkSession, sf_dir: str, copies: int = 1, paragraphs: int = 10
+) -> DataFrame:
     """documents.parquet → format-A-shaped pages, one per document × copies.
 
     Pure-SQL generation (whole-stage codegen, zero Python) so the same
     expression scales to any row count.  ``copies > 1`` multiplies the corpus
     for bench runs without changing per-doc content (url gets a copy suffix).
+    ``paragraphs`` repeats the entry block so page size (~8KB at the default)
+    matches real Common-Crawl documents rather than tweet-sized stubs —
+    per-row fixed costs (Arrow framing, scheduling) must not dominate the
+    benchmark.
     """
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     if copies > 1:
@@ -90,22 +96,25 @@ def synthetic_pages_df(spark: SparkSession, sf_dir: str, copies: int = 1) -> Dat
         )
     else:
         docs = docs.withColumn("copy", F.lit(0))
-    body = F.concat(
-        F.lit('<!doctype html>\n<html><head><meta charset="utf-8"><title>synth</title>\n'
-              "<style type=\"text/css\">p.af1{margin:0cm}span.af{color:#C00000;font-weight:bold}"
-              "span.a1{font-style:italic}span.aff0{font-weight:bold}</style></head><body>\n"),
-        # headword line: DOC<id> as spelling, a known tag, the doc text as body
+    # one dictionary-entry block: headword line + ♦ example continuation line
+    entry_block = F.concat(
         F.lit('<p class="af1"><span class="af">DOC'),
         F.col("doc_id").cast("string"),
         F.lit('</span><span class="af2"> </span><span class="a1">сущ</span>. '),
         _esc(F.substring(F.col("text"), 1, 2000)),
         F.lit("</p>\n"),
-        # continuation line with an example span (exercises P7 + aggregation)
         F.lit('<p class="af1">♦ <span class="aff0">'),
         _esc(F.substring(F.col("text"), 1, 80)),
         F.lit('</span> <span class="a1">перен</span>. '),
         _esc(F.substring(F.col("text"), 81, 200)),
-        F.lit("</p>\n</body></html>\n"),
+        F.lit("</p>\n"),
+    )
+    body = F.concat(
+        F.lit('<!doctype html>\n<html><head><meta charset="utf-8"><title>synth</title>\n'
+              "<style type=\"text/css\">p.af1{margin:0cm}span.af{color:#C00000;font-weight:bold}"
+              "span.a1{font-style:italic}span.aff0{font-weight:bold}</style></head><body>\n"),
+        F.concat_ws("", F.array_repeat(entry_block, paragraphs)),
+        F.lit("</body></html>\n"),
     )
     return docs.select(
         F.concat(

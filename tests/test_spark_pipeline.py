@@ -1,0 +1,160 @@
+"""Spark integration tests: extraction pipeline, dictionary chain, resume,
+training-data ops (local[4], small inputs — semantics, not perf)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import TESTDATA
+
+SF_DIR = f"{TESTDATA}/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def tab_migrated(spark):
+    from html_parser_spark.data.pages import fixture_pages_df
+    from html_parser_spark.spark.dictionary import migrate_results
+    from html_parser_spark.spark.pipeline import extract_pages
+
+    pages = fixture_pages_df(spark).filter(F.col("lang") == "tab").limit(30)
+    mig = migrate_results(extract_pages(pages, num_partitions=8)).persist()
+    mig.count()
+    yield mig
+    mig.unpersist()
+
+
+def test_extraction_all_formats(spark):
+    from html_parser_spark.data.pages import fixture_pages_df
+    from html_parser_spark.spark.pipeline import extract_pages, quality_metrics
+
+    pages = fixture_pages_df(spark)
+    # one page per format keeps the test fast
+    sample = (
+        pages.withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
+                    "lang"
+                ).orderBy("url")
+            ),
+        )
+        .filter("rn <= 2")
+        .drop("rn")
+    )
+    res = extract_pages(sample, num_partitions=8)
+    rows = res.collect()
+    assert len(rows) == 7  # 2 per lang, but lez-eng has a single page
+    assert all(r.error is None for r in rows)
+    fmts = {r.fmt for r in rows}
+    assert fmts == {"A", "B", "C", "D"}
+    m = quality_metrics(res).collect()[0]
+    assert m["errors"] == 0 and m["docs"] == 7
+
+
+def test_synthetic_pages_roundtrip(spark):
+    from html_parser_spark.data.pages import synthetic_pages_df
+    from html_parser_spark.spark.pipeline import extract_pages
+
+    pages = synthetic_pages_df(spark, SF_DIR, paragraphs=1).limit(50)
+    res = extract_pages(pages).collect()
+    assert all(r.fmt == "A" and r.n_entries == 1 and r.error is None for r in res)
+    # spelling is the DOC<id> headword
+    assert all(r.entries[0].spelling.startswith("DOC") for r in res)
+
+
+def test_migrate_entries_shapes(tab_migrated):
+    row = tab_migrated.select(F.size("entries").alias("v1"), F.size("entries_v21").alias("v21")).agg(
+        F.sum("v1").alias("v1"), F.sum("v21").alias("v21")
+    ).collect()[0]
+    assert row["v1"] > 0
+    # homonym merge can only reduce the count
+    assert 0 < row["v21"] <= row["v1"]
+
+
+def test_flipper_groupby(tab_migrated):
+    from html_parser_spark.spark.dictionary import flip_dictionary_df
+
+    flipped = flip_dictionary_df(tab_migrated)
+    rows = flipped.collect()
+    assert len(rows) > 100
+    assert all(" " not in r.flipped_spelling for r in rows)
+    merged = [r for r in rows if r.n_sources > 1]
+    assert merged  # homonym merge happened
+    assert all(len(r.details) >= r.n_sources for r in merged)
+
+
+def test_exports_df(tab_migrated):
+    from html_parser_spark.spark.dictionary import parallel_corpus_df, training_rows_df
+
+    corpus = parallel_corpus_df(tab_migrated).collect()
+    assert len(corpus) > 100
+    assert all(r.lez and r.rus for r in corpus)
+    rows = training_rows_df(tab_migrated).limit(5).collect()
+    assert all('"role":"user"' in r.jsonl for r in rows)
+
+
+def test_order_violations_window(spark):
+    from html_parser_spark.engine.alphabets import LEZGI_ALPHABET
+    from html_parser_spark.spark.dictionary import order_violations_df
+
+    df = spark.createDataFrame(
+        [(0, "АБА"), (1, "БАБ"), (2, "АХЪА"), (3, "QQQ")], "seq int, spelling string"
+    )
+    out = {r.spelling: r.reason for r in order_violations_df(df, LEZGI_ALPHABET).collect()}
+    assert out == {"АХЪА": "out_of_order", "QQQ": "missing_letter"}
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    from html_parser_spark.data.pages import synthetic_pages_df
+    from html_parser_spark.spark.checkpoint import CheckpointedExtraction
+
+    pages = synthetic_pages_df(spark, SF_DIR, paragraphs=1).limit(40).persist()
+    ck = CheckpointedExtraction(spark, str(tmp_path / "results"))
+    m1 = ck.run(pages.limit(25), num_partitions=4)  # simulate partial first run
+    assert m1["docs"] == 25
+    m2 = ck.run(pages, num_partitions=4)  # resume completes the rest
+    assert m2["docs"] == 15
+    assert ck.results().count() == 40
+    assert ck.results().select("url").distinct().count() == 40
+    m3 = ck.run(pages, num_partitions=4)  # idempotent re-run
+    assert m3["docs"] == 0
+    lineage = ck.lineage()
+    assert lineage.agg(F.sum("url_count")).collect()[0][0] == 40
+    pages.unpersist()
+
+
+def test_dedup_ops(spark):
+    from html_parser_spark.ops.dedup import (
+        exact_duplicates,
+        lsh_near_duplicates,
+        minhash_signature,
+        simhash,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(100)
+    sigs = minhash_signature(docs, num_hashes=4).collect()
+    assert all(len(r.minhash) == 4 for r in sigs)
+    dup = exact_duplicates(docs).collect()
+    assert sum(r.dup_count for r in dup) == 100
+    sh = simhash(docs).collect()
+    assert all(len(r.simhash) == 60 and set(r.simhash) <= {"0", "1"} for r in sh)
+    pairs = lsh_near_duplicates(docs, num_hashes=4, bands=2).collect()
+    assert all(r.doc_a < r.doc_b for r in pairs)
+
+
+def test_similarity_ops(spark):
+    from html_parser_spark.ops.similarity import bucket_histogram, cosine_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    topk = cosine_topk(emb, query_ids_below=3, k=4).collect()
+    assert len(topk) == 12
+    by_q = {}
+    for r in topk:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        ranks = sorted(r.rank for r in rows)
+        assert ranks == [1, 2, 3, 4]
+        cos = [r.cosine for r in sorted(rows, key=lambda r: r.rank)]
+        assert cos == sorted(cos, reverse=True)
+        assert all(-1.0001 <= c <= 1.0001 for c in cos)
+    hist = bucket_histogram(emb, n_planes=4).collect()
+    assert sum(r.vectors for r in hist) == emb.count()
