@@ -193,6 +193,63 @@ def q_cosine_topk(spark, sf_dir):
     return cosine_topk(_tbl(spark, sf_dir, "embeddings"), query_ids_below=10, k=5)
 
 
+def q_ngram_jaccard(spark, sf_dir):
+    from html_parser_spark.ops.dedup import ngram_jaccard_pairs
+
+    # unigram Jaccard: 3-gram overlap between random word-salad docs is ~0,
+    # token-set overlap is dense — a non-trivial result set for the oracle
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), shingle_k=1, threshold=0.5, id_limit=40)
+
+
+def q_simhash(spark, sf_dir):
+    from html_parser_spark.ops.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir))
+
+
+def q_lsh_buckets(spark, sf_dir):
+    from html_parser_spark.ops.similarity import bucket_histogram
+
+    return bucket_histogram(_tbl(spark, sf_dir, "embeddings"), n_planes=4)
+
+
+def q_event_windows(spark, sf_dir):
+    """Tumbling-window aggregation over the events stream table (the batch
+    twin of the Structured Streaming job in html_parser_spark/streaming)."""
+    ev = _tbl(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").start.alias("window_start"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    """Sessionization: a new session starts after a >30min gap per user —
+    lag + cumulative sum window (classical stream-ish operator, batch twin)."""
+    ev = _tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")  # NTZ needs 2-step cast
+    gap = epoch - F.lag(epoch).over(w)
+    with_flag = ev.withColumn(
+        "new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    with_sess = with_flag.withColumn(
+        "session_idx", F.sum("new_session").over(w)
+    )
+    return (
+        with_sess.groupBy("user_id", "session_idx")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+    )
+
+
 # --- the parse kernel itself (rows-only unless oracle provided) -----------
 
 
@@ -207,6 +264,41 @@ def q_extract_text(spark, sf_dir):
     res = extract_pages(pages)
     return res.select(
         "url", "fmt", "n_entries", F.col("extracted_text").alias("extracted_text")
+    )
+
+
+def q_extract_entries(spark, sf_dir):
+    """Entry-struct check over the synthetic extraction: headword + counts."""
+    from html_parser_spark.data.pages import synthetic_pages_df
+    from html_parser_spark.spark.pipeline import extract_pages
+
+    pages = synthetic_pages_df(spark, sf_dir, paragraphs=1)
+    res = extract_pages(pages)
+    return res.select(
+        "url",
+        "n_entries",
+        F.col("entries")[0]["spelling"].alias("headword"),
+        F.size(F.col("entries")[0]["definitions"]).alias("n_defs"),
+    )
+
+
+def q_migrate_v21(spark, sf_dir):
+    """The fused v1→v2.1 migration UDF over synthetic pages: per-url
+    expression count + first spelling variant + harvested first tag."""
+    from html_parser_spark.data.pages import synthetic_pages_df
+    from html_parser_spark.spark.dictionary import migrate_results
+    from html_parser_spark.spark.pipeline import extract_pages
+
+    pages = synthetic_pages_df(spark, sf_dir, paragraphs=1)
+    mig = migrate_results(extract_pages(pages))
+    first = F.col("entries_v21")[0]
+    return mig.select(
+        "url",
+        F.size("entries_v21").alias("n_expressions"),
+        first["spelling"][0].alias("spelling0"),
+        first["details"][0]["definitionDetails"][0]["definitions"][0]["tags"][0].alias(
+            "tag0"
+        ),
     )
 
 
@@ -226,7 +318,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_sig": q_minhash_sig,
         "q_near_dup_pairs": q_near_dup_pairs,
         "q_cosine_topk": q_cosine_topk,
+        "q_ngram_jaccard": q_ngram_jaccard,
+        "q_simhash": q_simhash,
+        "q_lsh_buckets": q_lsh_buckets,
+        "q_event_windows": q_event_windows,
+        "q_sessionize": q_sessionize,
         "q_extract_text": q_extract_text,
+        "q_extract_entries": q_extract_entries,
+        "q_migrate_v21": q_migrate_v21,
     }
 
 
@@ -357,6 +456,81 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY lang
         """,
         "q_minhash_sig": _MINHASH_CTE,
+        "q_ngram_jaccard": """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents WHERE doc_id < 40
+            ), sh AS (
+              SELECT doc_id, list_distinct(t) AS s
+              FROM toks
+            ), scored AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     round(CASE WHEN len(list_distinct(a.s || b.s)) > 0
+                           THEN len(list_intersect(a.s, b.s)) /
+                                CAST(len(list_distinct(a.s || b.s)) AS DOUBLE)
+                           ELSE 0.0 END, 4) AS jaccard
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.5
+        """,
+        "q_lsh_buckets": """
+            WITH planes AS (
+              SELECT p, list_transform(range(0, 64), d ->
+                CASE WHEN (strpos('0123456789abcdef',
+                           substring(md5(p || '_' || d), 6, 1)) - 1) % 2 = 1
+                     THEN 1.0 ELSE -1.0 END) AS plane
+              FROM (SELECT unnest(range(0, 4)) AS p)
+            ), signs AS (
+              SELECT e.vec_id, pl.p,
+                     CASE WHEN list_dot_product(e.embedding, pl.plane) >= 0
+                          THEN '1' ELSE '0' END AS bit
+              FROM embeddings e CROSS JOIN planes pl
+            ), buckets AS (
+              SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket
+              FROM signs GROUP BY vec_id
+            )
+            SELECT bucket, count(*) AS vectors FROM buckets GROUP BY bucket
+        """,
+        "q_event_windows": """
+            SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "q_sessionize": """
+            WITH o AS (
+              SELECT user_id, ts, event_id, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT user_id, value,
+                     sum(new_session) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS session_idx
+              FROM o
+            )
+            SELECT user_id, session_idx, count(*) AS n_events,
+                   round(sum(value), 2) AS session_value
+            FROM s GROUP BY user_id, session_idx
+        """,
+        "q_extract_entries": """
+            SELECT 'https://synth.example/' || lang || '/' || doc_id || '-0.html' AS url,
+                   1 AS n_entries,
+                   'DOC' || doc_id AS headword,
+                   1 AS n_defs
+            FROM documents
+        """,
+        "q_migrate_v21": """
+            SELECT 'https://synth.example/' || lang || '/' || doc_id || '-0.html' AS url,
+                   1 AS n_expressions,
+                   'DOC' || doc_id AS spelling0,
+                   'сущ.' AS tag0
+            FROM documents
+        """,
         "q_near_dup_pairs": f"""
             WITH sigs AS ({_MINHASH_CTE}),
             bands AS (

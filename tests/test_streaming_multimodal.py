@@ -1,0 +1,132 @@
+"""Structured Streaming + multimodal plumbing tests."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import TESTDATA
+
+SF_DIR = f"{TESTDATA}/sf0.001"
+
+
+def test_stream_extract_end_to_end(spark, tmp_path):
+    from html_parser_spark.data.pages import synthetic_pages_df
+    from html_parser_spark.streaming.stream import stream_extract
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ck_dir = str(tmp_path / "ck")
+    synthetic_pages_df(spark, SF_DIR, paragraphs=1).limit(30).write.parquet(in_dir)
+
+    q = stream_extract(spark, in_dir, out_dir, ck_dir, max_files_per_trigger=64)
+    try:
+        q.processAllAvailable()  # blocks until every available file is processed
+    finally:
+        q.stop()
+    out = spark.read.parquet(out_dir)
+    rows = out.collect()
+    assert len(rows) == 30
+    assert all(r.error is None and r.fmt == "A" for r in rows)
+
+
+def test_windowed_event_stats_matches_batch(spark, tmp_path):
+    """The streaming windowed agg equals the batch twin on the same data."""
+    from html_parser_spark.streaming.stream import windowed_event_stats
+
+    ev_dir = str(tmp_path / "events")
+    spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).write.parquet(ev_dir)
+
+    static = spark.read.parquet(ev_dir)
+    batch_expected = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in windowed_event_stats(static).collect()
+    }
+
+    stream = spark.readStream.schema(static.schema).parquet(ev_dir)
+    agg = windowed_event_stats(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("winagg")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.window_start, r.event_type): (r.n_events, r.sum_value)
+            for r in spark.sql("select * from winagg").collect()
+        }
+    finally:
+        q.stop()
+    assert got == batch_expected
+
+
+def test_sessionize_stream_stateful(spark, tmp_path):
+    from html_parser_spark.streaming.stream import sessionize_stream
+
+    ev_dir = str(tmp_path / "events")
+    spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).limit(200).write.parquet(ev_dir)
+    static = spark.read.parquet(ev_dir)
+    stream = spark.readStream.schema(static.schema).parquet(ev_dir)
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        # NB: processAllAvailable() never returns for processing-time-timeout
+        # stateful queries (timeout-driven empty batches keep the query busy);
+        # poll until the input file has been consumed instead
+        deadline = time.time() + 120
+        seen_rows = False
+        while time.time() < deadline:
+            if q.exception():
+                raise AssertionError(str(q.exception()))
+            lp = q.lastProgress
+            if lp and lp.get("numInputRows", 0) > 0:
+                seen_rows = True
+            if seen_rows and lp and lp.get("numInputRows") == 0:
+                break
+            time.sleep(1)
+        assert seen_rows, "stream never consumed the input"
+        rows = spark.sql("select * from sessions").collect()
+    finally:
+        q.stop()
+    got = {r.user_id: r.n_events for r in rows if not r.closed}
+    expected = {
+        r.user_id: r.n
+        for r in static.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == expected
+
+
+def test_multimodal_plumbing(spark):
+    from html_parser_spark.ops.multimodal import (
+        FEATURE_DIM,
+        decode_features,
+        frame_sample_plan,
+        real_decode,
+        synth_media_df,
+    )
+
+    media = synth_media_df(spark, n=60)
+    feats = decode_features(media).collect()
+    assert len(feats) == 60
+    assert all(len(r.features) == FEATURE_DIM for r in feats)
+    assert all(r.n_bytes > 0 for r in feats)
+    # determinism: same media_id → same sha1 across runs
+    feats2 = {r.media_id: r.payload_sha1 for r in decode_features(media).collect()}
+    assert all(feats2[r.media_id] == r.payload_sha1 for r in feats)
+    # the real decode is an explicit stub
+    with pytest.raises(NotImplementedError):
+        real_decode(b"x", "image")
+    plan = frame_sample_plan(media, every_ms=100)
+    vids = media.filter("kind = 'video'").count()
+    assert plan.select("media_id").distinct().count() == vids
