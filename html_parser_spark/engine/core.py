@@ -152,6 +152,26 @@ def merge_tags_with_definitions(arr: list[str], allow_paren: bool = False) -> li
 SEE_ALSO_RE = re.compile(r"^(<|)см.тж(\.|)(>|)")  # dots unescaped, as in the ref
 
 
+def read_dictionary_json(path: str) -> dict:
+    """S5 — engine/index.ts:77-90: JSON dictionary reader with envelope
+    validation (throws unless name/expressionLanguageId/definitionLanguageId/
+    dictionary are all present-and-truthy)."""
+    import json
+
+    with open(path, encoding="utf-8") as f:
+        content = json.load(f)
+    from html_parser_spark.jsstr import truthy as _truthy
+
+    if not (
+        _truthy(content.get("name"))
+        and _truthy(content.get("expressionLanguageId"))
+        and _truthy(content.get("definitionLanguageId"))
+        and _truthy(content.get("dictionary"))
+    ):
+        raise ValueError("The JSON file does not contain a dictionary")
+    return content
+
+
 def convert_dictionary_v1_to_v2(dictionary: list[dict], custom_mapper) -> list[dict]:
     """M1 — engine/index.ts:182-206: order-preserving merge-by-spelling."""
     parsed_spellings: set[str] = set()

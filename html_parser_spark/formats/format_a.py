@@ -124,7 +124,13 @@ def _classify_line(line: list[Node]) -> dict:
 def parse_lines(html_text: str) -> list[dict]:
     """P1-P7: html → raw entry list (pre-postProcessing), shape
     ``{spelling?, inflection?, definitions: [{text,type}|{spelling}...]}``."""
-    doc = parse_html(html_text)
+    return parse_lines_doc(parse_html(html_text))
+
+
+def parse_lines_doc(doc: Node) -> list[dict]:
+    """P1-P7 over an already-parsed DOM.  NB MUTATES the tree (P2 coalescing
+    assigns textContent; P4 demotes af classes) — run read-only passes like
+    extract_text first."""
     entries: list[dict] = []
     for p in doc.query_selector_all("p.af1"):
         line = list(p.child_nodes)
@@ -192,3 +198,8 @@ def parse_format_a(html_text: str) -> list[dict]:
     """Full format-A kernel: html text → list of V1 records
     ``{spelling, inflection|None, definitions: [str]}``."""
     return post_process(parse_lines(html_text))
+
+
+def parse_format_a_doc(doc: Node) -> list[dict]:
+    """Same, over a shared parsed DOM (mutating — see parse_lines_doc)."""
+    return post_process(parse_lines_doc(doc))

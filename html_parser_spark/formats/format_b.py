@@ -102,7 +102,10 @@ def split_numbered_definitions(text: str) -> list[str]:
 
 def parse_format_b(html_text: str) -> list[dict]:
     """Full format-B kernel: html text → ``[{spelling, definitions: [str]}]``."""
-    doc = parse_html(html_text)
+    return parse_format_b_doc(parse_html(html_text))
+
+
+def parse_format_b_doc(doc: Node) -> list[dict]:
     styles = StyleResolver(doc)
     lines = doc.query_selector_all("p.a7")
     if not lines:

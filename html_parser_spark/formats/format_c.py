@@ -60,7 +60,10 @@ def font_style_props(font_family: str) -> tuple[bool, bool, bool]:
 
 def scan_spans(html_text: str) -> list[dict]:
     """P12/P13 — one page's spans → TextObject dicts, document order."""
-    doc = parse_html(html_text)
+    return scan_spans_doc(parse_html(html_text))
+
+
+def scan_spans_doc(doc) -> list[dict]:
     styles = StyleResolver(doc)
     out = []
     for el in doc.query_selector_all("span"):
@@ -135,6 +138,10 @@ def postprocess_spans(extracted: list[dict]) -> list[dict]:
 def parse_format_c(html_text: str) -> list[dict]:
     """Per-document kernel: one page → entries (typed definitions)."""
     return postprocess_spans(scan_spans(html_text))
+
+
+def parse_format_c_doc(doc) -> list[dict]:
+    return postprocess_spans(scan_spans_doc(doc))
 
 
 def refine(expressions: list[dict]) -> list[dict]:

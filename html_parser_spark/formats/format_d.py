@@ -30,7 +30,10 @@ def _resolved_left(el: Node, styles: StyleResolver) -> float:
 
 def parse_format_d(html_text: str, threshold: float = 843.0) -> list[dict]:
     """Each text-bearing line div inside #page-container → two column halves."""
-    doc = parse_html(html_text)
+    return parse_format_d_doc(parse_html(html_text), threshold)
+
+
+def parse_format_d_doc(doc: Node, threshold: float = 843.0) -> list[dict]:
     styles = StyleResolver(doc)
     containers = [
         el for el in doc.iter_elements() if el.attrs.get("id") == "page-container"

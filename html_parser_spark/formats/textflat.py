@@ -64,7 +64,12 @@ def extract_text(html_text: str) -> str:
     Extension beyond the reference: pages without any ``<p>`` (pdf2htmlEX /
     idrviewer emit ``<div>``/``<span>`` only) fall back to the same chain over
     the top-level body text, so every page yields its main text."""
-    doc = parse_html(html_text)
+    return extract_text_doc(parse_html(html_text))
+
+
+def extract_text_doc(doc: Node) -> str:
+    """P20 over an already-parsed DOM (read-only — safe to run before the
+    mutating format-A pass when the tree is shared)."""
     pieces: list[str] = []
     for p in doc.query_selector_all("p"):
         pieces.extend(inner_text(p).split("\n"))

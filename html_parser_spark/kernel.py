@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import traceback
 
-from html_parser_spark.dom import decode_html_bytes
+from html_parser_spark.dom import decode_html_bytes, parse_html
 from html_parser_spark.formats.detect import (
     FORMAT_A,
     FORMAT_B,
@@ -26,11 +26,11 @@ from html_parser_spark.formats.detect import (
     FORMAT_D,
     detect_format,
 )
-from html_parser_spark.formats.format_a import parse_format_a
-from html_parser_spark.formats.format_b import parse_format_b
-from html_parser_spark.formats.format_c import parse_format_c, refine
-from html_parser_spark.formats.format_d import parse_format_d
-from html_parser_spark.formats.textflat import extract_text
+from html_parser_spark.formats.format_a import parse_format_a_doc
+from html_parser_spark.formats.format_b import parse_format_b_doc
+from html_parser_spark.formats.format_c import parse_format_c_doc, refine
+from html_parser_spark.formats.format_d import parse_format_d_doc
+from html_parser_spark.formats.textflat import extract_text_doc
 
 
 def _normalize(fmt: str, records: list[dict]) -> list[dict]:
@@ -50,21 +50,25 @@ def parse_document(html_bytes: bytes) -> dict:
     try:
         text = decode_html_bytes(html_bytes)
         fmt = detect_format(text)
+        # ONE DOM parse shared by text extraction and the format kernel
+        # (parsing dominates the profile; the format-A pass mutates the tree,
+        # so the read-only extract_text runs first)
+        doc = parse_html(text)
+        extracted = extract_text_doc(doc)
         if fmt == FORMAT_A:
-            entries = _normalize(fmt, parse_format_a(text))
+            entries = _normalize(fmt, parse_format_a_doc(doc))
         elif fmt == FORMAT_B:
-            entries = _normalize(fmt, parse_format_b(text))
+            entries = _normalize(fmt, parse_format_b_doc(doc))
         elif fmt == FORMAT_C:
-            entries = _normalize(fmt, refine(parse_format_c(text)))
+            entries = _normalize(fmt, refine(parse_format_c_doc(doc)))
         elif fmt == FORMAT_D:
-            pairs = parse_format_d(text)
+            pairs = parse_format_d_doc(doc)
             entries = [
                 {"spelling": p["left"], "inflection": None, "definitions": [p["right"]]}
                 for p in pairs
             ]
         else:
             entries = []
-        extracted = extract_text(text)
         return {
             "fmt": fmt,
             "extracted_text": extracted,

@@ -1,0 +1,81 @@
+"""spark-submit entry point for the extraction pipeline.
+
+    spark-submit --py-files htmlps.zip jobs/extract_job.py \
+        --pages  <parquet dir or 'synth:<sf_dir>'> \
+        --output <results dir> \
+        [--partitions 256] [--resume] [--migrate]
+
+Build the dependency zip once:  python jobs/package.py  →  htmlps.zip
+
+On a cluster the same invocation runs unchanged — the pipeline has no
+driver-side loops; ``--resume`` uses the MERGE-style checkpoint so a killed
+job continues where it stopped (north_rule: resumable from checkpoint with
+per-partition lineage + metrics).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", required=True,
+                    help="pages parquet dir, or synth:<sf_dir> to synthesize")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--partitions", type=int, default=256)
+    ap.add_argument("--resume", action="store_true",
+                    help="MERGE-style resume into --output (anti-join done urls)")
+    ap.add_argument("--migrate", action="store_true",
+                    help="also run the v1->v2.1 dictionary migration UDF")
+    ap.add_argument("--limit", type=int, default=0, help="dev-mode row cap (S6)")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from html_parser_spark.spark.pipeline import extract_pages, quality_metrics
+
+    # under spark-submit the session comes preconfigured; standalone runs get
+    # the tuned local factory
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        from html_parser_spark.spark.session import get_spark
+
+        spark = get_spark(app_name="extract-job")
+
+    if args.pages.startswith("synth:"):
+        from html_parser_spark.data.pages import pages_df
+
+        pages = pages_df(spark, args.pages.split(":", 1)[1], include_fixtures=True)
+    else:
+        pages = spark.read.parquet(args.pages)
+    if args.limit:
+        pages = pages.limit(args.limit)
+
+    if args.resume:
+        from html_parser_spark.spark.checkpoint import CheckpointedExtraction
+
+        ck = CheckpointedExtraction(spark, args.output)
+        metrics = ck.run(pages, num_partitions=args.partitions)
+        results = ck.results()
+    else:
+        results = extract_pages(pages, num_partitions=args.partitions)
+        if args.migrate:
+            from html_parser_spark.spark.dictionary import migrate_results
+
+            results = migrate_results(results)
+        results.write.mode("overwrite").parquet(os.path.join(args.output, "data"))
+        results = spark.read.parquet(os.path.join(args.output, "data"))
+        row = quality_metrics(results).collect()[0]
+        metrics = {k: row[k] for k in ("docs", "entries", "bytes_in", "errors")}
+
+    print(json.dumps({"job": "extract", **{k: int(v) if v is not None else 0 for k, v in metrics.items()}}))
+
+
+if __name__ == "__main__":
+    main()

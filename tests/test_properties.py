@@ -1,0 +1,82 @@
+"""Property-based tests (hypothesis) for kernel invariants that must hold on
+ARBITRARY input — the 10^12-document argument: no input may crash the kernel
+or violate structural contracts."""
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from html_parser_spark.engine.core import (
+    create_definition_object,
+    extract_tags_from_definition,
+    split_to_example_object,
+)
+from html_parser_spark.formats.format_b import split_numbered_definitions
+from html_parser_spark.jsstr import js_trim, js_trim_end, js_trim_start, truthy
+from html_parser_spark.kernel import parse_document
+
+text_strategy = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=300
+)
+
+
+@given(text_strategy)
+@settings(max_examples=200, deadline=None)
+def test_js_trim_consistency(s):
+    assert js_trim(s) == js_trim_start(js_trim_end(s))
+    t = js_trim(s)
+    assert js_trim(t) == t  # idempotent
+    assert len(t) <= len(s)
+
+
+@given(text_strategy)
+@settings(max_examples=200, deadline=None)
+def test_split_numbered_definitions_reassembles(s):
+    """The splitter partitions the input: rejoining pieces (modulo the
+    trim/newline normalization applied per piece) loses no non-space chars."""
+    parts = split_numbered_definitions(s)
+    joined = "".join(parts)
+    canon = lambda x: "".join(js_trim(x).replace("\n", " ").split())
+    assert canon(joined) == canon(s) or joined == ""
+
+
+@given(text_strategy)
+@settings(max_examples=200, deadline=None)
+def test_extract_tags_total(s):
+    tags, d = extract_tags_from_definition(s)
+    assert isinstance(tags, list) and isinstance(d, str)
+    r = create_definition_object(s)
+    assert isinstance(r["value"], str)
+    ex = split_to_example_object(s)
+    if ex is not None:
+        assert ex["raw"] == s
+        assert js_trim(s).startswith("{")
+
+
+@given(st.binary(max_size=2000))
+@settings(max_examples=100, deadline=None)
+def test_parse_document_never_raises(raw):
+    res = parse_document(raw)
+    assert res["error"] is None or isinstance(res["error"], str)
+    assert isinstance(res["entries"], list)
+    assert res["n_entries"] == len(res["entries"])
+
+
+@given(
+    st.lists(
+        st.text(alphabet=string.ascii_lowercase + " ", min_size=0, max_size=50),
+        max_size=8,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_html_round_trip_structure(paras):
+    html = (
+        "<html><body>"
+        + "".join(f'<p class="af1"><span class="af">H{i}</span>{p}</p>' for i, p in enumerate(paras))
+        + "</body></html>"
+    )
+    res = parse_document(html.encode())
+    assert res["error"] is None
+    # every paragraph carries a non-empty headword → one entry each
+    assert res["n_entries"] == len(paras)

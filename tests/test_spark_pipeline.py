@@ -158,3 +158,29 @@ def test_similarity_ops(spark):
         assert all(-1.0001 <= c <= 1.0001 for c in cos)
     hist = bucket_histogram(emb, n_planes=4).collect()
     assert sum(r.vectors for r in hist) == emb.count()
+
+
+def test_dimension_tables(spark):
+    from pyspark.sql import functions as F
+
+    from html_parser_spark.data.dimensions import (
+        alphabets_df,
+        example_symbols_df,
+        tags_df,
+    )
+
+    tags = tags_df(spark)
+    assert tags.count() == 197
+    # F4 as a real broadcast join: expand abbreviations through the dim table
+    probe = spark.createDataFrame(
+        [("бот.",), ("сущ.",), ("unknown.",)], "abbr string"
+    )
+    joined = probe.join(F.broadcast(tags), on="abbr", how="left").collect()
+    got = {r.abbr: r.expansion for r in joined}
+    assert got["бот."] == "ботаника"
+    assert got["unknown."] is None
+    alpha = alphabets_df(spark)
+    assert alpha.filter("lang='lez'").count() == 42
+    assert alpha.filter("lang='tab'").count() == 43
+    assert alpha.filter("lang='rus'").count() == 30
+    assert example_symbols_df(spark).count() == 19
