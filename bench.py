@@ -129,34 +129,30 @@ def main():
     queries = run_queries(spark)
     spark.stop()
 
-    # extraction throughput at full parallelism
-    wall_hi, n_docs = run_extraction(CPUS)
+    # extraction throughput: the 4N scaling run doubles as the headline
+    # measurement (SCALE_HI stays within the physical-core budget — beyond it
+    # SMT makes wall time WORSE on this box, see BENCH/BASELINE.md)
+    time.sleep(15)  # cooldown: the query phase leaves the box in turbo states
+    wall_hi, n_docs = run_extraction(SCALE_HI)
     thr_hi = n_docs / wall_hi
     queries["q_extract"] = round(wall_hi, 3)
 
     scaling = None
     if DO_SCALING:
-        # cooldown between subprocesses: the preceding full-occupancy runs
-        # leave the box hot (turbo states) and skew the first measurement
-        time.sleep(20)
-        wall_s_hi, _ = run_extraction(SCALE_HI)
-        time.sleep(20)
-        wall_s_hi = min(wall_s_hi, run_extraction(SCALE_HI)[0])
-        time.sleep(20)
+        time.sleep(15)
         wall_s_lo, _ = run_extraction(SCALE_LO)
         thr_lo = n_docs / wall_s_lo
-        thr_s_hi = n_docs / wall_s_hi
         factor = SCALE_HI / SCALE_LO
-        eff = (thr_s_hi / thr_lo) / factor
+        eff = (thr_hi / thr_lo) / factor
         hw = cpu_capacity_calibration(SCALE_LO, SCALE_HI)
         scaling = {
             "cores_lo": SCALE_LO,
             "cores_hi": SCALE_HI,
             "docs": n_docs,
             "wall_lo_sec": round(wall_s_lo, 3),
-            "wall_hi_sec": round(wall_s_hi, 3),
+            "wall_hi_sec": round(wall_hi, 3),
             "docs_per_sec_lo": round(thr_lo, 1),
-            "docs_per_sec_hi": round(thr_s_hi, 1),
+            "docs_per_sec_hi": round(thr_hi, 1),
             "scaling_efficiency": round(eff, 3),
             "hw_parallel_efficiency": hw,
             "spark_attributable_efficiency": round(min(1.0, eff / hw), 3) if hw else None,

@@ -48,10 +48,16 @@ def parse_html_udf(html: pd.Series) -> pd.DataFrame:
 
 
 def salted_repartition(df: DataFrame, num_partitions: int) -> DataFrame:
-    """Explicit skew defeat: deterministic url-hash salt spreads hot domains
-    and pathological input orderings uniformly (SURVEY.md §4.2).  Plain
-    DataFrame code — no Catalyst extension needed."""
-    return df.repartition(num_partitions, F.pmod(F.xxhash64("url"), F.lit(num_partitions)))
+    """Explicit skew defeat: hash-repartition on the url itself — a
+    high-cardinality deterministic key — spreads hot domains and pathological
+    input orderings uniformly (SURVEY.md §4.2).
+
+    NB: do NOT pre-reduce the hash to a small salt range
+    (``pmod(xxhash64(url), N)``): Spark re-hashes the partitioning
+    expression, so N distinct salt values thrown into N buckets leave ~1/e of
+    the partitions empty (balls-in-bins) — measured in tests/test_skew.py.
+    Partitioning on the raw key keeps full cardinality and is resume-stable."""
+    return df.repartition(num_partitions, F.col("url"))
 
 
 def extract_pages(pages: DataFrame, num_partitions: int | None = None) -> DataFrame:
