@@ -40,9 +40,14 @@ _NAMED_COLORS = {
 }
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=4096)
 def normalize_color(value: str) -> str | None:
     """CSS color value → Chromium computed form ``rgb(r, g, b)``.
-    Returns None for values Chromium would reject (declaration dropped)."""
+    Returns None for values Chromium would reject (declaration dropped).
+    Cached: stylesheets repeat a handful of colors thousands of times."""
     v = value.strip().lower()
     if v.startswith("#"):
         h = v[1:]
@@ -70,6 +75,7 @@ def normalize_color(value: str) -> str | None:
     return None
 
 
+@functools.lru_cache(maxsize=256)
 def normalize_font_weight(value: str) -> str | None:
     v = value.strip().lower()
     if v == "bold":

