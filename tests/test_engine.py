@@ -354,3 +354,30 @@ def test_tab_v1_order_check(tab_chain):
         [e["spelling"] for e in v1["dictionary"]], TABASARAN_ALPHABET
     )
     assert len(errs) == 34
+
+
+@pytest.fixture(scope="module")
+def talibov_v1():
+    with open(
+        fixture_path("v2migration", "input", "lezgi_rus_dict_talibov_hajiyev.json"),
+        encoding="utf-8",
+    ) as f:
+        return json.load(f)
+
+
+def test_talibov_through_babakhanov_mapper(talibov_v1):
+    """Second committed v1 input (11,021 entries) through the Babakhanov
+    mapper chain — pinned counters for broader semantic coverage."""
+    v2 = convert_dictionary_v1_to_v2(talibov_v1["dictionary"], map_lez_rus_babakhanov)
+    assert len(talibov_v1["dictionary"]) == 11021
+    assert len(v2) == 11005
+    n_ex = sum(len(d.get("examples", [])) for e in v2 for d in e["details"])
+    n_dd = sum(len(d["definitionDetails"]) for e in v2 for d in e["details"])
+    assert (n_dd, n_ex) == (11334, 137)
+
+
+def test_talibov_through_hajiyev_mapper(talibov_v1):
+    v2 = convert_dictionary_v1_to_v2(talibov_v1["dictionary"], map_rus_lez_hajiyev)
+    assert len(v2) == 11005
+    n_ex = sum(len(d.get("examples", [])) for e in v2 for d in e["details"])
+    assert n_ex == 1107
