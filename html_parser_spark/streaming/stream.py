@@ -64,13 +64,18 @@ def windowed_event_stats(
 ) -> DataFrame:
     """Watermarked tumbling-window aggregation over a streaming events frame
     (``ts TIMESTAMP, event_type STRING, value DOUBLE``)."""
-    return (
+    agg = (
         events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).start.alias("window_start"), "event_type")
+        # group by the window STRUCT: extracting .start before the agg breaks
+        # the event-time linkage and append mode rejects the plan
+        .groupBy(F.window("ts", window), "event_type")
         .agg(
             F.count("*").alias("n_events"),
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
+    )
+    return agg.select(
+        F.col("window.start").alias("window_start"), "event_type", "n_events", "sum_value"
     )
 
 

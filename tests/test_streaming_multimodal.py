@@ -130,3 +130,56 @@ def test_multimodal_plumbing(spark):
     plan = frame_sample_plan(media, every_ms=100)
     vids = media.filter("kind = 'video'").count()
     assert plan.select("media_id").distinct().count() == vids
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Watermark semantics: an event older than (max_seen - watermark) arriving
+    in a later batch is dropped from the windowed aggregation (append mode)."""
+    from pyspark.sql import types as T
+
+    from html_parser_spark.streaming.stream import windowed_event_stats
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    ev_dir = tmp_path / "late_events"
+    ev_dir.mkdir()
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
+            str(ev_dir)
+        )
+
+    import datetime as dt
+
+    t = dt.datetime(2024, 8, 7, 10, 0, 0)
+    # batch 1: events at 10:00 and 14:00 → watermark advances to 12:00
+    write_batch("b1", [(t, "click", 1.0), (t + dt.timedelta(hours=4), "click", 1.0)])
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(ev_dir))
+    agg = windowed_event_stats(stream, window="1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_agg")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: an event at 10:30 — older than the 12:00 watermark → dropped;
+        # plus one at 15:00 that closes the 14:00 window
+        write_batch("b2", [(t + dt.timedelta(minutes=30), "click", 100.0),
+                           (t + dt.timedelta(hours=5), "click", 1.0)])
+        q.processAllAvailable()
+        # batch 3: advance watermark far enough to emit all open windows
+        write_batch("b3", [(t + dt.timedelta(hours=10), "click", 1.0)])
+        q.processAllAvailable()
+        rows = {r.window_start: (r.n_events, r.sum_value) for r in spark.sql("select * from late_agg").collect()}
+    finally:
+        q.stop()
+    # the 10:00 window emitted with ONLY the on-time event — the late 100.0 never counted
+    assert rows[t] == (1, 1.0), rows
