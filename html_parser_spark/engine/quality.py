@@ -117,6 +117,34 @@ def is_empty(ar: dict) -> bool:
     )
 
 
+def split_candidates(expressions: list[dict]) -> tuple[list[tuple], dict]:
+    """M16 — postProcessing/definitionSplitter.ts:14-43: definitions that
+    contain a comma but no parens/braces and no ``см``-tags are candidates
+    for further splitting.  Returns (candidate rows, counters)."""
+    amount_of_definitions = 0
+    rows: list[tuple] = []
+    for expression in expressions:
+        for details in expression["details"]:
+            for dd in details["definitionDetails"]:
+                for d in dd["definitions"]:
+                    amount_of_definitions += 1
+                    v = d["value"]
+                    tags = d.get("tags") or []
+                    if (
+                        "(" not in v
+                        and "{" not in v
+                        and "," in v
+                        and "см.тж." not in tags
+                        and "см." not in tags
+                    ):
+                        rows.append((expression["spelling"], v))
+    return rows, {
+        "amountOfExpressions": len(expressions),
+        "amountOfDefinitions": amount_of_definitions,
+        "splitCandidatesCount": len(rows),
+    }
+
+
 def analyze_dictionary(expressions: list[dict]) -> tuple[dict, list[tuple[str, dict]]]:
     """qualityCheck.ts:153-255 — (aggregate stats, per-expression report rows
     for non-empty results, keyed by joined spelling)."""

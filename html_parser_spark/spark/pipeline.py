@@ -60,12 +60,41 @@ def salted_repartition(df: DataFrame, num_partitions: int) -> DataFrame:
     return df.repartition(num_partitions, F.col("url"))
 
 
-def extract_pages(pages: DataFrame, num_partitions: int | None = None) -> DataFrame:
-    """pages(url, warc_ts, html, text, lang) → results table (one row per url)."""
+def extract_pages(
+    pages: DataFrame,
+    num_partitions: int | None = None,
+    max_html_bytes: int | None = None,
+) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) → results table (one row per url).
+
+    ``max_html_bytes`` (operational guard for crawl-scale inputs): documents
+    over the cap are NOT parsed — they come back as fmt='oversized' with an
+    error note instead of stalling a task on a pathological page.  Off by
+    default so test/golden semantics are exact."""
     # project early so the scan prunes to exactly the columns we read
     src = pages.select("url", "warc_ts", "html", "lang")
     if num_partitions:
         src = salted_repartition(src, num_partitions)
+    if max_html_bytes:
+        # filter+union, NOT when(): a conditional around a Python UDF still
+        # evaluates the UDF for every row in the Arrow batch
+        small = extract_pages(src.filter(F.length("html") <= max_html_bytes))
+        big = src.filter(F.length("html") > max_html_bytes).select(
+            "url",
+            "warc_ts",
+            "lang",
+            F.lit("oversized").alias("fmt"),
+            F.lit(None).cast("string").alias("extracted_text"),
+            F.array()
+            .cast("array<struct<spelling:string,inflection:string,definitions:array<string>>>")
+            .alias("entries"),
+            F.lit(0).alias("n_entries"),
+            F.length("html").alias("n_bytes_in"),
+            F.concat(
+                F.lit("oversized: "), F.length("html").cast("string"), F.lit(" bytes")
+            ).alias("error"),
+        )
+        return small.unionByName(big)
     parsed = src.withColumn("parsed", parse_html_udf(F.col("html")))
     return parsed.select(
         "url",

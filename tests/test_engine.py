@@ -381,3 +381,14 @@ def test_talibov_through_hajiyev_mapper(talibov_v1):
     assert len(v2) == 11005
     n_ex = sum(len(d.get("examples", [])) for e in v2 for d in e["details"])
     assert n_ex == 1107
+
+
+def test_split_candidates_m16(tab_chain):
+    from html_parser_spark.engine.quality import split_candidates
+
+    _, v2, _, _ = tab_chain
+    rows, counters = split_candidates(v2)
+    assert counters["amountOfExpressions"] == 8791
+    assert counters["splitCandidatesCount"] == len(rows) > 0
+    for _sp, v in rows[:50]:
+        assert "," in v and "(" not in v and "{" not in v

@@ -184,3 +184,17 @@ def test_dimension_tables(spark):
     assert alpha.filter("lang='tab'").count() == 43
     assert alpha.filter("lang='rus'").count() == 30
     assert example_symbols_df(spark).count() == 19
+
+
+def test_oversized_page_guard(spark):
+    from html_parser_spark.data.pages import synthetic_pages_df
+    from html_parser_spark.spark.pipeline import extract_pages
+
+    pages = synthetic_pages_df(spark, SF_DIR, paragraphs=1).limit(20)
+    res = extract_pages(pages, max_html_bytes=700).collect()
+    assert len(res) == 20
+    oversized = [r for r in res if r.fmt == "oversized"]
+    parsed = [r for r in res if r.fmt == "A"]
+    assert oversized and parsed
+    assert all(r.error.startswith("oversized:") and r.n_entries == 0 for r in oversized)
+    assert all(r.error is None and r.n_entries == 1 for r in parsed)
