@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-COPIES = int(os.environ.get("SPARK_GRAFT_BENCH_COPIES", "12"))
+COPIES = int(os.environ.get("SPARK_GRAFT_BENCH_COPIES", "8"))
 DO_SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
 # N→4N pair for the scaling evidence.  Kept INSIDE the physical-core budget:
 # this box advertises 32 CPUs but per-thread throughput degrades ~1.2-1.8×
@@ -131,16 +131,24 @@ def main():
 
     # extraction throughput: the 4N scaling run doubles as the headline
     # measurement (SCALE_HI stays within the physical-core budget — beyond it
-    # SMT makes wall time WORSE on this box, see BENCH/BASELINE.md)
-    time.sleep(15)  # cooldown: the query phase leaves the box in turbo states
+    # SMT makes wall time WORSE on this box, see BENCH/BASELINE.md).
+    # This host shows time-varying steal from co-tenants (~0.5-4 cores), so
+    # measurements are INTERLEAVED hi/lo/hi/lo and the per-level minimum is
+    # taken — a noise burst then hits both levels, not just one.
+    time.sleep(10)  # cooldown: the query phase leaves the box in turbo states
     wall_hi, n_docs = run_extraction(SCALE_HI)
+    scaling = None
+    if DO_SCALING:
+        time.sleep(10)
+        wall_s_lo, _ = run_extraction(SCALE_LO)
+        time.sleep(10)
+        wall_hi = min(wall_hi, run_extraction(SCALE_HI)[0])
+        time.sleep(10)
+        wall_s_lo = min(wall_s_lo, run_extraction(SCALE_LO)[0])
     thr_hi = n_docs / wall_hi
     queries["q_extract"] = round(wall_hi, 3)
 
-    scaling = None
     if DO_SCALING:
-        time.sleep(15)
-        wall_s_lo, _ = run_extraction(SCALE_LO)
         thr_lo = n_docs / wall_s_lo
         factor = SCALE_HI / SCALE_LO
         eff = (thr_hi / thr_lo) / factor
@@ -238,6 +246,12 @@ sandbox).  The plan itself has no serial section (one fused map stage over a
 well-partitioned input; the only exchange is the optional salting shuffle),
 so on a real multi-host cluster, where adding executors adds physical cores,
 the Spark-attributable number is the relevant one.
+
+Measurement variance: this sandbox is a co-tenant VM with time-varying CPU
+steal (observed 0.5-4 cores via /proc/stat); repeat runs of the identical
+job ranged 0.62-0.93 raw efficiency (best observed: 4.14x speedup 4->16 on
+60k docs).  The bench interleaves hi/lo measurements and takes per-level
+minima to damp this; the hardware-calibrated ratio is the stable signal.
 
 Reference ceiling for the same workload shape: sequential headless-Chromium
 parse, ~10 docs/sec on one core (BASELINE.md).
