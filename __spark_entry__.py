@@ -267,6 +267,73 @@ def q_extract_text(spark, sf_dir):
     )
 
 
+def q_set_ops(spark, sf_dir):
+    """Set operators (absent from the reference — §2.6 — provided for engine
+    completeness): nations that have customers but no suppliers, via EXCEPT."""
+    c = _tbl(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _tbl(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return (
+        c.distinct()
+        .exceptAll(s.distinct())
+        .union(
+            s.distinct().exceptAll(c.distinct()).withColumn(
+                "nationkey", F.col("nationkey") + 1000
+            )
+        )
+        .union(
+            c.distinct().intersect(s.distinct()).withColumn(
+                "nationkey", F.col("nationkey") + 2000
+            )
+        )
+    )
+
+
+def q_rollup(spark, sf_dir):
+    """Hierarchical aggregation (ROLLUP) over orders — grouping-set coverage."""
+    o = _tbl(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "total",
+        )
+    )
+
+
+def q_string_battery(spark, sf_dir):
+    """String-function battery over documents (portable subset)."""
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.upper(F.substring(t, 1, 10)).alias("head_upper"),
+        F.length(F.replace(t, F.lit(" "), F.lit(""))).alias("len_no_spaces"),
+        F.instr(t, "spark").alias("spark_pos"),
+        F.reverse(F.substring(t, 1, 8)).alias("head_rev"),
+        F.concat_ws("-", F.split(F.substring(t, 1, 20), " ")).alias("dashed"),
+    )
+
+
+def q_date_battery(spark, sf_dir):
+    """Date-function battery over orders (year/month/dow aggregation)."""
+    o = _tbl(spark, sf_dir, "orders")
+    ts = F.col("o_orderdate").cast("timestamp")
+    return (
+        o.groupBy(
+            F.year(ts).alias("y"),
+            F.month(ts).alias("m"),
+        )
+        .agg(
+            F.count("*").alias("orders"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+            F.min(F.dayofmonth(ts)).alias("first_dom"),
+        )
+    )
+
+
 def q_extract_entries(spark, sf_dir):
     """Entry-struct check over the synthetic extraction: headword + counts."""
     from html_parser_spark.data.pages import synthetic_pages_df
@@ -323,6 +390,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lsh_buckets": q_lsh_buckets,
         "q_event_windows": q_event_windows,
         "q_sessionize": q_sessionize,
+        "q_set_ops": q_set_ops,
+        "q_rollup": q_rollup,
+        "q_string_battery": q_string_battery,
+        "q_date_battery": q_date_battery,
         "q_extract_text": q_extract_text,
         "q_extract_entries": q_extract_entries,
         "q_migrate_v21": q_migrate_v21,
@@ -560,6 +631,51 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, cosine, rank
             FROM ranked WHERE rank <= 5
+        """,
+        "q_set_ops": """
+            SELECT nationkey FROM (
+              SELECT DISTINCT c_nationkey AS nationkey FROM customer
+              EXCEPT
+              SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+            )
+            UNION ALL
+            SELECT nationkey + 1000 AS nationkey FROM (
+              SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+              EXCEPT
+              SELECT DISTINCT c_nationkey AS nationkey FROM customer
+            )
+            UNION ALL
+            SELECT nationkey + 2000 AS nationkey FROM (
+              SELECT DISTINCT c_nationkey AS nationkey FROM customer
+              INTERSECT
+              SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+            )
+        """,
+        "q_rollup": """
+            SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                   coalesce(o_orderpriority, 'ALL') AS priority,
+                   count(*) AS n,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "q_string_battery": """
+            SELECT doc_id,
+                   upper(substr(text, 1, 10)) AS head_upper,
+                   len(replace(text, ' ', '')) AS len_no_spaces,
+                   CASE WHEN strpos(text, 'spark') IS NULL THEN 0
+                        ELSE strpos(text, 'spark') END AS spark_pos,
+                   reverse(substr(text, 1, 8)) AS head_rev,
+                   array_to_string(string_split(substr(text, 1, 20), ' '), '-') AS dashed
+            FROM documents
+        """,
+        "q_date_battery": """
+            SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+                   count(*) AS orders,
+                   round(avg(o_totalprice), 2) AS avg_price,
+                   min(dayofmonth(o_orderdate)) AS first_dom
+            FROM orders
+            GROUP BY 1, 2
         """,
         "q_extract_text": """
             -- symbolic reconstruction of the P20 innerText-flatten over the
