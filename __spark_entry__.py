@@ -677,6 +677,31 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY 1, 2
         """,
+        "q_simhash": """
+            -- nibble-expand md5 hex to the 60-bit string, majority-vote per bit
+            WITH toks AS (
+              SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS t
+              FROM documents
+            ), tok AS (
+              SELECT doc_id, unnest(t) AS w, len(t) AS n FROM toks
+            ), tokbits AS (
+              SELECT doc_id, n,
+                     array_to_string(list_transform(range(1, 16), i ->
+                       ['0000','0001','0010','0011','0100','0101','0110','0111',
+                        '1000','1001','1010','1011','1100','1101','1110','1111']
+                       [strpos('0123456789abcdef', substring(md5(w), i, 1))]), '') AS tb
+              FROM tok
+            ), votes AS (
+              SELECT doc_id, b.b AS b, any_value(n) AS n,
+                     sum(CAST(substring(tb, CAST(b.b AS INT), 1) AS INT)) AS s
+              FROM tokbits, (SELECT unnest(range(1, 61)) AS b) b
+              GROUP BY doc_id, b.b
+            )
+            SELECT doc_id,
+                   string_agg(CASE WHEN s >= n / 2.0 THEN '1' ELSE '0' END,
+                              '' ORDER BY b) AS simhash
+            FROM votes GROUP BY doc_id
+        """,
         "q_extract_text": """
             -- symbolic reconstruction of the P20 innerText-flatten over the
             -- deterministic synthetic format-A template (pages.py): per-line
