@@ -334,6 +334,33 @@ def q_date_battery(spark, sf_dir):
     )
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join (custom operator, ops/asof.py): each event matched to the
+    user's latest order at-or-before the event time."""
+    from html_parser_spark.ops.asof import as_of_join
+
+    ev = (
+        _tbl(spark, sf_dir, "events")
+        .select("event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"))
+        .filter(F.col("event_id") < 2000)
+        .withColumnRenamed("user_id", "custkey")
+    )
+    orders = _tbl(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").cast("timestamp").alias("odate"),
+        "o_orderkey",
+    )
+    return as_of_join(
+        ev,
+        orders,
+        on="custkey",
+        left_time="ts",
+        right_time="odate",
+        tiebreak="o_orderkey",
+        right_values=["o_orderkey"],
+    )
+
+
 def q_extract_entries(spark, sf_dir):
     """Entry-struct check over the synthetic extraction: headword + counts."""
     from html_parser_spark.data.pages import synthetic_pages_df
@@ -391,6 +418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_event_windows": q_event_windows,
         "q_sessionize": q_sessionize,
         "q_set_ops": q_set_ops,
+        "q_asof_join": q_asof_join,
         "q_rollup": q_rollup,
         "q_string_battery": q_string_battery,
         "q_date_battery": q_date_battery,
@@ -631,6 +659,23 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, cosine, rank
             FROM ranked WHERE rank <= 5
+        """,
+        "q_asof_join": """
+            WITH ev AS (
+              SELECT event_id, user_id AS custkey, ts FROM events WHERE event_id < 2000
+            ), matched AS (
+              SELECT e.event_id, e.custkey, e.ts,
+                     -- composite scalar key: latest date, then max orderkey
+                     -- (orderkeys < 1e6 at test scales)
+                     max_by(o.o_orderkey,
+                            CAST(epoch(o.o_orderdate) AS BIGINT) * 1000000
+                            + o.o_orderkey) AS o_orderkey,
+                     max(o.o_orderdate) AS asof_time
+              FROM ev e JOIN orders o
+                ON o.o_custkey = e.custkey AND o.o_orderdate <= e.ts
+              GROUP BY e.event_id, e.custkey, e.ts
+            )
+            SELECT event_id, custkey, ts, o_orderkey, asof_time FROM matched
         """,
         "q_set_ops": """
             SELECT nationkey FROM (

@@ -198,3 +198,30 @@ def test_oversized_page_guard(spark):
     assert oversized and parsed
     assert all(r.error.startswith("oversized:") and r.n_entries == 0 for r in oversized)
     assert all(r.error is None and r.n_entries == 1 for r in parsed)
+
+
+def test_asof_join_semantics(spark):
+    from html_parser_spark.ops.asof import as_of_join
+
+    left = spark.createDataFrame(
+        [(1, 100, 10), (2, 100, 25), (3, 200, 5)], "id int, k int, t int"
+    )
+    right = spark.createDataFrame(
+        [(100, 8, "a"), (100, 20, "b"), (100, 20, "b2"), (100, 30, "c"), (200, 99, "z")],
+        "k int, rt int, v string",
+    )
+    out = {
+        r.id: (r.v, r.asof_time)
+        for r in as_of_join(
+            left, right, on="k", left_time="t", right_time="rt",
+            tiebreak="v", right_values=["v"],
+        ).collect()
+    }
+    assert out[1] == ("a", 8)       # only rt=8 <= 10
+    assert out[2] == ("b2", 20)     # rt=20 latest; tie broken by max v
+    assert 3 not in out             # no right row at-or-before t=5 (inner)
+    left_out = as_of_join(
+        left, right, on="k", left_time="t", right_time="rt",
+        tiebreak="v", right_values=["v"], how="left",
+    )
+    assert left_out.count() == 3    # unmatched row kept with nulls
