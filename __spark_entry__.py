@@ -361,6 +361,32 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+def q_range_join(spark, sf_dir):
+    """Bucketized range join (ops/rangejoin.py): line items shipping inside
+    their order's 30-day window, aggregated per order for a bounded result."""
+    from html_parser_spark.ops.rangejoin import range_join
+
+    li = _tbl(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"),
+        "l_linenumber",
+        F.col("l_shipdate").cast("timestamp").cast("long").alias("t"),
+    )
+    orders = _tbl(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("orderkey"),
+        "o_orderpriority",
+        F.col("o_orderdate").cast("timestamp").cast("long").alias("lo"),
+        (F.col("o_orderdate").cast("timestamp").cast("long") + 30 * 86400).alias("hi"),
+    )
+    joined = range_join(
+        li, orders, on="orderkey", left_time="t", right_lo="lo", right_hi="hi",
+        bucket_width=30 * 86400,
+    )
+    return joined.groupBy("orderkey").agg(
+        F.count("*").alias("lines_in_window"),
+        F.max("l_linenumber").alias("max_line"),
+    )
+
+
 def q_extract_entries(spark, sf_dir):
     """Entry-struct check over the synthetic extraction: headword + counts."""
     from html_parser_spark.data.pages import synthetic_pages_df
@@ -419,6 +445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessionize": q_sessionize,
         "q_set_ops": q_set_ops,
         "q_asof_join": q_asof_join,
+        "q_range_join": q_range_join,
         "q_rollup": q_rollup,
         "q_string_battery": q_string_battery,
         "q_date_battery": q_date_battery,
@@ -659,6 +686,17 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, cosine, rank
             FROM ranked WHERE rank <= 5
+        """,
+        "q_range_join": """
+            SELECT l.l_orderkey AS orderkey,
+                   count(*) AS lines_in_window,
+                   max(l.l_linenumber) AS max_line
+            FROM lineitem l
+            JOIN orders o
+              ON o.o_orderkey = l.l_orderkey
+             AND epoch(l.l_shipdate) >= epoch(o.o_orderdate)
+             AND epoch(l.l_shipdate) <= epoch(o.o_orderdate) + 30 * 86400
+            GROUP BY l.l_orderkey
         """,
         "q_asof_join": """
             WITH ev AS (

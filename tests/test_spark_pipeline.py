@@ -225,3 +225,21 @@ def test_asof_join_semantics(spark):
         tiebreak="v", right_values=["v"], how="left",
     )
     assert left_out.count() == 3    # unmatched row kept with nulls
+
+
+def test_range_join_semantics(spark):
+    from html_parser_spark.ops.rangejoin import range_join
+
+    pts = spark.createDataFrame([(1, 100, 15), (2, 100, 45), (3, 200, 5)], "id int, k int, t long")
+    ivs = spark.createDataFrame(
+        [(100, 10, 20, "a"), (100, 40, 41, "b"), (200, 0, 9, "c"), (200, 100, 200, "d")],
+        "k int, lo long, hi long, v string",
+    )
+    rows = range_join(pts, ivs, on="k", left_time="t", right_lo="lo", right_hi="hi",
+                      bucket_width=10).collect()
+    got = sorted((r.id, r.v) for r in rows)
+    assert got == [(1, "a"), (3, "c")]  # t=45 misses [40,41]; t=5 hits [0,9]
+    # bucket boundary: interval straddling buckets still matches
+    rows2 = range_join(pts, ivs, on="k", left_time="t", right_lo="lo", right_hi="hi",
+                       bucket_width=7).collect()
+    assert sorted((r.id, r.v) for r in rows2) == got
