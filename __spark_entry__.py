@@ -387,6 +387,30 @@ def q_range_join(spark, sf_dir):
     )
 
 
+def q_hypertable_rollup(spark, sf_dir):
+    """Hypertable-style continuous aggregate: hourly buckets reaggregated to
+    daily — the two-level rollup pattern where the fine resolution is the
+    materialized input of the coarse one (sum/count compose; avg derived)."""
+    ev = _tbl(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("h"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+    )
+    daily = (
+        hourly.groupBy(F.date_trunc("day", "h").alias("day"), "event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.round(F.sum("s"), 2).alias("sum_value"),
+            F.round(F.sum("s") / F.sum("n"), 2).alias("avg_value"),
+            F.count("*").alias("hours_active"),
+        )
+    )
+    return daily
+
+
 def q_extract_entries(spark, sf_dir):
     """Entry-struct check over the synthetic extraction: headword + counts."""
     from html_parser_spark.data.pages import synthetic_pages_df
@@ -446,6 +470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_set_ops": q_set_ops,
         "q_asof_join": q_asof_join,
         "q_range_join": q_range_join,
+        "q_hypertable_rollup": q_hypertable_rollup,
         "q_rollup": q_rollup,
         "q_string_battery": q_string_battery,
         "q_date_battery": q_date_battery,
@@ -686,6 +711,19 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, cosine, rank
             FROM ranked WHERE rank <= 5
+        """,
+        "q_hypertable_rollup": """
+            WITH hourly AS (
+              SELECT date_trunc('hour', ts) AS h, event_type,
+                     count(*) AS n, sum(value) AS s
+              FROM events GROUP BY 1, 2
+            )
+            SELECT CAST(date_trunc('day', h) AS TIMESTAMP) AS day, event_type,
+                   sum(n) AS n_events,
+                   round(sum(s), 2) AS sum_value,
+                   round(sum(s) / sum(n), 2) AS avg_value,
+                   count(*) AS hours_active
+            FROM hourly GROUP BY 1, 2
         """,
         "q_range_join": """
             SELECT l.l_orderkey AS orderkey,
