@@ -14,14 +14,44 @@ import os
 import sys
 from collections.abc import Callable
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO_ROOT)
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+_SHIPPED_CONTEXTS: set[int] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``html_parser_spark`` importable on Python workers regardless of
+    the driver's cwd/PYTHONPATH: zip the package and addPyFile it once per
+    SparkContext (the caller's session is not necessarily ours)."""
+    sc = spark.sparkContext
+    key = id(sc)
+    if key in _SHIPPED_CONTEXTS:
+        return
+    import tempfile
+    import zipfile
+
+    zpath = os.path.join(tempfile.gettempdir(), "htmlps_runtime.zip")
+    pkg = os.path.join(_REPO_ROOT, "html_parser_spark")
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as z:
+        for dirpath, _dirs, files in os.walk(pkg):
+            if "__pycache__" in dirpath:
+                continue
+            for name in files:
+                if name.endswith(".pyc"):
+                    continue
+                full = os.path.join(dirpath, name)
+                z.write(full, os.path.relpath(full, _REPO_ROOT))
+    sc.addPyFile(zpath)
+    _SHIPPED_CONTEXTS.add(key)
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: synthesize pages from sf0.001 documents + reference fixtures,
     run the fused extraction kernel, return the results table."""
+    _ship_package(spark)
     from html_parser_spark.data.pages import pages_df
     from html_parser_spark.spark.pipeline import extract_pages
 
@@ -257,6 +287,7 @@ def q_extract_text(spark, sf_dir):
     """The fused extraction UDF over deterministic synthetic pages.  The
     oracle reconstructs extracted_text symbolically from documents.text —
     a REAL cross-engine check of the whole parse path."""
+    _ship_package(spark)
     from html_parser_spark.data.pages import synthetic_pages_df
     from html_parser_spark.spark.pipeline import extract_pages
 
@@ -413,6 +444,7 @@ def q_hypertable_rollup(spark, sf_dir):
 
 def q_extract_entries(spark, sf_dir):
     """Entry-struct check over the synthetic extraction: headword + counts."""
+    _ship_package(spark)
     from html_parser_spark.data.pages import synthetic_pages_df
     from html_parser_spark.spark.pipeline import extract_pages
 
@@ -429,6 +461,7 @@ def q_extract_entries(spark, sf_dir):
 def q_migrate_v21(spark, sf_dir):
     """The fused v1→v2.1 migration UDF over synthetic pages: per-url
     expression count + first spelling variant + harvested first tag."""
+    _ship_package(spark)
     from html_parser_spark.data.pages import synthetic_pages_df
     from html_parser_spark.spark.dictionary import migrate_results
     from html_parser_spark.spark.pipeline import extract_pages

@@ -11,13 +11,14 @@
 
 from __future__ import annotations
 
+import importlib.resources as _ir
 import json
-import os
 
-_HERE = os.path.dirname(__file__)
-
-with open(os.path.join(_HERE, "resources", "tags.json"), encoding="utf-8") as _f:
-    TAGS: dict[str, str] = json.load(_f)
+# zip-safe load: on executors the package may be imported from the
+# addPyFile/--py-files zip, where plain open() on a path fails
+TAGS: dict[str, str] = json.loads(
+    _ir.files("html_parser_spark").joinpath("resources/tags.json").read_text("utf-8")
+)
 
 EXAMPLE_START_SYMBOLS = [
     "♦", "☼", "⦿", "▪", "▫", "◊", "○", "●", "■", "□",
