@@ -223,6 +223,16 @@ def q_cosine_topk(spark, sf_dir):
     return cosine_topk(_tbl(spark, sf_dir, "embeddings"), query_ids_below=10, k=5)
 
 
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact baseline on a bounded id range;
+    the n_planes>0 LSH-bucketed variant is the scale path)."""
+    from html_parser_spark.ops.similarity import embedding_near_duplicates
+
+    return embedding_near_duplicates(
+        _tbl(spark, sf_dir, "embeddings"), threshold=0.35, id_limit=150
+    )
+
+
 def q_ngram_jaccard(spark, sf_dir):
     from html_parser_spark.ops.dedup import ngram_jaccard_pairs
 
@@ -495,6 +505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_sig": q_minhash_sig,
         "q_near_dup_pairs": q_near_dup_pairs,
         "q_cosine_topk": q_cosine_topk,
+        "q_embedding_near_dup": q_embedding_near_dup,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_simhash": q_simhash,
         "q_lsh_buckets": q_lsh_buckets,
@@ -744,6 +755,13 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, cosine, rank
             FROM ranked WHERE rank <= 5
+        """,
+        "q_embedding_near_dup": """
+            WITH e AS (SELECT * FROM embeddings WHERE vec_id < 150)
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.35
         """,
         "q_hypertable_rollup": """
             WITH hourly AS (

@@ -90,6 +90,48 @@ def lsh_bucketed_cosine(
     return embeddings.select("vec_id", F.concat(*bits).alias("bucket"))
 
 
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 0,
+    id_limit: int | None = None,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the last dedup family in the
+    brief): pairs with cosine ≥ threshold.
+
+    ``n_planes > 0`` is the scale path: candidates must share a
+    random-hyperplane LSH bucket before the exact cosine — turns the O(n²)
+    self-join into a per-bucket join.  ``n_planes=0`` with ``id_limit`` is
+    the exact baseline for verification."""
+    emb = embeddings
+    if id_limit is not None:
+        emb = emb.filter(F.col("vec_id") < id_limit)
+    if n_planes > 0:
+        bucketed = emb.join(lsh_bucketed_cosine(emb, n_planes, vec_col), on="vec_id")
+        a, b = bucketed.alias("a"), bucketed.alias("b")
+        cond = (F.col("a.bucket") == F.col("b.bucket")) & (
+            F.col("a.vec_id") < F.col("b.vec_id")
+        )
+    else:
+        a, b = emb.alias("a"), emb.alias("b")
+        cond = F.col("a.vec_id") < F.col("b.vec_id")
+    cos = F.round(
+        _dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+        / (_norm(F.col(f"a.{vec_col}")) * _norm(F.col(f"b.{vec_col}"))),
+        4,
+    )
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def bucket_histogram(embeddings: DataFrame, n_planes: int = 8) -> DataFrame:
     """Bucket occupancy — the skew diagnostic for the ANN path."""
     return (

@@ -243,3 +243,23 @@ def test_range_join_semantics(spark):
     rows2 = range_join(pts, ivs, on="k", left_time="t", right_lo="lo", right_hi="hi",
                        bucket_width=7).collect()
     assert sorted((r.id, r.v) for r in rows2) == got
+
+
+def test_embedding_near_dup_lsh_vs_exact(spark):
+    """The LSH-bucketed near-dup path returns a subset of the exact pairs
+    (bucket collisions only drop candidates, never invent them)."""
+    from html_parser_spark.ops.similarity import embedding_near_duplicates
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_near_duplicates(emb, threshold=0.3, id_limit=120).collect()
+    }
+    bucketed = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_near_duplicates(
+            emb, threshold=0.3, id_limit=120, n_planes=2
+        ).collect()
+    }
+    assert exact, "exact baseline found no pairs — lower the threshold"
+    assert bucketed <= exact
