@@ -94,7 +94,11 @@ def _migrate_one_doc(entries: list, dialect: str) -> list[dict]:
     v2 = convert_dictionary_v1_to_v2(v1, mapper)
     for expr in v2:
         pp.standardize_expression_tags(expr)
-        pp.extract_examples(expr)
+        # the reference runs 02_examplesExtraction only on the Hajiyev and
+        # Tabasaran dictionaries (02_examplesExtraction.ts:9-15); Babakhanov
+        # goes from cleanTagsOutput straight to the spelling split
+        if dialect != "lez_rus_babakhanov":
+            pp.extract_examples(expr)
     return [pp.split_spelling(e, splitter) for e in v2]
 
 

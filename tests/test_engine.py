@@ -412,4 +412,4 @@ def test_reference_executed_differential():
         cwd="/root/repo",
     )
     assert r.returncode == 0, r.stdout + r.stderr
-    assert r.stdout.count("EXACT MATCH") == 3, r.stdout
+    assert r.stdout.count("EXACT MATCH") == 6, r.stdout  # 3 mappers + 3 full chains

@@ -186,12 +186,206 @@ def run_one(tmpdir: str, mapper: str) -> tuple[bool, int]:
     return False, len(a)
 
 
+# --- post-processing chain differential (01 → 02 → 03) --------------------
+
+_PP_EXACT = [
+    # 01_tagsMappingAndGrouping.ts
+    ("function candidatesToTags(tagCandidates: string[], spelling?: string) {",
+     "function candidatesToTags(tagCandidates, spelling) {"),
+    ("function processMissedTags(defValue: string) {",
+     "function processMissedTags(defValue) {"),
+    ("function tagMapper(tag: string): string {", "function tagMapper(tag) {"),
+    ("function mapTags(tags: string[] | undefined, tagDefinition: string): string[] {",
+     "function mapTags(tags, tagDefinition) {"),
+    ("function checkIsDefinitionTag(value: string): boolean {",
+     "function checkIsDefinitionTag(value) {"),
+    ("function moveCommonTags(defDetails: DefinitionDetails) {",
+     "function moveCommonTags(defDetails) {"),
+    ("const processedTags: string[] = [];", "const processedTags = [];"),
+    ("let tagDefinition: string | undefined = undefined;",
+     "let tagDefinition = undefined;"),
+    ("let tagDefinitionDefIdx: number | undefined = undefined;",
+     "let tagDefinitionDefIdx = undefined;"),
+    ("const CHOSEN_DICTIONARY = dictionaries[2];",
+     "const CHOSEN_DICTIONARY = dictionaries[parseInt(process.argv[5])];"),
+    # 03_splitSpelling.ts
+    ("function splitParenthesesSpelling(spelling: string): string[] {",
+     "function splitParenthesesSpelling(spelling) {"),
+    ("const splittedResults: string[][] = [];", "const splittedResults = [];"),
+    ("const newDictionary: DictionaryV2_1 = {", "const newDictionary = {"),
+]
+
+_DICT_BLOCK_RE = re.compile(
+    r"const dictionaries:[\s\S]*?\n\]\s*;", re.M
+)
+_DICT_BLOCK_JS_RE = re.compile(
+    r"const dictionaries = \[[\s\S]*?\n\]\s*;", re.M
+)
+
+
+def _strip_pp(src: str, keep_dictionaries: bool) -> str:
+    src = _strip(src, _EXACT + _PP_EXACT)
+    if keep_dictionaries:
+        # type annotation on the array already stripped piecemeal? no — the
+        # annotated declaration spans `const dictionaries: {...}[] = [`;
+        # normalize it to plain JS
+        src = re.sub(
+            r"const dictionaries:\s*\{[\s\S]*?\}\[\]\s*=\s*\[",
+            "const dictionaries = [",
+            src,
+            count=1,
+        )
+        src = re.sub(
+            r"const dictionaries:\s*DictionaryV2_1\[\]\s*=\s*\[",
+            "const dictionaries = [",
+            src,
+            count=1,
+        )
+    else:
+        src = _DICT_BLOCK_RE.sub("", src)
+    return src
+
+
+def build_pp_js(tmpdir: str, script: str) -> str:
+    """Assemble one of the 01/02/03 scripts with its dependencies."""
+    with open(os.path.join(REF, "tags.ts"), encoding="utf-8") as f:
+        tags_src = f.read().replace("export default {", "const tags = {")
+    with open(os.path.join(REF, "v2migration", "engine", "index.ts"), encoding="utf-8") as f:
+        engine_js = _strip(f.read(), _EXACT)
+    with open(
+        os.path.join(REF, "v2migration", "postProcessing", script), encoding="utf-8"
+    ) as f:
+        body = _strip_pp(f.read(), keep_dictionaries=True)
+
+    preamble = """
+const lezRuzBabakhanov = JSON.parse(fs.readFileSync(process.argv[2], 'utf8'));
+const rusLezgiHajyiev = JSON.parse(fs.readFileSync(process.argv[3], 'utf8'));
+const tabRusHanShal = JSON.parse(fs.readFileSync(process.argv[4], 'utf8'));
+function writeJSONFile(p, data) {
+  const out = process.env.REFDIFF_OUT + '/' + path.basename(p);
+  fs.writeFileSync(out, JSON.stringify(data));
+}
+function writeCsvFile(p, data) {}
+"""
+    out = os.path.join(tmpdir, f"ref_{script}.cjs")
+    with open(out, "w", encoding="utf-8") as f:
+        f.write("const fs = require('fs');\nconst path = require('path');\n")
+        f.write(tags_src + "\n")
+        f.write(engine_js + "\n")
+        f.write(preamble + "\n")
+        f.write(body + "\n")
+    return out
+
+
+def run_pp_chain(tmpdir: str, mapper_outputs: dict) -> bool:
+    """Execute 01 (per dictionary), 02, 03 with the reference flow and diff
+    the final V2.1 expressions against our Python chain."""
+    import copy
+
+    from html_parser_spark.engine import postprocess as pp
+
+    env_out = os.path.join(tmpdir, "ppout")
+    os.makedirs(env_out, exist_ok=True)
+    env = dict(os.environ, REFDIFF_OUT=env_out)
+
+    # wrap mapper outputs as DictionaryV2 json files with the file names 01/03 expect
+    names = {
+        "lez_rus_babakhanov": "lezgi_rus_dict_babakhanov_v2.json",
+        "rus_lez_hajiyev": "rus_lezgi_dict_hajiyev_v2.json",
+        "tab_rus": "tab_rus_dict_hanmagomedov_shalbuzov_v2.json",
+    }
+    stage_in = {}
+    for mapper, exprs in mapper_outputs.items():
+        p = os.path.join(tmpdir, names[mapper])
+        with open(p, "w", encoding="utf-8") as f:
+            json.dump({"name": mapper, "expressions": exprs}, f, ensure_ascii=False)
+        stage_in[mapper] = p
+
+    argv_files = [
+        stage_in["lez_rus_babakhanov"],
+        stage_in["rus_lez_hajiyev"],
+        stage_in["tab_rus"],
+    ]
+
+    # --- 01 per dictionary (index 0=bab, 1=haj, 2=tab)
+    js01 = build_pp_js(tmpdir, "01_tagsMappingAndGrouping.ts")
+    clean = {}
+    for idx, mapper in ((0, "lez_rus_babakhanov"), (1, "rus_lez_hajiyev"), (2, "tab_rus")):
+        r = subprocess.run(["node", js01, *argv_files, str(idx)],
+                           capture_output=True, text=True, timeout=300, env=env)
+        if r.returncode != 0:
+            print(f"NODE 01 FAILED ({mapper}):\n" + r.stderr[-1200:])
+            return False
+        with open(os.path.join(env_out, names[mapper]), encoding="utf-8") as f:
+            clean[mapper] = json.load(f)["expressions"]
+
+    # --- 02 (haj + tab only, per the reference)
+    for mapper in ("rus_lez_hajiyev", "tab_rus"):
+        with open(stage_in[mapper], "w", encoding="utf-8") as f:
+            json.dump({"name": mapper, "expressions": clean[mapper]}, f, ensure_ascii=False)
+    js02 = build_pp_js(tmpdir, "02_examplesExtraction.ts")
+    r = subprocess.run(["node", js02, *argv_files], capture_output=True, text=True,
+                       timeout=300, env=env)
+    if r.returncode != 0:
+        print("NODE 02 FAILED:\n" + r.stderr[-1200:])
+        return False
+    extracted = dict(clean)
+    for mapper in ("rus_lez_hajiyev", "tab_rus"):
+        with open(os.path.join(env_out, names[mapper]), encoding="utf-8") as f:
+            extracted[mapper] = json.load(f)["expressions"]
+
+    # --- 03 (bab from cleanTags, haj+tab from extractedExamples)
+    for mapper in names:
+        with open(stage_in[mapper], "w", encoding="utf-8") as f:
+            json.dump({"name": mapper, "expressions": extracted[mapper]}, f,
+                      ensure_ascii=False)
+    js03 = build_pp_js(tmpdir, "03_splitSpelling.ts")
+    r = subprocess.run(["node", js03, *argv_files], capture_output=True, text=True,
+                       timeout=300, env=env)
+    if r.returncode != 0:
+        print("NODE 03 FAILED:\n" + r.stderr[-1200:])
+        return False
+    final_names = {
+        "lez_rus_babakhanov": "lezgi_rus_dict_babakhanov_v2_1.json",
+        "rus_lez_hajiyev": "rus_lezgi_dict_hajiyev_v2_1.json",
+        "tab_rus": "tab_rus_dict_hanmagomedov_shalbuzov_v2_1.json",
+    }
+    ok = True
+    for mapper, exprs in mapper_outputs.items():
+        with open(os.path.join(env_out, final_names[mapper]), encoding="utf-8") as f:
+            ref_final = json.load(f)["expressions"]
+        mine = copy.deepcopy(exprs)
+        for e in mine:
+            pp.standardize_expression_tags(e)
+            if mapper != "lez_rus_babakhanov":
+                pp.extract_examples(e)
+        mine = [pp.split_spelling(e, pp.SPELLING_SPLITTERS[mapper]) for e in mine]
+        a, b = canon(ref_final), canon(mine)
+        if a == b:
+            print(f"DIFFERENTIAL chain(01-03) {mapper}: EXACT MATCH — {len(a)} expressions")
+        else:
+            ok = False
+            print(f"DIFFERENTIAL chain(01-03) {mapper}: MISMATCH — ref {len(a)} vs mine {len(b)}")
+            shown = 0
+            for i, (x, y) in enumerate(zip(a, b)):
+                if x != y and shown < 2:
+                    print(f"-- diff at expression {i}:")
+                    print("REF :", json.dumps(x, ensure_ascii=False)[:350])
+                    print("MINE:", json.dumps(y, ensure_ascii=False)[:350])
+                    shown += 1
+    return ok
+
+
 def main():
     tmpdir = tempfile.mkdtemp(prefix="refdiff_")
     ok = True
+    mapper_outputs = {}
     for mapper in _INPUTS:
         good, _n = run_one(tmpdir, mapper)
         ok = ok and good
+        with open(os.path.join(tmpdir, f"ref_out_{mapper}.json"), encoding="utf-8") as f:
+            mapper_outputs[mapper] = json.load(f)
+    ok = run_pp_chain(tmpdir, mapper_outputs) and ok
     sys.exit(0 if ok else 1)
 
 
