@@ -109,7 +109,10 @@ def is_see_also(s: str, is_russian: bool) -> bool:
     )
 
 
-_ROMAN_WORD_RE = re.compile(r"\b(I|II|III|IV|V|VI|VII|VIII|IX|X)\b")
+# re.ASCII: JS \b uses ASCII \w, so \bI\b matches the latin I INSIDE a
+# Cyrillic word (e.g. 'чIал' → 'чал') — caught by the executed-reference
+# differential; Python's default Unicode \b would not fire there
+_ROMAN_WORD_RE = re.compile(r"\b(I|II|III|IV|V|VI|VII|VIII|IX|X)\b", re.ASCII)
 _LEADING_ENUM_RE = re.compile(r"^\d[\)|\.][\s|]")
 
 

@@ -265,7 +265,9 @@ def test_check_alphabetical_order():
 
 def test_training_pair_chain():
     pairs = create_training_pairs("лезги чIал", "лезгинский язык")
-    assert pairs == [("лезгинский язык", "лезги чIал")]
+    # JS ASCII \b makes removeEnumerations strip the latin I inside 'чIал'
+    # (verified against the executed reference — see exports.py note)
+    assert pairs == [("лезгинский язык", "лезги чал")]
     # см tag poisons the pair (F17)
     assert create_training_pairs("гаф", "<см.> слово") == []
     # Lezgi letters inside the Russian side → see-also filtered (F20)
@@ -412,4 +414,4 @@ def test_reference_executed_differential():
         cwd="/root/repo",
     )
     assert r.returncode == 0, r.stdout + r.stderr
-    assert r.stdout.count("EXACT MATCH") == 6, r.stdout  # 3 mappers + 3 full chains
+    assert r.stdout.count("EXACT MATCH") == 9, r.stdout  # 3 mappers + 3 chains + 3 exports

@@ -186,6 +186,306 @@ def run_one(tmpdir: str, mapper: str) -> tuple[bool, int]:
     return False, len(a)
 
 
+# --- export-stage differential (M12 parallel corpus) -----------------------
+
+_CORPUS_EXACT = [
+    ("""function mapExamples(
+  examples: Example[],
+  lezKey: 'src' | 'trl',
+  rusKey: 'src' | 'trl',
+): ExampleResult[] {""",
+     "function mapExamples(examples, lezKey, rusKey) {"),
+    ("""function getExamplesFromDictionary(
+  dict: DictionaryV2_1,
+  lez: 'src' | 'trl',
+  rus: 'src' | 'trl',
+): ExampleResult[] {""",
+     "function getExamplesFromDictionary(dict, lez, rus) {"),
+    ("const result: ExampleResult[] = [];", "const result = [];"),
+    ("const examples: ExampleResult[] = mapExamples(expressionDetails.examples, lez, rus);",
+     "const examples = mapExamples(expressionDetails.examples, lez, rus);"),
+    ("const csvData: ExampleResult[] = [", "const csvData = ["),
+    ("""const dictionaries: { lezRus: DictionaryV2_1; rusLez: DictionaryV2_1 } = {
+  lezRus: lezgiRusBabakhanov as DictionaryV2_1,
+  rusLez: rusLezgiHajyiev as DictionaryV2_1,
+};""",
+     """const dictionaries = {
+  lezRus: JSON.parse(fs.readFileSync(process.argv[2], 'utf8')),
+  rusLez: JSON.parse(fs.readFileSync(process.argv[3], 'utf8')),
+};"""),
+    ("type ExampleResult = { lez: string; rus: string };", ""),
+    ("""export function writeCsvFile(filePath: string, data: string) {
+  fs.writeFileSync(filePath, data);
+}""",
+     """function writeCsvFile(filePath, data) {
+  fs.writeFileSync(process.env.REFDIFF_OUT + '/' + path.basename(filePath), data);
+}"""),
+]
+
+
+def build_corpus_js(tmpdir: str) -> str:
+    with open(
+        os.path.join(REF, "v2migration", "postProcessing",
+                     "99_pp_examplesToParallelCorpus.ts"),
+        encoding="utf-8",
+    ) as f:
+        body = _strip(f.read(), _CORPUS_EXACT)
+    out = os.path.join(tmpdir, "ref_corpus.cjs")
+    with open(out, "w", encoding="utf-8") as f:
+        f.write("const fs = require('fs');\nconst path = require('path');\n")
+        f.write(body + "\n")
+    return out
+
+
+def run_corpus(tmpdir: str, final_v21: dict) -> bool:
+    """Execute 99_pp_examplesToParallelCorpus on the chain outputs and diff
+    the CSV against our M12 implementation (same lezRus+rusLez inputs)."""
+    from html_parser_spark.engine.exports import examples_to_parallel_corpus
+
+    env_out = os.path.join(tmpdir, "corpusout")
+    os.makedirs(env_out, exist_ok=True)
+    env = dict(os.environ, REFDIFF_OUT=env_out)
+
+    final_v21 = _null_filtered(final_v21)
+    paths = []
+    for mapper in ("lez_rus_babakhanov", "rus_lez_hajiyev"):
+        p = os.path.join(tmpdir, f"corpus_in_{mapper}.json")
+        with open(p, "w", encoding="utf-8") as f:
+            json.dump({"expressions": final_v21[mapper]}, f, ensure_ascii=False)
+        paths.append(p)
+    js = build_corpus_js(tmpdir)
+    r = subprocess.run(["node", js, *paths], capture_output=True, text=True,
+                       timeout=300, env=env)
+    if r.returncode != 0:
+        print("NODE corpus FAILED:\n" + r.stderr[-1200:])
+        return False
+    with open(os.path.join(env_out, "lez_rus_corpus.csv"), encoding="utf-8") as f:
+        ref_csv = f.read()
+    mine = examples_to_parallel_corpus(final_v21["lez_rus_babakhanov"], "src", "trl")
+    mine += examples_to_parallel_corpus(final_v21["rus_lez_hajiyev"], "trl", "src")
+    my_csv = "\n".join(f"{p['lez']};{p['rus']}" for p in mine)
+    if ref_csv == my_csv:
+        print(f"DIFFERENTIAL corpus(M12): EXACT MATCH — {len(mine)} pairs, "
+              "byte-identical CSV")
+        return True
+    print("DIFFERENTIAL corpus(M12): MISMATCH")
+    ra, rb = ref_csv.split("\n"), my_csv.split("\n")
+    print(f"ref {len(ra)} lines vs mine {len(rb)}")
+    for i, (x, y) in enumerate(zip(ra, rb)):
+        if x != y:
+            print(f"-- first diff line {i}:\nREF : {x[:200]}\nMINE: {y[:200]}")
+            break
+    return False
+
+
+def _null_filtered(finals: dict) -> dict:
+    """M9's undefined-push bug leaves null examples that would crash the
+    reference export scripts too (undefined.src); filter them on BOTH sides
+    so the differentials compare export logic, not the crash."""
+    import copy
+
+    out = {}
+    for m, exprs in finals.items():
+        cp = copy.deepcopy(exprs)
+        for e in cp:
+            for det in e["details"]:
+                if det.get("examples"):
+                    det["examples"] = [x for x in det["examples"] if x]
+                for dd in det["definitionDetails"]:
+                    if dd.get("examples"):
+                        dd["examples"] = [x for x in dd["examples"] if x]
+        out[m] = cp
+    return out
+
+
+# --- export-stage differential (M13 training pairs, CSV path) --------------
+
+_JSONL_EXACT = [
+    ("function isTag(tag: string): boolean {", "function isTag(tag) {"),
+    ("function cleanFromTags(str: string): string | undefined {",
+     "function cleanFromTags(str) {"),
+    ("const cleanStrArray: string[] = [];", "const cleanStrArray = [];"),
+    ("""type TrainingExample = {
+  messages: [
+    // { role: 'system'; content: string },
+    { role: 'user'; content: string },
+    { role: 'assistant'; content: string },
+  ];
+};""", ""),
+    ("function randomItem(items: any[]) {", "function randomItem(items) {"),
+    ("const createTrainingExampleJsonl = (lezgiText: string, rusText: string): TrainingExample => ({",
+     "const createTrainingExampleJsonl = (lezgiText, rusText) => ({"),
+    ("""const dictionaries: { dictionary: DictionaryV2_1; outFileName: string; isSrcLezgi: boolean }[] = [
+  {
+    dictionary: rusLezgiHajyiev as DictionaryV2_1,
+    outFileName: 'rus_lezgi_dict_hajiyev_v2_1',
+    isSrcLezgi: false,
+  },
+  {
+    dictionary: lezRuzBabakhanov as DictionaryV2_1,
+    outFileName: 'lezgi_rus_dict_babakhanov_v2_1',
+    isSrcLezgi: true,
+  },
+];""",
+     """const dictionaries = [
+  {
+    dictionary: JSON.parse(fs.readFileSync(process.argv[3], 'utf8')),
+    outFileName: 'rus_lezgi_dict_hajiyev_v2_1',
+    isSrcLezgi: false,
+  },
+  {
+    dictionary: JSON.parse(fs.readFileSync(process.argv[2], 'utf8')),
+    outFileName: 'lezgi_rus_dict_babakhanov_v2_1',
+    isSrcLezgi: true,
+  },
+];"""),
+    ("""function dictExamplesToTrainingExamples(
+  isSrcLezgi: boolean,
+  examples?: Example[],
+): [string, string][] {""",
+     "function dictExamplesToTrainingExamples(isSrcLezgi, examples) {"),
+    ("function splitSemicolons(srcText: string, trlText: string) {",
+     "function splitSemicolons(srcText, trlText) {"),
+    ("function removeNameDescription(definitionStr: string) {",
+     "function removeNameDescription(definitionStr) {"),
+    ("function isSeeAlso(str: string, isRussian: boolean): boolean {",
+     "function isSeeAlso(str, isRussian) {"),
+    ("function removeEnumerations(str: string): string {",
+     "function removeEnumerations(str) {"),
+    ("function splitCommaSeparatedLists(str: string, wordCountDeviationThreshold = 2): string[] {",
+     "function splitCommaSeparatedLists(str, wordCountDeviationThreshold = 2) {"),
+    ("const createTrainingExample = (lezgiText: string, rusText: string): [string, string][] => {",
+     "const createTrainingExample = (lezgiText, rusText) => {"),
+    ("""  const removedNameDescriptions: [string, string][] = splittedSemicolons.map(
+    ([lezgiText, rusText]) => {""",
+     """  const removedNameDescriptions = splittedSemicolons.map(
+    ([lezgiText, rusText]) => {"""),
+    ("const filteredSeeAlsoDefinitions: [string, string][] = [];",
+     "const filteredSeeAlsoDefinitions = [];"),
+    ("""  const removedListingNumbers: [string, string][] = filteredSeeAlsoDefinitions.map(([rus, lez]) => [
+    removeEnumerations(rus),
+    removeEnumerations(lez),
+  ]);""",
+     """  const removedListingNumbers = filteredSeeAlsoDefinitions.map(([rus, lez]) => [
+    removeEnumerations(rus),
+    removeEnumerations(lez),
+  ]);"""),
+    ("    .filter(([rus, lez]) => rus !== undefined && lez !== undefined) as [string, string][];",
+     "    .filter(([rus, lez]) => rus !== undefined && lez !== undefined);"),
+    ("const combinations: [string, string][] = [];", "const combinations = [];"),
+    ("""  const cleanedUp: [string, string][] = splittedCommaSeparatedLists
+    .map(([rus, lez]) => [toLowerCaseLezgi(rus), toLowerCaseLezgi(lez)])
+    .filter(
+      ([rus, lez]) =>
+        rus !== undefined && lez !== undefined && rus.trim() !== '' && lez.trim() !== '',
+    ) as [string, string][];""",
+     """  const cleanedUp = splittedCommaSeparatedLists
+    .map(([rus, lez]) => [toLowerCaseLezgi(rus), toLowerCaseLezgi(lez)])
+    .filter(
+      ([rus, lez]) =>
+        rus !== undefined && lez !== undefined && rus.trim() !== '' && lez.trim() !== '',
+    );"""),
+    ("const trainingExamplesAll: [string, string][] = [];",
+     "const trainingExamplesAll = [];"),
+    ("const trainingExamples: [string, string][] = [];",
+     "const trainingExamples = [];"),
+    ("const definitionStrings: string[] = [];", "const definitionStrings = [];"),
+    ("""    const trainingExamplesJson: TrainingExample[] = trainingExamples.map((exp) =>
+      createTrainingExampleJsonl(exp[0], exp[1]),
+    );""",
+     """    const trainingExamplesJson = trainingExamples.map((exp) =>
+      createTrainingExampleJsonl(exp[0], exp[1]),
+    );"""),
+    ("""  const trainingExamplesAllJson: TrainingExample[] = trainingExamplesAll.map((exp) =>
+    createTrainingExampleJsonl(exp[0], exp[1]),
+  );""",
+     """  const trainingExamplesAllJson = trainingExamplesAll.map((exp) =>
+    createTrainingExampleJsonl(exp[0], exp[1]),
+  );"""),
+]
+
+_TOLOWER_EXACT = [
+    ("""export function toLowerCaseLezgi(
+  lezgiString: string,
+  options: { capitalize: boolean } = { capitalize: false },
+) {""",
+     "function toLowerCaseLezgi(lezgiString, options = { capitalize: false }) {"),
+]
+
+
+def build_jsonl_js(tmpdir: str) -> str:
+    with open(os.path.join(REF, "tags.ts"), encoding="utf-8") as f:
+        tags_src = f.read().replace("export default {", "const tags = {")
+    with open(os.path.join(REF, "utils.ts"), encoding="utf-8") as f:
+        utils_src = f.read()
+    # only toLowerCaseLezgi is needed from utils; cut the rest via anchors
+    start = utils_src.index("export function toLowerCaseLezgi")
+    tolower_js = _strip(utils_src[start:], _TOLOWER_EXACT)
+    with open(
+        os.path.join(REF, "v2migration", "postProcessing", "99_v2DictToJsonL.ts"),
+        encoding="utf-8",
+    ) as f:
+        body = _strip(f.read(), _JSONL_EXACT)
+    preamble = """
+function writeCsvOut(name, data) {
+  fs.writeFileSync(process.env.REFDIFF_OUT + '/' + name, data);
+}
+fs.writeFileSync = (function(orig) {
+  return function(p, data) { orig.call(fs, process.env.REFDIFF_OUT + '/' + path.basename(p), data); };
+})(fs.writeFileSync.bind(fs));
+"""
+    out = os.path.join(tmpdir, "ref_jsonl.cjs")
+    with open(out, "w", encoding="utf-8") as f:
+        f.write("const fs = require('fs');\nconst path = require('path');\n")
+        f.write(tags_src + "\n")
+        f.write(tolower_js + "\n")
+        f.write(preamble + "\n")
+        f.write(body + "\n")
+    return out
+
+
+def run_training(tmpdir: str, final_v21: dict) -> bool:
+    from html_parser_spark.engine.exports import expressions_to_training_pairs
+
+    env_out = os.path.join(tmpdir, "trainout")
+    os.makedirs(env_out, exist_ok=True)
+    env = dict(os.environ, REFDIFF_OUT=env_out)
+    paths = []
+    for mapper in ("lez_rus_babakhanov", "rus_lez_hajiyev"):
+        p = os.path.join(tmpdir, f"train_in_{mapper}.json")
+        with open(p, "w", encoding="utf-8") as f:
+            json.dump({"expressions": final_v21[mapper]}, f, ensure_ascii=False)
+        paths.append(p)
+    js = build_jsonl_js(tmpdir)
+    r = subprocess.run(["node", js, *paths], capture_output=True, text=True,
+                       timeout=600, env=env)
+    if r.returncode != 0:
+        print("NODE training FAILED:\n" + r.stderr[-1200:])
+        return False
+    ok = True
+    for mapper, fname, is_src_lezgi in (
+        ("rus_lez_hajiyev", "rus_lezgi_dict_hajiyev_v2_1.csv", False),
+        ("lez_rus_babakhanov", "lezgi_rus_dict_babakhanov_v2_1.csv", True),
+    ):
+        with open(os.path.join(env_out, fname), encoding="utf-8") as f:
+            ref_csv = f.read()
+        mine = expressions_to_training_pairs(final_v21[mapper], is_src_lezgi)
+        my_csv = "\n".join(f"{r};{l}" for r, l in mine)
+        if ref_csv == my_csv:
+            print(f"DIFFERENTIAL training(M13) {mapper}: EXACT MATCH — "
+                  f"{len(mine)} pairs, byte-identical CSV")
+        else:
+            ok = False
+            print(f"DIFFERENTIAL training(M13) {mapper}: MISMATCH")
+            ra, rb = ref_csv.split("\n"), my_csv.split("\n")
+            print(f"ref {len(ra)} lines vs mine {len(rb)}")
+            for i, (x, y) in enumerate(zip(ra, rb)):
+                if x != y:
+                    print(f"-- first diff line {i}:\nREF : {x[:200]}\nMINE: {y[:200]}")
+                    break
+    return ok
+
+
 # --- post-processing chain differential (01 → 02 → 03) --------------------
 
 _PP_EXACT = [
@@ -277,7 +577,7 @@ function writeCsvFile(p, data) {}
     return out
 
 
-def run_pp_chain(tmpdir: str, mapper_outputs: dict) -> bool:
+def run_pp_chain(tmpdir: str, mapper_outputs: dict):
     """Execute 01 (per dictionary), 02, 03 with the reference flow and diff
     the final V2.1 expressions against our Python chain."""
     import copy
@@ -351,9 +651,11 @@ def run_pp_chain(tmpdir: str, mapper_outputs: dict) -> bool:
         "tab_rus": "tab_rus_dict_hanmagomedov_shalbuzov_v2_1.json",
     }
     ok = True
+    ref_finals = {}
     for mapper, exprs in mapper_outputs.items():
         with open(os.path.join(env_out, final_names[mapper]), encoding="utf-8") as f:
             ref_final = json.load(f)["expressions"]
+        ref_finals[mapper] = ref_final
         mine = copy.deepcopy(exprs)
         for e in mine:
             pp.standardize_expression_tags(e)
@@ -373,7 +675,7 @@ def run_pp_chain(tmpdir: str, mapper_outputs: dict) -> bool:
                     print("REF :", json.dumps(x, ensure_ascii=False)[:350])
                     print("MINE:", json.dumps(y, ensure_ascii=False)[:350])
                     shown += 1
-    return ok
+    return ok, ref_finals
 
 
 def main():
@@ -385,7 +687,11 @@ def main():
         ok = ok and good
         with open(os.path.join(tmpdir, f"ref_out_{mapper}.json"), encoding="utf-8") as f:
             mapper_outputs[mapper] = json.load(f)
-    ok = run_pp_chain(tmpdir, mapper_outputs) and ok
+    chain_ok, ref_finals = run_pp_chain(tmpdir, mapper_outputs)
+    ok = chain_ok and ok
+    if ref_finals:
+        ok = run_corpus(tmpdir, ref_finals) and ok
+        ok = run_training(tmpdir, _null_filtered(ref_finals)) and ok
     sys.exit(0 if ok else 1)
 
 
