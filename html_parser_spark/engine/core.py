@@ -65,7 +65,7 @@ def extract_tags_from_definition(definition: str) -> tuple[list[str], str]:
     return tags, " ".join(w for w in kept if truthy(w))
 
 
-_LEADING_NUM_RE = re.compile(r"^\d(\.|\))", re.I)
+_LEADING_NUM_RE = re.compile(r"^\d(\.|\))", re.I | re.ASCII)  # JS \d is ASCII
 
 
 def create_definition_object(definition: str) -> dict:
@@ -102,8 +102,8 @@ def find_roman_numeral_prefix(trimmed_definition: str) -> str | None:
     return None
 
 
-_ARABIC_NUM_RE = re.compile(r"^\d+\.")
-_ARABIC_NUM_OR_PAREN_RE = re.compile(r"^\d+(\.|\))")
+_ARABIC_NUM_RE = re.compile(r"^\d+\.", re.ASCII)
+_ARABIC_NUM_OR_PAREN_RE = re.compile(r"^\d+(\.|\))", re.ASCII)
 
 
 def remove_all_numerals_from_definition_start(
@@ -135,7 +135,7 @@ def has_one_more_closing_parenthesis(s: str) -> bool:
 def merge_tags_with_definitions(arr: list[str], allow_paren: bool = False) -> list[str]:
     """F12 — rusLezHajiyev.ts:19-35 / tabRus.ts:18-34: re-attach fragments
     that don't start with a numeral as prefix of the next numbered one."""
-    num_re = re.compile(r"^\d(\.|\))" if allow_paren else r"^\d\.", re.I)
+    num_re = re.compile(r"^\d(\.|\))" if allow_paren else r"^\d\.", re.I | re.ASCII)
     result: list[str] = []
     temp_prefix: str | None = None
     for item in arr:

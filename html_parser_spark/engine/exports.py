@@ -113,7 +113,7 @@ def is_see_also(s: str, is_russian: bool) -> bool:
 # Cyrillic word (e.g. 'чIал' → 'чал') — caught by the executed-reference
 # differential; Python's default Unicode \b would not fire there
 _ROMAN_WORD_RE = re.compile(r"\b(I|II|III|IV|V|VI|VII|VIII|IX|X)\b", re.ASCII)
-_LEADING_ENUM_RE = re.compile(r"^\d[\)|\.][\s|]")
+_LEADING_ENUM_RE = re.compile(r"^\d[\)|\.][\s|]", re.ASCII)
 
 
 def remove_enumerations(s: str) -> str:

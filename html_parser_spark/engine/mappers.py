@@ -143,8 +143,8 @@ def map_lez_rus_babakhanov(entry: dict):
     return _finish(entry, details, merge_with_existing)
 
 
-_NUMBERED_RE_B = re.compile(r"^.+\d\.", re.I)
-_NUM_SPLIT_RE_B = re.compile(r"(?=\d\.)", re.I)
+_NUMBERED_RE_B = re.compile(r"^.+\d\.", re.I | re.ASCII)  # JS \d is ASCII
+_NUM_SPLIT_RE_B = re.compile(r"(?=\d\.)", re.I | re.ASCII)
 _BULLET_SPLIT_RE = re.compile("(?=" + "|".join(EXAMPLE_START_SYMBOLS) + ")")
 _TRAILING_OPEN_PAREN_RE = re.compile(r"\($", re.I)
 
@@ -196,8 +196,8 @@ def map_rus_lez_hajiyev(entry: dict):
     return _finish(entry, details, merge_with_existing)
 
 
-_NUMBERED_RE_C = re.compile(r"^.+\d(\.|\))", re.I)
-_NUM_SPLIT_RE_C = re.compile(r"(?=\d\.)|(?=\d\))", re.I)
+_NUMBERED_RE_C = re.compile(r"^.+\d(\.|\))", re.I | re.ASCII)
+_NUM_SPLIT_RE_C = re.compile(r"(?=\d\.)|(?=\d\))", re.I | re.ASCII)
 _LEADING_ANGLE_RE = re.compile(r"^<[^>]*>", re.I)
 
 
