@@ -414,4 +414,4 @@ def test_reference_executed_differential():
         cwd="/root/repo",
     )
     assert r.returncode == 0, r.stdout + r.stderr
-    assert r.stdout.count("EXACT MATCH") == 9, r.stdout  # 3 mappers + 3 chains + 3 exports
+    assert r.stdout.count("EXACT MATCH") == 12, r.stdout  # mappers + chains + exports + quality

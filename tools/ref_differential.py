@@ -486,6 +486,145 @@ def run_training(tmpdir: str, final_v21: dict) -> bool:
     return ok
 
 
+# --- M15 quality-check differential ----------------------------------------
+
+_QUALITY_EXACT = [
+    ("""export function writeCsvFile(filePath: string, data: string) {
+  fs.writeFileSync(filePath, data);
+}""",
+     """function writeCsvFile(filePath, data) {
+  fs.writeFileSync(process.env.REFDIFF_OUT + '/' + path.basename(filePath), data);
+}"""),
+    ("""const dictionaries: DictionaryV2_1[] = [
+  lezgiRusBabakhanov as DictionaryV2_1,
+  rusLezgiHajyiev as DictionaryV2_1,
+  tabRusHanShal as DictionaryV2_1,
+];""",
+     """const dictionaries = [
+  JSON.parse(fs.readFileSync(process.argv[2], 'utf8')),
+  JSON.parse(fs.readFileSync(process.argv[3], 'utf8')),
+  JSON.parse(fs.readFileSync(process.argv[4], 'utf8')),
+];"""),
+    ("  private static readonly csvSeparator = ';';", "  static csvSeparator = ';';"),
+    ("  spellingWithRandomChars: boolean;", "  spellingWithRandomChars;"),
+    ("  spellingWithRandomCharsIgnoreSpaces: boolean;",
+     "  spellingWithRandomCharsIgnoreSpaces;"),
+    ("  inflectionsWithRandomChars?: string;", "  inflectionsWithRandomChars;"),
+    ("  tagInExpressionDetails: boolean = false;", "  tagInExpressionDetails = false;"),
+    ("  private _definitionsContainingExpressions: string[] = [];",
+     "  _definitionsContainingExpressions = [];"),
+    ("  private _definitionsStartingWithParenthesis: string[] = [];",
+     "  _definitionsStartingWithParenthesis = [];"),
+    ("  private _definitionsStartingWithRandomChars: string[] = [];",
+     "  _definitionsStartingWithRandomChars = [];"),
+    ("  private _examplesContainingExpressions: string[] = [];",
+     "  _examplesContainingExpressions = [];"),
+    ("  private _definitionsStartingWithTags: string[] = [];",
+     "  _definitionsStartingWithTags = [];"),
+    ("  private _stringsEndingWithCurlyBraces: string[] = [];",
+     "  _stringsEndingWithCurlyBraces = [];"),
+    ("  private _examplesStoredAsDefinitions: string[] = [];",
+     "  _examplesStoredAsDefinitions = [];"),
+    ("  isEmpty(): boolean {", "  isEmpty() {"),
+    ("  toCsv(firstColumn?: string): string {", "  toCsv(firstColumn) {"),
+    ("  static getHeader(firstColumn?: string): string {",
+     "  static getHeader(firstColumn) {"),
+    ("const analysisResults: Record<string, ExpressionAnalysisResult> = {};",
+     "const analysisResults = {};"),
+]
+
+
+def build_quality_js(tmpdir: str) -> str:
+    with open(os.path.join(REF, "v2migration", "qualityCheck.ts"), encoding="utf-8") as f:
+        body = _strip(f.read(), _QUALITY_EXACT)
+    out = os.path.join(tmpdir, "ref_quality.cjs")
+    with open(out, "w", encoding="utf-8") as f:
+        f.write("const fs = require('fs');\nconst path = require('path');\n")
+        f.write(body + "\n")
+    return out
+
+
+def _py_quality_csv(expressions: list[dict]) -> str:
+    """Serialize our analyze_dictionary output exactly like
+    ExpressionAnalysisResult.toCsv (JS join semantics: false/true, undefined
+    → '', arrays joined '|')."""
+    from html_parser_spark.engine.quality import analyze_dictionary
+
+    _stats, reports = analyze_dictionary(expressions)
+
+    def js(v):
+        if v is None:
+            return ""
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, list):
+            return "|".join(v)
+        return str(v)
+
+    header = ("spelling;spellingWithRandomChars;spellingWithRandomCharsIgnoreSpaces;"
+              "inflectionsWithRandomChars;definitionsContainingExpressions;"
+              "definitionsStartingWithParenthesis;definitionsStartingWithRandomChars;"
+              "examplesContainingExpressions;definitionsStartingWithTags;"
+              "stringsEndingWithCurlyBraces;examplesStoredAsDefinitions;"
+              "tagInExpressionDetails")
+    rows = [header]
+    for spelling, ar in reports:
+        rows.append(";".join([
+            spelling,
+            js(ar["spellingWithRandomChars"]),
+            js(ar["spellingWithRandomCharsIgnoreSpaces"]),
+            js(ar["inflectionsWithRandomChars"]),
+            js(ar["definitionsContainingExpressions"]),
+            js(ar["definitionsStartingWithParenthesis"]),
+            js(ar["definitionsStartingWithRandomChars"]),
+            js(ar["examplesContainingExpressions"]),
+            js(ar["definitionsStartingWithTags"]),
+            js(ar["stringsEndingWithCurlyBraces"]),
+            js(ar["examplesStoredAsDefinitions"]),
+            js(ar["tagInExpressionDetails"]),
+        ]))
+    return "\n".join(rows)
+
+
+def run_quality(tmpdir: str, final_v21: dict) -> bool:
+    env_out = os.path.join(tmpdir, "qualout")
+    os.makedirs(env_out, exist_ok=True)
+    env = dict(os.environ, REFDIFF_OUT=env_out)
+    order = ["lez_rus_babakhanov", "rus_lez_hajiyev", "tab_rus"]
+    paths = []
+    for i, mapper in enumerate(order):
+        p = os.path.join(tmpdir, f"qual_in_{i}.json")
+        with open(p, "w", encoding="utf-8") as f:
+            json.dump({"name": f"d{i}", "expressions": final_v21[mapper]}, f,
+                      ensure_ascii=False)
+        paths.append(p)
+    js = build_quality_js(tmpdir)
+    r = subprocess.run(["node", js, *paths], capture_output=True, text=True,
+                       timeout=300, env=env)
+    if r.returncode != 0:
+        print("NODE quality FAILED:\n" + r.stderr[-1200:])
+        return False
+    ok = True
+    for i, mapper in enumerate(order):
+        with open(os.path.join(env_out, f"d{i}_undefined_analysis.csv"),
+                  encoding="utf-8") as f:
+            ref_csv = f.read()
+        my_csv = _py_quality_csv(final_v21[mapper])
+        if ref_csv == my_csv:
+            n = len(my_csv.split("\n")) - 1
+            print(f"DIFFERENTIAL quality(M15) {mapper}: EXACT MATCH — {n} report rows")
+        else:
+            ok = False
+            print(f"DIFFERENTIAL quality(M15) {mapper}: MISMATCH")
+            ra, rb = ref_csv.split("\n"), my_csv.split("\n")
+            print(f"ref {len(ra)} lines vs mine {len(rb)}")
+            for j, (x, y) in enumerate(zip(ra, rb)):
+                if x != y:
+                    print(f"-- first diff line {j}:\nREF : {x[:220]}\nMINE: {y[:220]}")
+                    break
+    return ok
+
+
 # --- post-processing chain differential (01 → 02 → 03) --------------------
 
 _PP_EXACT = [
@@ -692,6 +831,7 @@ def main():
     if ref_finals:
         ok = run_corpus(tmpdir, ref_finals) and ok
         ok = run_training(tmpdir, _null_filtered(ref_finals)) and ok
+        ok = run_quality(tmpdir, _null_filtered(ref_finals)) and ok
     sys.exit(0 if ok else 1)
 
 
