@@ -285,7 +285,11 @@ def q_sessionize(spark, sf_dir):
         with_sess.groupBy("user_id", "session_idx")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("session_value"),
+            # DECIMAL sum → exact & order-independent, then round on the exact
+            # decimal (HALF_UP == DuckDB half-away-from-zero) and cast back.
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("session_value"),
         )
     )
 
@@ -438,14 +442,22 @@ def q_hypertable_rollup(spark, sf_dir):
             F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("h"),
             "event_type",
         )
-        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .agg(
+            F.count("*").alias("n"),
+            # exact decimal partial sums: the hourly→daily re-aggregation is
+            # then order-independent (the composability the pattern relies on)
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("s"),
+        )
     )
+    avg_q = F.sum("s").cast("double") / F.sum("n")
     daily = (
         hourly.groupBy(F.date_trunc("day", "h").alias("day"), "event_type")
         .agg(
             F.sum("n").alias("n_events"),
-            F.round(F.sum("s"), 2).alias("sum_value"),
-            F.round(F.sum("s") / F.sum("n"), 2).alias("avg_value"),
+            F.round(F.sum("s"), 2).cast("double").alias("sum_value"),
+            # deterministic 2dp half-up on an IEEE-identical quotient (no
+            # engine round(double), whose tie-breaking differs cross-engine)
+            (F.floor(avg_q * 100 + F.lit(0.5)) / 100).alias("avg_value"),
             F.count("*").alias("hours_active"),
         )
     )
@@ -642,10 +654,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_lang_profile": """
             SELECT lang, count(*) AS docs,
-                   round(avg(len(text)), 2) AS avg_chars,
-                   round(avg(CASE WHEN len(trim(text)) = 0 THEN 0
-                             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END), 2)
-                     AS avg_tokens,
+                   floor((CAST(sum(len(text)) AS DOUBLE) / count(*)) * 100 + 0.5)
+                     / 100 AS avg_chars,
+                   floor((CAST(sum(CASE WHEN len(trim(text)) = 0 THEN 0
+                               ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                               END) AS DOUBLE) / count(*)) * 100 + 0.5)
+                     / 100 AS avg_tokens,
                    sum(CASE WHEN regexp_matches(text, 'spark') THEN 1 ELSE 0 END)
                      AS docs_with_spark
             FROM documents GROUP BY lang
@@ -709,7 +723,8 @@ def oracle_sql() -> dict[str, str]:
               FROM o
             )
             SELECT user_id, session_idx, count(*) AS n_events,
-                   round(sum(value), 2) AS session_value
+                   CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+                     AS session_value
             FROM s GROUP BY user_id, session_idx
         """,
         "q_extract_entries": """
@@ -757,22 +772,30 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 5
         """,
         "q_embedding_near_dup": """
-            WITH e AS (SELECT * FROM embeddings WHERE vec_id < 150)
-            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                   round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
-            FROM e a JOIN e b ON a.vec_id < b.vec_id
-            WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.35
+            -- list_dot_product (double accumulation) not list_cosine_similarity
+            -- (float32) so the arithmetic is bit-identical with Spark's
+            WITH e AS (SELECT * FROM embeddings WHERE vec_id < 150),
+            scored AS (
+              SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                     round(list_dot_product(a.embedding, b.embedding) /
+                           (sqrt(list_dot_product(a.embedding, a.embedding)) *
+                            sqrt(list_dot_product(b.embedding, b.embedding))), 4)
+                       AS cosine
+              FROM e a JOIN e b ON a.vec_id < b.vec_id
+            )
+            SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= 0.35
         """,
         "q_hypertable_rollup": """
             WITH hourly AS (
               SELECT date_trunc('hour', ts) AS h, event_type,
-                     count(*) AS n, sum(value) AS s
+                     count(*) AS n, sum(CAST(value AS DECIMAL(18,6))) AS s
               FROM events GROUP BY 1, 2
             )
             SELECT CAST(date_trunc('day', h) AS TIMESTAMP) AS day, event_type,
                    sum(n) AS n_events,
-                   round(sum(s), 2) AS sum_value,
-                   round(sum(s) / sum(n), 2) AS avg_value,
+                   CAST(round(sum(s), 2) AS DOUBLE) AS sum_value,
+                   floor((CAST(sum(s) AS DOUBLE) / sum(n)) * 100 + 0.5) / 100
+                     AS avg_value,
                    count(*) AS hours_active
             FROM hourly GROUP BY 1, 2
         """,

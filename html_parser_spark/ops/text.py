@@ -70,15 +70,35 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _avg2(sum_col: Column, cnt_col: Column) -> Column:
+    """2-decimal half-up average, bit-identical across engines: the integer
+    sums are exact and identical everywhere, the double cast/divide/floor are
+    IEEE-deterministic, and no engine-specific ``round(double)`` (which ties
+    to shortest-repr in Spark but exact-binary in DuckDB) is involved."""
+    q = sum_col.cast("double") / cnt_col
+    return F.floor(q * 100 + F.lit(0.5)) / 100
+
+
 def lang_profile(docs: DataFrame) -> DataFrame:
-    """Corpus profile per language tag (n-gram language-ID support table)."""
+    """Corpus profile per language tag (n-gram language-ID support table).
+
+    Averages are exact-sum ÷ count (integer sums are order-independent), so
+    the result is deterministic under any partial-aggregation order.
+    """
     t = F.col("text")
     return (
         docs.groupBy("lang")
         .agg(
             F.count("*").alias("docs"),
-            F.round(F.avg(F.length(t)), 2).alias("avg_chars"),
-            F.round(F.avg(token_count(t)), 2).alias("avg_tokens"),
+            F.sum(F.length(t)).alias("_sum_chars"),
+            F.sum(token_count(t)).alias("_sum_tokens"),
             F.sum(F.when(t.rlike("spark"), 1).otherwise(0)).alias("docs_with_spark"),
+        )
+        .select(
+            "lang",
+            "docs",
+            _avg2(F.col("_sum_chars"), F.col("docs")).alias("avg_chars"),
+            _avg2(F.col("_sum_tokens"), F.col("docs")).alias("avg_tokens"),
+            "docs_with_spark",
         )
     )

@@ -1,8 +1,8 @@
 """Local stand-in for the driver's correctness gate: runs every
 ``__spark_entry__.queries()`` entry on Spark AND its ``oracle_sql()`` twin on
 DuckDB over the same parquet dir, then compares row count, sorted column
-names, and an order-insensitive value hash (floats rounded to 6 significant
-decimals before hashing, NaN/None canonicalized).
+names, and an order-insensitive value hash (floats at full shortest-round-trip
+precision, NaN/None canonicalized — strict, like the driver).
 
 Usage: python tools/oracle_check.py [sf_dir] [query ...]
 """
@@ -27,7 +27,9 @@ def canon_cell(v):
     if isinstance(v, float):
         if v != v:
             return "NaN"
-        return f"{v:.6g}"
+        # full precision (shortest round-trip repr), matching the driver's
+        # strict hash — any last-ulp cross-engine difference must FAIL here
+        return repr(v)
     if isinstance(v, bool):
         return str(int(v))
     if isinstance(v, bytes):
