@@ -229,7 +229,18 @@ def q_embedding_near_dup(spark, sf_dir):
     from html_parser_spark.ops.similarity import embedding_near_duplicates
 
     return embedding_near_duplicates(
-        _tbl(spark, sf_dir, "embeddings"), threshold=0.35, id_limit=150
+        _tbl(spark, sf_dir, "embeddings"), threshold=0.35, id_limit=150, exact=True
+    )
+
+
+def q_embedding_near_dup_lsh(spark, sf_dir):
+    """The DEFAULT (scale) path of embedding near-dup: hyperplane-LSH bucket
+    join → exact cosine inside buckets only.  The oracle replicates the
+    deterministic md5-parity planes, so this checks the bucketing itself."""
+    from html_parser_spark.ops.similarity import embedding_near_duplicates
+
+    return embedding_near_duplicates(
+        _tbl(spark, sf_dir, "embeddings"), threshold=0.3, n_planes=2, id_limit=300
     )
 
 
@@ -239,6 +250,16 @@ def q_ngram_jaccard(spark, sf_dir):
     # unigram Jaccard: 3-gram overlap between random word-salad docs is ~0,
     # token-set overlap is dense — a non-trivial result set for the oracle
     return ngram_jaccard_pairs(_docs(spark, sf_dir), shingle_k=1, threshold=0.5, id_limit=40)
+
+
+def q_jaccard_verify(spark, sf_dir):
+    """The scale composition: LSH banding generates candidate pairs, exact
+    n-gram Jaccard verifies them via two equi-joins (no self-join anywhere)."""
+    from html_parser_spark.ops.dedup import lsh_near_duplicates, ngram_jaccard_pairs
+
+    docs = _docs(spark, sf_dir)
+    cands = lsh_near_duplicates(docs, num_hashes=4, bands=2)
+    return ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.1, candidates=cands)
 
 
 def q_simhash(spark, sf_dir):
@@ -518,7 +539,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_near_dup_pairs": q_near_dup_pairs,
         "q_cosine_topk": q_cosine_topk,
         "q_embedding_near_dup": q_embedding_near_dup,
+        "q_embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "q_ngram_jaccard": q_ngram_jaccard,
+        "q_jaccard_verify": q_jaccard_verify,
         "q_simhash": q_simhash,
         "q_lsh_buckets": q_lsh_buckets,
         "q_event_windows": q_event_windows,
@@ -754,6 +777,44 @@ def oracle_sql() -> dict[str, str]:
              AND a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id
         """,
+        "q_jaccard_verify": f"""
+            WITH sigs AS ({_MINHASH_CTE}),
+            bands AS (
+              SELECT doc_id, 0 AS band_id, sig_0 || '|' || sig_1 AS band_key FROM sigs
+              UNION ALL
+              SELECT doc_id, 1 AS band_id, sig_2 || '|' || sig_3 AS band_key FROM sigs
+            ),
+            pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band_id = b.band_id AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            toks2 AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents
+            ),
+            sh2 AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) >= 3 THEN
+                       list_distinct(list_transform(range(1, len(t) - 1),
+                                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                     ELSE [] END AS s
+              FROM toks2
+            ),
+            scored AS (
+              SELECT p.doc_a, p.doc_b,
+                     round(CASE WHEN len(list_distinct(a.s || b.s)) > 0
+                           THEN len(list_intersect(a.s, b.s)) /
+                                CAST(len(list_distinct(a.s || b.s)) AS DOUBLE)
+                           ELSE 0.0 END, 4) AS jaccard
+              FROM pairs p
+              JOIN sh2 a ON p.doc_a = a.doc_id
+              JOIN sh2 b ON p.doc_b = b.doc_id
+            )
+            SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.1
+        """,
         "q_cosine_topk": """
             WITH scored AS (
               SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -784,6 +845,37 @@ def oracle_sql() -> dict[str, str]:
               FROM e a JOIN e b ON a.vec_id < b.vec_id
             )
             SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= 0.35
+        """,
+        "q_embedding_near_dup_lsh": """
+            -- replicates the deterministic md5-parity hyperplanes, the bucket
+            -- equi-join, and the in-bucket exact cosine of the scale path
+            WITH e AS (SELECT * FROM embeddings WHERE vec_id < 300),
+            planes AS (
+              SELECT p, list_transform(range(0, 64), d ->
+                CASE WHEN (strpos('0123456789abcdef',
+                           substring(md5(p || '_' || d), 6, 1)) - 1) % 2 = 1
+                     THEN 1.0 ELSE -1.0 END) AS plane
+              FROM (SELECT unnest(range(0, 2)) AS p)
+            ), signs AS (
+              SELECT e.vec_id, pl.p,
+                     CASE WHEN list_dot_product(e.embedding, pl.plane) >= 0
+                          THEN '1' ELSE '0' END AS bit
+              FROM e CROSS JOIN planes pl
+            ), buckets AS (
+              SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket
+              FROM signs GROUP BY vec_id
+            ), be AS (
+              SELECT e.vec_id, e.embedding, b.bucket
+              FROM e JOIN buckets b USING (vec_id)
+            ), scored AS (
+              SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                     round(list_dot_product(a.embedding, b.embedding) /
+                           (sqrt(list_dot_product(a.embedding, a.embedding)) *
+                            sqrt(list_dot_product(b.embedding, b.embedding))), 4)
+                       AS cosine
+              FROM be a JOIN be b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            )
+            SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= 0.3
         """,
         "q_hypertable_rollup": """
             WITH hourly AS (

@@ -130,22 +130,36 @@ def lsh_near_duplicates(
 
 def ngram_jaccard_pairs(
     docs: DataFrame, text_col: str = "text", shingle_k: int = 3, threshold: float = 0.5,
-    id_limit: int | None = None,
+    id_limit: int | None = None, candidates: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard over candidate pairs (verification stage after
-    LSH; here exposed directly with an optional id_limit for bounded runs)."""
+    """Exact n-gram Jaccard — the verification stage AFTER candidate
+    generation, never a full cross-join.  A bound is mandatory: either
+    ``candidates`` (a (doc_a, doc_b) pair table, e.g. ``lsh_near_duplicates``
+    output — the scale path: two equi-joins, no self-join) or ``id_limit``
+    (bounded all-pairs for small verification runs)."""
+    if candidates is None and id_limit is None:
+        raise ValueError(
+            "ngram_jaccard_pairs: unbounded all-pairs self-join refused — pass "
+            "candidates= (LSH pair table) or id_limit= (bounded baseline)"
+        )
     sh = docs.select(
         "doc_id", F.array_distinct(word_shingles(F.col(text_col), shingle_k)).alias("sh")
     )
-    if id_limit is not None:
-        sh = sh.filter(F.col("doc_id") < id_limit)
-    a, b = sh.alias("a"), sh.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    if candidates is not None:
+        scored = (
+            candidates.select("doc_a", "doc_b")
+            .join(sh.alias("a"), F.col("doc_a") == F.col("a.doc_id"))
+            .join(sh.alias("b"), F.col("doc_b") == F.col("b.doc_id"))
+        )
+    else:
+        sh = sh.filter(F.col("doc_id") < id_limit)
+        a, b = sh.alias("a"), sh.alias("b")
+        scored = a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
     return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
+        scored.select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             F.round(jac, 4).alias("jaccard"),

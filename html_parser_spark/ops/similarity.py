@@ -93,21 +93,28 @@ def lsh_bucketed_cosine(
 def embedding_near_duplicates(
     embeddings: DataFrame,
     threshold: float = 0.95,
-    n_planes: int = 0,
+    n_planes: int = 8,
     id_limit: int | None = None,
     vec_col: str = "embedding",
+    exact: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the last dedup family in the
     brief): pairs with cosine ≥ threshold.
 
-    ``n_planes > 0`` is the scale path: candidates must share a
-    random-hyperplane LSH bucket before the exact cosine — turns the O(n²)
-    self-join into a per-bucket join.  ``n_planes=0`` with ``id_limit`` is
-    the exact baseline for verification."""
+    The DEFAULT is the scale path: candidates must share a random-hyperplane
+    LSH bucket (``n_planes`` sign bits) before the exact cosine — a
+    per-bucket equi-join, O(Σ bucket²) not O(n²).  The all-pairs baseline is
+    an explicit opt-in (``exact=True``) so nobody points the O(n²) plan at a
+    full corpus by accident; it is for bounded verification runs only."""
     emb = embeddings
     if id_limit is not None:
         emb = emb.filter(F.col("vec_id") < id_limit)
-    if n_planes > 0:
+    if not exact and n_planes <= 0:
+        raise ValueError(
+            "embedding_near_duplicates: n_planes must be > 0 for the bucketed "
+            "path; pass exact=True (with a bounded input) for the O(n²) baseline"
+        )
+    if not exact:
         bucketed = emb.join(lsh_bucketed_cosine(emb, n_planes, vec_col), on="vec_id")
         a, b = bucketed.alias("a"), bucketed.alias("b")
         cond = (F.col("a.bucket") == F.col("b.bucket")) & (

@@ -175,25 +175,39 @@ def flip_dictionary_df(migrated: DataFrame) -> DataFrame:
 
 
 def order_violations_df(spellings: DataFrame, alphabet: list[str],
-                        spelling_col: str = "spelling", seq_col: str = "seq") -> DataFrame:
+                        spelling_col: str = "spelling", seq_col: str = "seq",
+                        partition_col: str | None = "dictionary_id") -> DataFrame:
     """postProcessor/index.ts:46-87 as a real window op: collation index via
-    a broadcast alphabet map, lag over the corpus order.
+    a broadcast alphabet map, lag over the per-dictionary order.
 
-    Scale note: a global Window.orderBy is a single-partition sort — correct
-    for per-dictionary validation (dictionaries are ~10^4 entries); at
-    corpus scale partition the window by dictionary id."""
+    The window partitions by ``partition_col`` BY DEFAULT so corpus-scale
+    input cannot hit a single-partition global sort.  A global ordered window
+    (per-dictionary validation of a ~10^4-row input only) requires an
+    explicit ``partition_col=None``; a missing partition column is an error,
+    not a silent fallback to the global sort."""
+    if partition_col is not None and partition_col not in spellings.columns:
+        raise ValueError(
+            f"order_violations_df: partition column {partition_col!r} not in "
+            f"input columns {spellings.columns}; pass partition_col=None to "
+            "force a single global sort (small per-dictionary input only)"
+        )
     amap = {letter: i for i, letter in enumerate(alphabet)}
     mapping = F.create_map(*[F.lit(x) for pair in amap.items() for x in pair])
     two = F.upper(F.substring(F.col(spelling_col), 1, 2))
     one = F.upper(F.substring(F.col(spelling_col), 1, 1))
     idx = F.coalesce(mapping[two], mapping[one], F.lit(-1))
-    w = Window.orderBy(seq_col)
+    if partition_col is not None:
+        w = Window.partitionBy(partition_col).orderBy(seq_col)
+    else:
+        w = Window.orderBy(seq_col)
     flagged = (
         spellings.withColumn("_idx", idx)
         .withColumn("_prev_idx", F.lag("_idx").over(w))
         .withColumn("_prev_spelling", F.lag(spelling_col).over(w))
     )
+    keys = [F.col(partition_col)] if partition_col is not None else []
     return flagged.select(
+        *keys,
         F.col(seq_col),
         F.col(spelling_col),
         F.col("_prev_spelling").alias("prev_spelling"),

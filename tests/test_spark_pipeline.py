@@ -99,8 +99,26 @@ def test_order_violations_window(spark):
     df = spark.createDataFrame(
         [(0, "АБА"), (1, "БАБ"), (2, "АХЪА"), (3, "QQQ")], "seq int, spelling string"
     )
-    out = {r.spelling: r.reason for r in order_violations_df(df, LEZGI_ALPHABET).collect()}
+    out = {
+        r.spelling: r.reason
+        for r in order_violations_df(df, LEZGI_ALPHABET, partition_col=None).collect()
+    }
     assert out == {"АХЪА": "out_of_order", "QQQ": "missing_letter"}
+    # corpus-scale default: partitioned window, per-dictionary lag
+    df2 = spark.createDataFrame(
+        [("d1", 0, "АБА"), ("d1", 1, "АХЪА"), ("d2", 0, "БАБ"), ("d2", 1, "АБА")],
+        "dictionary_id string, seq int, spelling string",
+    )
+    out2 = {
+        (r.dictionary_id, r.spelling): r.reason
+        for r in order_violations_df(df2, LEZGI_ALPHABET).collect()
+    }
+    assert out2 == {("d2", "АБА"): "out_of_order"}
+    # missing partition column must be a loud error, not a global sort
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="partition column"):
+        order_violations_df(df, LEZGI_ALPHABET)
 
 
 def test_checkpoint_resume(spark, tmp_path):
@@ -253,7 +271,9 @@ def test_embedding_near_dup_lsh_vs_exact(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     exact = {
         (r.vec_a, r.vec_b)
-        for r in embedding_near_duplicates(emb, threshold=0.3, id_limit=120).collect()
+        for r in embedding_near_duplicates(
+            emb, threshold=0.3, id_limit=120, exact=True
+        ).collect()
     }
     bucketed = {
         (r.vec_a, r.vec_b)
