@@ -92,15 +92,17 @@ def normalize_font_weight(value: str) -> str | None:
 def parse_declarations(block: str) -> dict[str, str]:
     out = {}
     for decl in block.split(";"):
-        if ":" not in decl:
+        prop, sep, val = decl.partition(":")
+        if not sep:
             continue
-        prop, _, val = decl.partition(":")
         prop = prop.strip().lower()
         val = val.strip()
-        if val.lower().endswith("!important"):
-            val = val[: -len("!important")].strip()
-        elif val.lower().endswith("! important"):
-            val = val[: -len("! important")].strip()
+        if "!" in val:  # "!important" suffix always carries a '!'
+            low = val.lower()
+            if low.endswith("!important"):
+                val = val[: -len("!important")].strip()
+            elif low.endswith("! important"):
+                val = val[: -len("! important")].strip()
         if prop:
             out[prop] = val
     return out
@@ -143,18 +145,28 @@ class StyleSheet:
             if brace == -1:
                 break
             selector = text[i:brace].strip()
-            # find matching close brace, tracking nesting
-            depth = 1
-            j = brace + 1
-            while j < n and depth:
-                c = text[j]
-                if c == "{":
-                    depth += 1
-                elif c == "}":
-                    depth -= 1
-                j += 1
-            body = text[brace + 1 : j - 1]
-            i = j
+            # find matching close brace; C-speed find for the (ubiquitous)
+            # non-nested case, per-char depth tracking only for @-blocks
+            close = text.find("}", brace + 1)
+            nested = text.find("{", brace + 1)
+            if close == -1:
+                body = text[brace + 1 : n - 1]  # unterminated: parity with
+                i = n                           # the depth-loop's j==n exit
+            elif nested == -1 or close < nested:
+                body = text[brace + 1 : close]
+                i = close + 1
+            else:
+                depth = 1
+                j = brace + 1
+                while j < n and depth:
+                    c = text[j]
+                    if c == "{":
+                        depth += 1
+                    elif c == "}":
+                        depth -= 1
+                    j += 1
+                body = text[brace + 1 : j - 1]
+                i = j
             if selector.startswith("@"):
                 continue  # @font-face/@page/@supports — irrelevant to probes
             decls = parse_declarations(body)
@@ -185,12 +197,32 @@ class StyleSheet:
                     self.by_tag.setdefault(tag, []).append(rule)
 
     def matching_rules(self, el: Node) -> list[Rule]:
-        cand: list[Rule] = []
+        cand = self.id_rules(el)
+        cand.extend(self.class_tag_rules(el))
+        cand.sort(key=lambda r: (r.specificity, r.order))
+        return cand
+
+    def id_rules(self, el: Node) -> list[Rule]:
+        """Rules whose selector carries an #id (specificity ≥ 100 — they
+        always cascade AFTER every class/tag rule, so applying them on top of
+        the class/tag base reproduces the full sorted cascade)."""
         elid = el.attrs.get("id")
-        if elid and elid in self.by_id:
-            for r in self.by_id[elid]:
-                if (r.tag is None or r.tag == el.tag) and self._cls_ok(r, el):
-                    cand.append(r)
+        if not elid:
+            return []
+        rules = self.by_id.get(elid)
+        if not rules:
+            return []
+        cand = [
+            r
+            for r in rules
+            if (r.tag is None or r.tag == el.tag) and self._cls_ok(r, el)
+        ]
+        if len(cand) > 1:
+            cand.sort(key=lambda r: (r.specificity, r.order))
+        return cand
+
+    def class_tag_rules(self, el: Node) -> list[Rule]:
+        cand: list[Rule] = []
         classes = el.class_list
         if self.quirks:
             classes = [c.lower() for c in classes]
@@ -237,6 +269,12 @@ class StyleResolver:
         for style_el in doc.query_selector_all("style"):
             self.sheet.add_css(style_el.text_content)
         self._memo: dict[int, dict[str, str]] = {}
+        # structural memo: computed style is a pure function of
+        # (inherited-style identity, tag, class, id, inline style) — generated
+        # HTML has millions of elements but only a handful of such shapes, so
+        # rule matching + cascade run once per shape, not once per element.
+        # (inherited dicts are kept alive by the memos, so id() keys are stable)
+        self._shape_memo: dict[tuple, dict[str, str]] = {}
 
     def computed(self, el: Node) -> dict[str, str]:
         key = id(el)
@@ -248,43 +286,61 @@ class StyleResolver:
             inherited = self.computed(parent)
         else:
             inherited = _ROOT_STYLE
-        style = {p: inherited[p] for p in INHERITED}
-        style["left"] = "auto"
-        style["bottom"] = "auto"
-        # UA defaults
-        if el.tag in _UA_BOLD:
-            style["font-weight"] = "700"
-        if el.tag in _UA_ITALIC:
-            style["font-style"] = "italic"
-        # author rules then inline style
-        decl_sets = [r.decls for r in self.sheet.matching_rules(el)]
-        inline = el.attrs.get("style")
-        if inline:
-            decl_sets.append(parse_declarations(inline))
-        for decls in decl_sets:
-            for prop, raw in decls.items():
-                if prop == "color":
-                    norm = normalize_color(raw)
-                    if norm:
-                        style["color"] = norm
-                elif prop == "font-weight":
-                    norm = normalize_font_weight(raw)
-                    if norm:
-                        style["font-weight"] = norm
-                elif prop == "font-style":
-                    v = raw.strip().lower()
-                    if v in ("italic", "oblique", "normal"):
-                        style["font-style"] = "italic" if v == "oblique" else v
-                elif prop in ("font-family", "font-size", "left", "bottom"):
-                    style[prop] = raw.strip()
-                elif prop == "font":  # shorthand — only flags we care about
-                    v = raw.lower()
-                    if "italic" in v:
-                        style["font-style"] = "italic"
-                    if "bold" in v:
-                        style["font-weight"] = "700"
+        attrs = el.attrs
+        inline = attrs.get("style")
+        # idrviewer/pdf2htmlEX give every span a unique #id position rule
+        # and/or inline style, so the shape key covers only the SHARED part of
+        # the cascade (UA defaults + class/tag rules).  #id rules have
+        # specificity ≥ 100 — they always sort after every class/tag rule —
+        # so applying them (then inline) on top of the memoized base yields
+        # exactly the fully-sorted cascade.
+        shape = (id(inherited), el.tag, attrs.get("class"))
+        base = self._shape_memo.get(shape)
+        if base is None:
+            base = {p: inherited[p] for p in INHERITED}
+            base["left"] = "auto"
+            base["bottom"] = "auto"
+            if el.tag in _UA_BOLD:
+                base["font-weight"] = "700"
+            if el.tag in _UA_ITALIC:
+                base["font-style"] = "italic"
+            for r in self.sheet.class_tag_rules(el):
+                self._apply_decls(base, r.decls)
+            self._shape_memo[shape] = base
+        style = base
+        id_rules = self.sheet.id_rules(el) if attrs.get("id") else ()
+        if id_rules or inline:
+            style = base.copy()
+            for r in id_rules:
+                self._apply_decls(style, r.decls)
+            if inline:
+                self._apply_decls(style, parse_declarations(inline))
         self._memo[key] = style
         return style
+
+    @staticmethod
+    def _apply_decls(style: dict[str, str], decls: dict[str, str]) -> None:
+        for prop, raw in decls.items():
+            if prop == "color":
+                norm = normalize_color(raw)
+                if norm:
+                    style["color"] = norm
+            elif prop == "font-weight":
+                norm = normalize_font_weight(raw)
+                if norm:
+                    style["font-weight"] = norm
+            elif prop == "font-style":
+                v = raw.strip().lower()
+                if v in ("italic", "oblique", "normal"):
+                    style["font-style"] = "italic" if v == "oblique" else v
+            elif prop in ("font-family", "font-size", "left", "bottom"):
+                style[prop] = raw.strip()
+            elif prop == "font":  # shorthand — only flags we care about
+                v = raw.lower()
+                if "italic" in v:
+                    style["font-style"] = "italic"
+                if "bold" in v:
+                    style["font-weight"] = "700"
 
     # JS-flavored accessors -------------------------------------------------
     def color(self, el: Node) -> str:

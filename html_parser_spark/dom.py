@@ -47,7 +47,13 @@ class Node:
 
     def __init__(self, tag=None, attrs=None, kind="element", text=""):
         self.tag = tag  # lowercase tag name for elements, None otherwise
-        self.attrs = dict(attrs) if attrs else {}
+        # accepts a dict (fast tokenizer path — already per-node, never shared)
+        # or an html.parser-style [(name, value)] list (last duplicate wins,
+        # matching the previous dict(list) behavior)
+        if attrs:
+            self.attrs = attrs if type(attrs) is dict else dict(attrs)
+        else:
+            self.attrs = {}
         self.children: list[Node] = []
         self.parent = None
         self._text = text  # payload for text/comment nodes
@@ -94,6 +100,11 @@ class Node:
     def text_content(self) -> str:
         if self.kind in ("text", "comment"):
             return self._text
+        ch = self.children
+        # leaf fast path: a single text child is the overwhelmingly common
+        # shape for the span/b/i runs the format kernels classify
+        if len(ch) == 1 and ch[0].kind == "text":
+            return ch[0]._text
         out = []
         stack = list(reversed(self.children))
         while stack:
@@ -135,14 +146,28 @@ class Node:
             else:
                 preds.append((part.lower(), None))
         out = []
-        for el in self.iter_elements():
-            for tag, cls in preds:
-                if tag and el.tag != tag:
-                    continue
-                if cls and cls not in el.class_list:
-                    continue
-                out.append(el)
-                break
+        stack = list(reversed(self.children))
+        single = preds[0] if len(preds) == 1 else None
+        while stack:
+            el = stack.pop()
+            if el.kind != "element":
+                continue
+            if single is not None:
+                tag, cls = single
+                if (tag is None or el.tag == tag) and (
+                    cls is None or cls in (el.attrs.get("class", "") or "").split()
+                ):
+                    out.append(el)
+            else:
+                for tag, cls in preds:
+                    if tag and el.tag != tag:
+                        continue
+                    if cls and cls not in el.class_list:
+                        continue
+                    out.append(el)
+                    break
+            if el.children:
+                stack.extend(reversed(el.children))
         return out
 
 
@@ -249,29 +274,94 @@ def _parse_attrs(s: str) -> list[tuple[str, str | None]]:
     return out
 
 
+# machine-generated HTML repeats a handful of attribute strings (class="af1",
+# class="af", …) across millions of elements — memoize raw string → attr dict
+# and hand each Node a .copy() (nodes mutate attrs: class demotion in P2/P4)
+_ATTRS_MEMO: dict[str, dict] = {}
+_ATTRS_MEMO_MAX = 8192
+
+# fast scan for the dominant shape: lowercase double-quoted name="value"
+# pairs, no entities — one C-speed fullmatch + one findall, no per-attr loop
+_SIMPLE_ATTRS_ALL = re.compile(r'(?:\s+[a-z][a-z0-9_:.-]*="[^"&]*")+\s*')
+_SIMPLE_ATTRS_PAIR = re.compile(r'([a-z][a-z0-9_:.-]*)="([^"]*)"')
+
+
+def _attrs_dict(s: str) -> dict:
+    if not s:
+        return {}
+    hit = _ATTRS_MEMO.get(s)
+    if hit is None:
+        if _SIMPLE_ATTRS_ALL.fullmatch(s):
+            hit = dict(_SIMPLE_ATTRS_PAIR.findall(s))
+        else:
+            hit = dict(_parse_attrs(s))
+        if len(_ATTRS_MEMO) < _ATTRS_MEMO_MAX:
+            _ATTRS_MEMO[s] = hit
+    return hit.copy()
+
+
+_EMPTY_ATTRS: dict = {}  # shared by text/comment nodes (never read or written)
+_NODE_NEW = Node.__new__
+
+
 def _fast_parse(text: str, builder: "_DomBuilder") -> bool:
-    """Drive the same handler surface as html.parser from a regex scan.
-    Returns False on markup the scanner can't handle (caller falls back)."""
+    """Single regex scan producing the same tree as the html.parser-driven
+    builder (byte-parity pinned by goldens + a differential test).  Node
+    construction and the open/close bookkeeping are inlined — this loop runs
+    once per token across every document the executor parses.
+
+    Text/comment nodes share one immutable attrs dict and a () children
+    tuple: no parser/format-kernel path reads either (kind is checked first
+    everywhere), and an accidental append would raise loudly rather than
+    corrupt shared state."""
     pos = 0
     n = len(text)
     find = _TOKEN_RE.search
+    stack = builder.stack
+    suspicious_search = _SUSPICIOUS_RE.search
     while pos < n:
         m = find(text, pos)
-        if m is None:
-            builder.handle_data_fast(text[pos:])
-            break
-        start = m.start()
+        start = m.start() if m is not None else n
         if start > pos:
-            builder.handle_data_fast(text[pos:start])
+            data = text[pos:start]
+            if "<" in data and suspicious_search(data):
+                builder.suspicious = True
+            if "&" in data:
+                data = _unescape(data)
+            parent = stack[-1]
+            node = _NODE_NEW(Node)
+            node.tag = None
+            node.attrs = _EMPTY_ATTRS
+            node.children = ()
+            node.parent = parent
+            node._text = data
+            node.kind = "text"
+            parent.children.append(node)
+        if m is None:
+            break
         pos = m.end()
         kind = m.lastgroup
         if kind in ("starttag", "attrs", "selfclose"):
             tag = m.group("starttag").lower()
-            attrs = _parse_attrs(m.group("attrs"))
-            if m.group("selfclose"):
-                builder.handle_startendtag(tag, attrs)
-            else:
-                builder.handle_starttag(tag, attrs)
+            attrs = _attrs_dict(m.group("attrs"))
+            selfclose = m.group("selfclose")
+            if not selfclose and tag in _P_CLOSERS:
+                # implicit </p> (handle_startendtag never p-closes — parity)
+                for i in range(len(stack) - 1, 0, -1):
+                    if stack[i].tag == "p":
+                        del stack[i:]
+                        break
+            parent = stack[-1]
+            node = _NODE_NEW(Node)
+            node.tag = tag
+            node.attrs = attrs
+            node.children = []
+            node.parent = parent
+            node._text = ""
+            node.kind = "element"
+            parent.children.append(node)
+            if not selfclose and tag not in VOID_ELEMENTS:
+                stack.append(node)
                 raw_close = _RAWTEXT_CLOSE.get(tag)
                 if raw_close is not None:
                     cm = raw_close.search(text, pos)
@@ -281,7 +371,12 @@ def _fast_parse(text: str, builder: "_DomBuilder") -> bool:
                     builder.handle_endtag(tag)
                     pos = cm.end() if cm else n
         elif kind == "endtag":
-            builder.handle_endtag(m.group("endtag").lower())
+            tag = m.group("endtag").lower()
+            for i in range(len(stack) - 1, 0, -1):
+                if stack[i].tag == tag:
+                    del stack[i:]
+                    break
+            # else: stray end tag, ignore (browser recovery)
         elif kind == "comment":
             builder.handle_comment(m.group("comment"))
         elif kind == "decl":

@@ -73,8 +73,8 @@ def _classify_line(line: list[Node]) -> dict:
     # P3 — anchor unwrap
     flat: list[Node] = []
     for el in aggregated:
-        if el.tag_name == "A":
-            flat.extend(el.child_nodes)
+        if el.tag == "a":  # tag is None for text/comment nodes
+            flat.extend(el.children)
         else:
             flat.append(el)
 
@@ -82,15 +82,16 @@ def _classify_line(line: list[Node]) -> dict:
     objs = []
     for i, el in enumerate(flat):
         text = el.text_content
-        if el.node_name == "#text" or len(js_trim(text)) == 0:
+        if el.kind == "text" or not js_trim(text):
             objs.append({"text": text, "type": "Plain"})
             continue
-        cn = el.class_name
+        cn = el.attrs.get("class", "")
         if cn == "af":
             objs.append({"spelling": text})
         elif cn == "a1":
             # italic: tag iff (trimmed [+ '.']) is a known abbreviation
-            tag_key = js_trim(text) if text.endswith(".") else js_trim(text) + "."
+            jt = js_trim(text)
+            tag_key = jt if text.endswith(".") else jt + "."
             if tag_key in TAGS:
                 objs.append({"text": text, "type": "Tag"})
             else:

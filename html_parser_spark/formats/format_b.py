@@ -27,6 +27,8 @@ Replicated JS quirks:
 
 from __future__ import annotations
 
+import re
+
 from html_parser_spark.css import StyleResolver
 from html_parser_spark.dom import Node, parse_html
 from html_parser_spark.jsstr import JS_WS_CHARS, js_trim
@@ -72,31 +74,36 @@ def serialize_styled_text(line_el: Node, styles: StyleResolver) -> str:
     return "".join(out)
 
 
+# candidate split points: a digit-or-JS-whitespace char directly before '.'
+_NEWDEF_RE = re.compile("[0-9" + JS_WS_CHARS + "](?=\\.)")
+
+
 def split_numbered_definitions(text: str) -> list[str]:
-    """P11 — parser.js:49-69, exact splitter semantics."""
+    """P11 — parser.js:49-69, exact splitter semantics.
+
+    Vectorized form of the reference's per-char loop: candidate positions
+    (``!isNaN(c) && text[i+1] === '.'``) come from one regex scan, and the
+    paren depth at each candidate is accumulated with C-speed ``str.count``
+    over the gaps (a candidate char is never itself a paren, so the depth at
+    the test equals the paren balance of the prefix, exactly as in the loop).
+    Differentially tested against the per-char reference port.
+    """
     definitions: list[str] = []
-    open_brackets = 0
-    curr = ""
+    depth = 0
+    prev = 0
     num_and_dot = 0
-    n = len(text)
-    for i in range(n):
-        c = text[i]
-        if c == "(":
-            open_brackets += 1
-        elif c == ")":
-            open_brackets -= 1
-        is_new_def = (
-            js_char_not_nan(c) and i + 1 < n and text[i + 1] == "." and open_brackets == 0
-        )
-        if is_new_def:
+    seg_start = 0
+    for m in _NEWDEF_RE.finditer(text):
+        i = m.start()
+        depth += text.count("(", prev, i) - text.count(")", prev, i)
+        prev = i
+        if depth == 0:
             num_and_dot += 1
-        if is_new_def and num_and_dot > 1:
-            definitions.append(js_trim(curr).replace("\n", " "))
-            curr = c
-        else:
-            curr += c
-    if curr:  # JS truthiness: '' falsy
-        definitions.append(js_trim(curr).replace("\n", " "))
+            if num_and_dot > 1:
+                definitions.append(js_trim(text[seg_start:i]).replace("\n", " "))
+                seg_start = i
+    if seg_start < len(text):  # JS truthiness: '' falsy
+        definitions.append(js_trim(text[seg_start:]).replace("\n", " "))
     return definitions
 
 

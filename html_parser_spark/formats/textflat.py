@@ -21,7 +21,7 @@ from __future__ import annotations
 import re
 
 from html_parser_spark.dom import Node, parse_html
-from html_parser_spark.jsstr import JS_WS_RE
+from html_parser_spark.jsstr import JS_NON_WS_RE
 
 _WS_RUN = re.compile(r"[\t\n\x0b\x0c\r ]+")
 # sub is a no-op unless the line carries a control-ws char or a double space —
@@ -79,11 +79,12 @@ def extract_text_doc(doc: Node) -> str:
     pieces: list[str] = []
     for p in doc.query_selector_all("p"):
         pieces.extend(inner_text(p).split("\n"))
-    kept = [s for s in pieces if JS_WS_RE.sub("", s)]  # .match(/[^\s]+/g) truthy
+    search = JS_NON_WS_RE.search
+    kept = [s for s in pieces if search(s)]  # .match(/[^\s]+/g) truthy
     if not kept:
         body = doc.query_selector_all("body")
         root = body[0] if body else doc
-        kept = [s for s in inner_text(root).split("\n") if JS_WS_RE.sub("", s)]
+        kept = [s for s in inner_text(root).split("\n") if search(s)]
     if not kept:
         return ""
     concat = "".join(kept)  # reduce((prev, curr) => prev + curr)

@@ -30,6 +30,9 @@ JS_WS_CHARS = (
 
 _JS_WS_CLASS = "[" + JS_WS_CHARS + "]"
 JS_WS_RE = re.compile(_JS_WS_CLASS)
+# "has any non-whitespace char" — the allocation-free truthiness probe for
+# JS `s.match(/[^\s]+/g)` (sub-to-empty-and-test builds a throwaway string)
+JS_NON_WS_RE = re.compile("[^" + JS_WS_CHARS + "]")
 _LEADING_WS_RE = re.compile("^" + _JS_WS_CLASS)
 _TRAILING_WS_RE = re.compile(_JS_WS_CLASS + "$")
 

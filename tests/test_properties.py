@@ -41,6 +41,51 @@ def test_split_numbered_definitions_reassembles(s):
     assert canon(joined) == canon(s) or joined == ""
 
 
+def _split_numbered_reference(text):
+    """The reference's per-char loop (parser.js:49-69), verbatim port — the
+    differential oracle for the vectorized splitter."""
+    from html_parser_spark.formats.format_b import js_char_not_nan
+
+    definitions = []
+    open_brackets = 0
+    curr = ""
+    num_and_dot = 0
+    n = len(text)
+    for i in range(n):
+        c = text[i]
+        if c == "(":
+            open_brackets += 1
+        elif c == ")":
+            open_brackets -= 1
+        is_new_def = (
+            js_char_not_nan(c) and i + 1 < n and text[i + 1] == "." and open_brackets == 0
+        )
+        if is_new_def:
+            num_and_dot += 1
+        if is_new_def and num_and_dot > 1:
+            definitions.append(js_trim(curr).replace("\n", " "))
+            curr = c
+        else:
+            curr += c
+    if curr:
+        definitions.append(js_trim(curr).replace("\n", " "))
+    return definitions
+
+
+@given(
+    st.text(
+        alphabet=st.characters(
+            whitelist_categories=("Lu", "Ll", "Nd", "Zs", "Po", "Ps", "Pe"),
+            whitelist_characters="().\n\t 0123456789\xa0﻿",
+        ),
+        max_size=300,
+    )
+)
+@settings(max_examples=400, deadline=None)
+def test_split_numbered_definitions_differential(s):
+    assert split_numbered_definitions(s) == _split_numbered_reference(s)
+
+
 @given(text_strategy)
 @settings(max_examples=200, deadline=None)
 def test_extract_tags_total(s):
