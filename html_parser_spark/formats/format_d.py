@@ -1,16 +1,26 @@
-"""Format D — pdf2htmlEX two-column pages (WIP in the reference too).
+"""Format D — pdf2htmlEX dictionary/phrasebook pages.
 
 The reference's only format-D code is the column-split prototype
 ``rus-lez-phrasebook/index.ts:1-36`` (P19): partition each line's child
 elements into left/right columns at an x-threshold, scanning pages inside
-``#page-container``.  We reproduce that surface browser-free: ``x*`` class
-rules (pdf2htmlEX emits ``.x12{left:...px}``) give each element's x.
+``#page-container``.  ``parse_format_d`` reproduces that surface browser-free
+(``x*`` class rules give each element's x).
 
-Output mirrors the prototype: per page, a list of (left_column_text,
-right_column_text) line pairs — the phrasebook's src/trl halves.
+``parse_format_d_entries`` EXCEEDS that prototype (the reference never got
+further): it pairs each line into a (src, trl) dictionary entry using
+pdf2htmlEX's class-token encoding directly — ``ff*``/``fc*`` tokens carry
+font/color per run, nested spans override only the tokens they list, and the
+headword run style is detected per document as the most frequent line-leading
+color class that differs from the dominant body color.  Lines led by body
+color merge into the previous entry's translation (continuation lines).
+Works on style-stripped "cleanup" exports too (no CSS needed — the tokens
+themselves are the signal).
 """
 
 from __future__ import annotations
+
+import re
+from collections import Counter
 
 from html_parser_spark.css import StyleResolver
 from html_parser_spark.dom import Node, parse_html
@@ -56,3 +66,104 @@ def parse_format_d_doc(doc: Node, threshold: float = 843.0) -> list[dict]:
             }
         )
     return out
+
+
+# --- real entry pairing (beyond the reference prototype) -------------------
+
+_WS_COLLAPSE = re.compile(r"\s+")
+
+
+def _line_runs(div: Node, base_ff: str | None, base_fc: str | None) -> list[tuple]:
+    """Flatten a line div into (text, ff, fc) runs.  pdf2htmlEX nests spans
+    whose class tokens override ONLY the font/color they carry; kerning
+    spacers (``<span class="_ _1">``) are empty and contribute nothing."""
+    runs: list[tuple] = []
+
+    def walk(n: Node, ff, fc):
+        if n.kind == "text":
+            if n._text:
+                runs.append((n._text, ff, fc))
+            return
+        if n.kind != "element":
+            return
+        cls = n.attrs.get("class")
+        if cls:
+            for c in cls.split():
+                if c.startswith("ff"):
+                    ff = c
+                elif c.startswith("fc"):
+                    fc = c
+        for ch in n.children:
+            walk(ch, ff, fc)
+
+    for ch in div.children:
+        walk(ch, base_ff, base_fc)
+    return runs
+
+
+def _div_tokens(div: Node) -> tuple[str | None, str | None]:
+    ff = fc = None
+    cls = div.attrs.get("class", "")
+    for c in cls.split():
+        if c.startswith("ff"):
+            ff = c
+        elif c.startswith("fc"):
+            fc = c
+    return ff, fc
+
+
+def parse_format_d_entries(doc: Node) -> list[dict]:
+    """Line divs → [(src, trl)] dictionary entries.
+
+    1. Collect ``div.t`` line divs in document order (pages are ``div#pf*``).
+    2. Dominant body color = the fc token covering the most text characters.
+    3. A line whose first non-space run carries a different fc starts an
+       entry: src = the leading same-colored runs, trl = the rest of the
+       line.  Body-colored lines append to the open entry's trl.
+    """
+    line_divs = [
+        d for d in doc.query_selector_all("div.t")
+        if len(js_trim(d.text_content)) > 1  # prototype's innerText filter
+    ]
+    if not line_divs:
+        return []
+    lines = []
+    color_chars: Counter = Counter()
+    for d in line_divs:
+        ff, fc = _div_tokens(d)
+        runs = _line_runs(d, ff, fc)
+        lines.append(runs)
+        for txt, _ff, rfc in runs:
+            stripped = js_trim(txt)
+            if stripped and rfc:
+                color_chars[rfc] += len(stripped)
+    if not color_chars:
+        return []
+    body_fc = color_chars.most_common(1)[0][0]
+
+    entries: list[dict] = []
+    cur: dict | None = None
+    for runs in lines:
+        lead = next((r for r in runs if js_trim(r[0])), None)
+        if lead is None:
+            continue
+        lead_fc = lead[2]
+        if lead_fc is not None and lead_fc != body_fc:
+            src_parts: list[str] = []
+            trl_parts: list[str] = []
+            taking = True
+            for txt, _ff, fc in runs:
+                if taking and (fc == lead_fc or not js_trim(txt)):
+                    src_parts.append(txt)
+                else:
+                    taking = False
+                    trl_parts.append(txt)
+            cur = {"src": js_trim("".join(src_parts)), "trl": "".join(trl_parts)}
+            entries.append(cur)
+        elif cur is not None:
+            cur["trl"] += "".join(r[0] for r in runs)
+    for e in entries:
+        e["trl"] = js_trim(_WS_COLLAPSE.sub(" ", e["trl"]))
+    # running headers/watermarks lead with a non-body color too but pair with
+    # no translation — drop them (a real headword always carries a trl)
+    return [e for e in entries if e["src"] and e["trl"]]

@@ -29,7 +29,10 @@ from html_parser_spark.formats.detect import (
 from html_parser_spark.formats.format_a import parse_format_a_doc
 from html_parser_spark.formats.format_b import parse_format_b_doc
 from html_parser_spark.formats.format_c import parse_format_c_doc, refine
-from html_parser_spark.formats.format_d import parse_format_d_doc
+from html_parser_spark.formats.format_d import (
+    parse_format_d_doc,
+    parse_format_d_entries,
+)
 from html_parser_spark.formats.textflat import extract_text_doc
 
 
@@ -62,9 +65,12 @@ def parse_document(html_bytes: bytes) -> dict:
         elif fmt == FORMAT_C:
             entries = _normalize(fmt, refine(parse_format_c_doc(doc)))
         elif fmt == FORMAT_D:
-            pairs = parse_format_d_doc(doc)
+            # real (src, trl) entry pairing — exceeds the reference's 35-line
+            # column-split prototype (rus-lez-phrasebook/index.ts:1-36),
+            # which survives as parse_format_d_doc for P19 parity
+            pairs = parse_format_d_entries(doc)
             entries = [
-                {"spelling": p["left"], "inflection": None, "definitions": [p["right"]]}
+                {"spelling": p["src"], "inflection": None, "definitions": [p["trl"]]}
                 for p in pairs
             ]
         else:

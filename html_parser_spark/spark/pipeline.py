@@ -43,8 +43,25 @@ def parse_html_udf(html: pd.Series) -> pd.DataFrame:
     # import inside the UDF so executors resolve the package from --py-files
     from html_parser_spark.kernel import parse_document
 
-    rows = [parse_document(b if b is not None else b"") for b in html]
-    return pd.DataFrame(rows)
+    # column-wise assembly (no per-row dict scan in pd.DataFrame inference)
+    fmts, texts, entries, n_entries, errors = [], [], [], [], []
+    for b in html:
+        r = parse_document(b if b is not None else b"")
+        fmts.append(r["fmt"])
+        texts.append(r["extracted_text"])
+        entries.append(r["entries"])
+        n_entries.append(r["n_entries"])
+        errors.append(r["error"])
+    return pd.DataFrame(
+        {
+            "fmt": fmts,
+            "extracted_text": texts,
+            "entries": entries,
+            "n_entries": n_entries,
+            "error": errors,
+        },
+        copy=False,
+    )
 
 
 def salted_repartition(df: DataFrame, num_partitions: int) -> DataFrame:

@@ -414,4 +414,4 @@ def test_reference_executed_differential():
         cwd="/root/repo",
     )
     assert r.returncode == 0, r.stdout + r.stderr
-    assert r.stdout.count("EXACT MATCH") == 12, r.stdout  # mappers + chains + exports + quality
+    assert r.stdout.count("EXACT MATCH") == 13, r.stdout  # mappers + chains + flipper + exports + quality

@@ -304,3 +304,43 @@ def test_fixture_detection():
     ]
     for parts, want in cases:
         assert detect_format(decode_html_bytes(read_fixture(*parts))) == want
+
+
+# --- format D entry pairing (beyond the reference prototype) ---------------
+
+
+def test_d_entry_pairing_synthetic():
+    """pdf2htmlEX class-token pairing: headword color leads an entry, body
+    color continues the previous entry's translation; watermark lines (no
+    translation) are dropped."""
+    from html_parser_spark.dom import parse_html
+    from html_parser_spark.formats.format_d import parse_format_d_entries
+
+    html = """<!doctype html><html><body><div id="page-container">
+    <div id="pf1" class="pf w0 h0"><div class="pc">
+      <div class="t m0 x1 y1 ff1 fs0 fc1 ws1">watermark.example.com </div>
+      <div class="t m0 x1 y2 ff7 fs0 fc2">WORD<span class="ff1 fc0"> n. a thing; </span></div>
+      <div class="t m0 x1 y3 ff8 fs0 fc0">continued text. </div>
+      <div class="t m0 x1 y4 ff7 fs0 fc2">SECOND<span class="ff1 fc0"> v. to do stuff that is long enough to dominate the color histogram as body text. </span></div>
+    </div></div></div></body></html>"""
+    entries = parse_format_d_entries(parse_html(html))
+    assert [(e["src"], e["trl"]) for e in entries] == [
+        ("WORD", "n. a thing; continued text."),
+        ("SECOND", "v. to do stuff that is long enough to dominate the color histogram as body text."),
+    ]
+
+
+def test_d_entry_pairing_fixture():
+    """Pinned counts + spot entries on the lez-eng dictionary fixture."""
+    from html_parser_spark.dom import parse_html
+    from html_parser_spark.formats.format_d import parse_format_d_entries
+
+    raw = read_fixture("lez-eng", "dictionary", "Lezgi-English-Dictionary_cleanup_1-15p.html")
+    entries = parse_format_d_entries(parse_html(decode_html_bytes(raw)))
+    assert len(entries) == 506  # pinned: 512 headword lines - 6 watermark pairs
+    by_src = {e["src"]: e["trl"] for e in entries}
+    assert by_src["А"].startswith("pron. that; such; those")
+    assert by_src["АБА"].startswith("n. robe; bathrobe")
+    # continuation-line merge: АБА's translation spills onto the next line
+    assert "lounging around the house" in by_src["АБА"]
+    assert all(e["src"] and e["trl"] for e in entries)

@@ -716,6 +716,100 @@ function writeCsvFile(p, data) {}
     return out
 
 
+# --- flipper differential (M11 counters) -----------------------------------
+# flipper.ts's sink is commented out and its grouping mutates aliased details
+# arrays ({...exp} shallow copy at :100), so a byte-diff target doesn't exist;
+# the four console.log counters plus the grouped-key count (key set is
+# unaffected by the aliasing) ARE well-defined — compare those.
+
+_FLIPPER_EXACT = [
+    (
+        "const dictionary = (v2dict as DictionaryV2).expressions as ExpressionV2[];",
+        "const v2dict = JSON.parse(fs.readFileSync(process.argv[2], 'utf8'));\n"
+        "const dictionary = v2dict.expressions;",
+    ),
+    ("const flippedExpression: ExpressionV2 = {", "const flippedExpression = {"),
+    (
+        "const singleWordFilter = (def: string): boolean =>",
+        "const singleWordFilter = (def) =>",
+    ),
+    (
+        "const groupedExpressionsList: ExpressionV2[] = Object.values(groupedByExpressionSpelling);",
+        "const groupedExpressionsList = Object.values(groupedByExpressionSpelling);",
+    ),
+]
+
+
+def build_flipper_js(tmpdir: str) -> str:
+    with open(os.path.join(REF, "tags.ts"), encoding="utf-8") as f:
+        tags_src = f.read().replace("export default {", "const tags = {")
+    with open(os.path.join(REF, "v2migration", "engine", "index.ts"), encoding="utf-8") as f:
+        engine_js = _strip(f.read(), _EXACT)
+    with open(os.path.join(REF, "v2flipper", "flipper.ts"), encoding="utf-8") as f:
+        body = _strip(f.read(), _EXACT + _FLIPPER_EXACT)
+    live = "\n".join(
+        ln for ln in body.splitlines() if not ln.lstrip().startswith("//")
+    )
+    for leftover in (": ExpressionV2", ": DictionaryV2", ": boolean"):
+        assert leftover not in live, f"unstripped annotation in flipper: {leftover}"
+    out = os.path.join(tmpdir, "ref_flipper.cjs")
+    with open(out, "w", encoding="utf-8") as f:
+        f.write("const fs = require('fs');\nconst path = require('path');\n")
+        f.write("function writeJSONFile(p, data) {}\n")
+        f.write(tags_src + "\n")
+        f.write(engine_js + "\n")
+        f.write(body + "\n")
+        # harness-added counter over a reference-defined variable: the key
+        # set of the grouping is well-defined even with the aliasing bug
+        f.write(
+            "console.log('Amount of grouped flipped expressions:', "
+            "groupedExpressionsList.length);\n"
+        )
+    return out
+
+
+def run_flipper(tmpdir: str, clean_bab: list) -> bool:
+    """Counter differential: reference flipper.ts (executed under node) vs
+    engine.flipper.flip_expressions on the SAME stage-01 babakhanov V2."""
+    from html_parser_spark.engine.flipper import flip_expressions
+
+    inp = os.path.join(tmpdir, "flipper_in.json")
+    with open(inp, "w", encoding="utf-8") as f:
+        json.dump({"name": "lez_rus_babakhanov", "expressions": clean_bab}, f,
+                  ensure_ascii=False)
+    js = build_flipper_js(tmpdir)
+    r = subprocess.run(["node", js, inp], capture_output=True, text=True, timeout=300)
+    if r.returncode != 0:
+        print("NODE flipper FAILED:\n" + r.stderr[-1200:])
+        return False
+    ref = {}
+    for line in r.stdout.splitlines():
+        m = re.match(r"(.+):\s+(\d+)$", line.strip())
+        if m:
+            ref[m.group(1).strip()] = int(m.group(2))
+    grouped, counters = flip_expressions(clean_bab, include_single_words=False)
+    pairs = [
+        ("Amount of tags that are parsed as definitions [TO BE FIXED]",
+         counters["tag_as_definition"]),
+        ("Amount of single word definitions", counters["single_word_definitions"]),
+        ("Amount of comma separated definitions",
+         counters["comma_separated_definitions"]),
+        ("Amount of splitted comma separated definitions",
+         counters["split_comma_separated_definitions"]),
+        ("Amount of grouped flipped expressions", len(grouped)),
+    ]
+    ok = True
+    for key, mine in pairs:
+        got = ref.get(key)
+        status = "==" if got == mine else "MISMATCH"
+        if got != mine:
+            ok = False
+        print(f"DIFFERENTIAL flipper counter [{key}]: ref {got} vs mine {mine} {status}")
+    if ok:
+        print(f"DIFFERENTIAL flipper(M11): EXACT MATCH — all {len(pairs)} counters")
+    return ok
+
+
 def run_pp_chain(tmpdir: str, mapper_outputs: dict):
     """Execute 01 (per dictionary), 02, 03 with the reference flow and diff
     the final V2.1 expressions against our Python chain."""
@@ -754,7 +848,7 @@ def run_pp_chain(tmpdir: str, mapper_outputs: dict):
                            capture_output=True, text=True, timeout=300, env=env)
         if r.returncode != 0:
             print(f"NODE 01 FAILED ({mapper}):\n" + r.stderr[-1200:])
-            return False
+            return False, {}, None
         with open(os.path.join(env_out, names[mapper]), encoding="utf-8") as f:
             clean[mapper] = json.load(f)["expressions"]
 
@@ -767,7 +861,7 @@ def run_pp_chain(tmpdir: str, mapper_outputs: dict):
                        timeout=300, env=env)
     if r.returncode != 0:
         print("NODE 02 FAILED:\n" + r.stderr[-1200:])
-        return False
+        return False, {}, None
     extracted = dict(clean)
     for mapper in ("rus_lez_hajiyev", "tab_rus"):
         with open(os.path.join(env_out, names[mapper]), encoding="utf-8") as f:
@@ -783,7 +877,7 @@ def run_pp_chain(tmpdir: str, mapper_outputs: dict):
                        timeout=300, env=env)
     if r.returncode != 0:
         print("NODE 03 FAILED:\n" + r.stderr[-1200:])
-        return False
+        return False, {}, None
     final_names = {
         "lez_rus_babakhanov": "lezgi_rus_dict_babakhanov_v2_1.json",
         "rus_lez_hajiyev": "rus_lezgi_dict_hajiyev_v2_1.json",
@@ -814,7 +908,7 @@ def run_pp_chain(tmpdir: str, mapper_outputs: dict):
                     print("REF :", json.dumps(x, ensure_ascii=False)[:350])
                     print("MINE:", json.dumps(y, ensure_ascii=False)[:350])
                     shown += 1
-    return ok, ref_finals
+    return ok, ref_finals, clean["lez_rus_babakhanov"]
 
 
 def main():
@@ -826,8 +920,10 @@ def main():
         ok = ok and good
         with open(os.path.join(tmpdir, f"ref_out_{mapper}.json"), encoding="utf-8") as f:
             mapper_outputs[mapper] = json.load(f)
-    chain_ok, ref_finals = run_pp_chain(tmpdir, mapper_outputs)
+    chain_ok, ref_finals, clean_bab = run_pp_chain(tmpdir, mapper_outputs)
     ok = chain_ok and ok
+    if clean_bab is not None:
+        ok = run_flipper(tmpdir, clean_bab) and ok
     if ref_finals:
         ok = run_corpus(tmpdir, ref_finals) and ok
         ok = run_training(tmpdir, _null_filtered(ref_finals)) and ok
