@@ -137,6 +137,16 @@ def test_checkpoint_resume(spark, tmp_path):
     assert m3["docs"] == 0
     lineage = ck.lineage()
     assert lineage.agg(F.sum("url_count")).collect()[0][0] == 40
+    # the resume anti-join (the MERGE NOT-MATCHED analog) must broadcast the
+    # small done-set instead of shuffling the full pages table: assert on the
+    # optimized plan of exactly the join CheckpointedExtraction.run builds
+    done = ck.done_urls()
+    plan = (
+        pages.join(done, on="url", how="left_anti")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
     pages.unpersist()
 
 
