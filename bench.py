@@ -229,6 +229,11 @@ def main():
         "sf": SF,
         "docs": n_docs,
         "docs_per_sec": round(thr_hi, 1),
+        # cross-round comparability: the headline runs at SCALE_HI cores,
+        # which round 2 moved 16 → 8 (see BENCH/BASELINE.md); per-core rate
+        # is the number comparable across configurations
+        "headline_cores": SCALE_HI,
+        "docs_per_sec_per_core": round(thr_hi / SCALE_HI, 1),
         "queries": queries,
     }
     if scaling:
