@@ -23,6 +23,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 COPIES = int(os.environ.get("SPARK_GRAFT_BENCH_COPIES", "16"))
 DO_SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
+# total wall-clock budget; the adaptive scaling sweeps stop adding rounds
+# when exceeded so a driver-side timeout can never lose the whole record
+BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "840"))
+_T_START = time.time()
 # N→4N pair for the scaling evidence.  Kept WELL INSIDE the physical-core
 # budget: this box advertises 32 CPUs but is a co-tenant VM — per-thread
 # throughput degrades as occupancy grows (SMT + turbo + 0.5-4 cores of
@@ -189,7 +193,8 @@ def main():
             wall_s_lo = min(wall_s_lo, w)
             sweeps += 1
             eff_now = ((n_docs / wall_hi) / (n_docs / wall_s_lo)) / (SCALE_HI / SCALE_LO)
-            if sweeps >= 2 and (eff_now >= 0.8 or sweeps >= 3):
+            over_budget = time.time() - _T_START > BUDGET_SEC
+            if sweeps >= 2 and (eff_now >= 0.8 or sweeps >= 3) or over_budget:
                 break
             time.sleep(10)
             w, _, s = run_extraction(SCALE_HI)
@@ -318,8 +323,9 @@ def cpu_capacity_calibration(lo: int, hi: int) -> float:
                 best = min(best, time.time() - t0)
         return best
 
+    rounds = 1 if time.time() - _T_START > BUDGET_SEC else 3
     t_hi = t_lo = float("inf")
-    for _ in range(3):  # interleaved sweeps, per-level minima (steal bursts)
+    for _ in range(rounds):  # interleaved sweeps, per-level minima (steal bursts)
         t_hi = min(t_hi, measure(hi))
         t_lo = min(t_lo, measure(lo))
     _CAL_PAGES = []
