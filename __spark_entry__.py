@@ -485,6 +485,22 @@ def q_hypertable_rollup(spark, sf_dir):
     return daily
 
 
+def q_extract_text_rich(spark, sf_dir):
+    """The extraction kernel over MULTI-paragraph pages (3 entry blocks per
+    page): the oracle reconstructs the innerText flatten symbolically with
+    per-line collapse+trim then block repetition — a stronger cross-engine
+    check of line handling than the single-block q_extract_text."""
+    _ship_package(spark)
+    from html_parser_spark.data.pages import synthetic_pages_df
+    from html_parser_spark.spark.pipeline import extract_pages
+
+    pages = synthetic_pages_df(spark, sf_dir, paragraphs=3)
+    res = extract_pages(pages)
+    return res.select(
+        "url", "fmt", "n_entries", F.col("extracted_text").alias("extracted_text")
+    )
+
+
 def q_extract_entries(spark, sf_dir):
     """Entry-struct check over the synthetic extraction: headword + counts."""
     _ship_package(spark)
@@ -554,6 +570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_string_battery": q_string_battery,
         "q_date_battery": q_date_battery,
         "q_extract_text": q_extract_text,
+        "q_extract_text_rich": q_extract_text_rich,
         "q_extract_entries": q_extract_entries,
         "q_migrate_v21": q_migrate_v21,
     }
@@ -1001,5 +1018,26 @@ def oracle_sql() -> dict[str, str]:
                      '♦ ' || substr(text, 1, 80) || ' перен. ' || substr(text, 81, 200),
                      ' {2,}', ' ', 'g')) AS extracted_text
             FROM documents
+        """,
+        "q_extract_text_rich": """
+            -- 3-block pages: per-line collapse+trim (textflat's inner_text
+            -- line processing), blocks concatenated with no separator, final
+            -- 2+-whitespace collapse (the reduce+replaceAll of P20)
+            WITH base AS (
+              SELECT doc_id, lang,
+                trim(regexp_replace(
+                  'DOC' || doc_id || ' сущ. ' || substr(text, 1, 2000),
+                  '\\s+', ' ', 'g')) AS l1,
+                trim(regexp_replace(
+                  '♦ ' || substr(text, 1, 80) || ' перен. ' || substr(text, 81, 200),
+                  '\\s+', ' ', 'g')) AS l2
+              FROM documents
+            )
+            SELECT 'https://synth.example/' || lang || '/' || doc_id || '-0.html' AS url,
+                   'A' AS fmt,
+                   3 AS n_entries,
+                   regexp_replace(repeat(l1 || l2, 3), '\\s{2,}', ' ', 'g')
+                     AS extracted_text
+            FROM base
         """,
     }
