@@ -342,9 +342,11 @@ def _fast_parse(text: str, builder: "_DomBuilder") -> bool:
         pos = m.end()
         kind = m.lastgroup
         if kind in ("starttag", "attrs", "selfclose"):
-            tag = m.group("starttag").lower()
-            attrs = _attrs_dict(m.group("attrs"))
-            selfclose = m.group("selfclose")
+            # positional groups (1=comment 2=decl 3=pi 4=endtag 5=starttag
+            # 6=attrs 7=selfclose): no per-token name->index dict lookups
+            tag = m.group(5).lower()
+            attrs = _attrs_dict(m.group(6))
+            selfclose = m.group(7)
             if not selfclose and tag in _P_CLOSERS:
                 # implicit </p> (handle_startendtag never p-closes — parity)
                 for i in range(len(stack) - 1, 0, -1):
@@ -371,16 +373,16 @@ def _fast_parse(text: str, builder: "_DomBuilder") -> bool:
                     builder.handle_endtag(tag)
                     pos = cm.end() if cm else n
         elif kind == "endtag":
-            tag = m.group("endtag").lower()
+            tag = m.group(4).lower()
             for i in range(len(stack) - 1, 0, -1):
                 if stack[i].tag == tag:
                     del stack[i:]
                     break
             # else: stray end tag, ignore (browser recovery)
         elif kind == "comment":
-            builder.handle_comment(m.group("comment"))
+            builder.handle_comment(m.group(1))
         elif kind == "decl":
-            builder.handle_decl(m.group("decl"))
+            builder.handle_decl(m.group(2))
         # processing instructions: ignored (html.parser emits handle_pi; the
         # DOM builder has no handler for them either)
     return True

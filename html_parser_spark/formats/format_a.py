@@ -78,47 +78,38 @@ def _classify_line(line: list[Node]) -> dict:
         else:
             flat.append(el)
 
-    # P4/P5 — classify runs
-    objs = []
+    # P4/P5 classify + P6 fold, fused into one pass.  The intermediate objs
+    # list of the reference is observationally equivalent to folding inline:
+    # an af/aff0 run that survives the emptiness gate always has truthy text
+    # (js_trim(text) non-empty ⇒ text non-empty), so {spelling}/{inflection}
+    # objects always take their fold branch, and the Example+inflection
+    # repair branch (index.ts:123-132) tests obj.inflection on an Example
+    # object — always undefined — so it is dead code in the reference too.
+    acc: dict = {"definitions": []}
+    defs = acc["definitions"]
     for i, el in enumerate(flat):
         text = el.text_content
         if el.kind == "text" or not js_trim(text):
-            objs.append({"text": text, "type": "Plain"})
+            defs.append({"text": text, "type": "Plain"})
             continue
         cn = el.attrs.get("class", "")
         if cn == "af":
-            objs.append({"spelling": text})
+            acc["spelling"] = text
         elif cn == "a1":
             # italic: tag iff (trimmed [+ '.']) is a known abbreviation
             jt = js_trim(text)
             tag_key = jt if text.endswith(".") else jt + "."
             if tag_key in TAGS:
-                objs.append({"text": text, "type": "Tag"})
+                defs.append({"text": text, "type": "Tag"})
             else:
-                objs.append({"text": text, "type": "Plain"})
+                defs.append({"text": text, "type": "Plain"})
         elif cn == "aff0":
             if _is_inflection(line, i, el):
-                objs.append({"inflection": text})
+                acc["inflection"] = text
             else:
-                objs.append({"text": text, "type": "Example"})
+                defs.append({"text": text, "type": "Example"})
         else:
-            objs.append({"text": text, "type": "Plain"})
-
-    # P6 — fold runs into one line object
-    acc: dict = {"definitions": []}
-    for obj in objs:
-        if truthy(obj.get("spelling")):
-            acc["spelling"] = obj["spelling"]
-        elif truthy(obj.get("inflection")):
-            acc["inflection"] = obj["inflection"]
-        elif (
-            obj.get("type") == "Example"
-            and truthy(obj.get("inflection"))  # dead in practice (ref bug, kept)
-            and len(acc["definitions"]) == 0
-        ):
-            acc["inflection"] = acc.get("inflection", "") + obj["text"]
-        else:
-            acc["definitions"].append(obj)
+            defs.append({"text": text, "type": "Plain"})
     return acc
 
 
@@ -128,12 +119,15 @@ def parse_lines(html_text: str) -> list[dict]:
     return parse_lines_doc(parse_html(html_text))
 
 
-def parse_lines_doc(doc: Node) -> list[dict]:
+def parse_lines_doc(doc: Node, line_elements: list[Node] | None = None) -> list[dict]:
     """P1-P7 over an already-parsed DOM.  NB MUTATES the tree (P2 coalescing
     assigns textContent; P4 demotes af classes) — run read-only passes like
-    extract_text first."""
+    extract_text first.  ``line_elements`` lets the caller reuse one
+    traversal (must be the ``p.af1`` elements in document order)."""
     entries: list[dict] = []
-    for p in doc.query_selector_all("p.af1"):
+    for p in (
+        line_elements if line_elements is not None else doc.query_selector_all("p.af1")
+    ):
         line = list(p.child_nodes)
         if not line:
             # an empty <p class=af1></p> would throw in the reference; none
@@ -201,6 +195,6 @@ def parse_format_a(html_text: str) -> list[dict]:
     return post_process(parse_lines(html_text))
 
 
-def parse_format_a_doc(doc: Node) -> list[dict]:
+def parse_format_a_doc(doc: Node, line_elements: list[Node] | None = None) -> list[dict]:
     """Same, over a shared parsed DOM (mutating — see parse_lines_doc)."""
-    return post_process(parse_lines_doc(doc))
+    return post_process(parse_lines_doc(doc, line_elements))

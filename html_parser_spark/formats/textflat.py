@@ -73,11 +73,12 @@ def extract_text(html_text: str) -> str:
     return extract_text_doc(parse_html(html_text))
 
 
-def extract_text_doc(doc: Node) -> str:
+def extract_text_doc(doc: Node, p_elements: list[Node] | None = None) -> str:
     """P20 over an already-parsed DOM (read-only — safe to run before the
-    mutating format-A pass when the tree is shared)."""
+    mutating format-A pass when the tree is shared).  ``p_elements`` lets the
+    caller reuse one document traversal across extract + format scans."""
     pieces: list[str] = []
-    for p in doc.query_selector_all("p"):
+    for p in (p_elements if p_elements is not None else doc.query_selector_all("p")):
         pieces.extend(inner_text(p).split("\n"))
     search = JS_NON_WS_RE.search
     kept = [s for s in pieces if search(s)]  # .match(/[^\s]+/g) truthy

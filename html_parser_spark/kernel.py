@@ -57,10 +57,24 @@ def parse_document(html_bytes: bytes) -> dict:
         # (parsing dominates the profile; the format-A pass mutates the tree,
         # so the read-only extract_text runs first)
         doc = parse_html(text)
-        extracted = extract_text_doc(doc)
         if fmt == FORMAT_A:
-            entries = _normalize(fmt, parse_format_a_doc(doc))
-        elif fmt == FORMAT_B:
+            # one traversal shared by the (read-only) text flatten and the
+            # (mutating, run second) format-A line scan
+            ps = doc.query_selector_all("p")
+            extracted = extract_text_doc(doc, ps)
+            af1 = [
+                p for p in ps if "af1" in (p.attrs.get("class") or "").split()
+            ]
+            entries = _normalize(fmt, parse_format_a_doc(doc, af1))
+            return {
+                "fmt": fmt,
+                "extracted_text": extracted,
+                "entries": entries,
+                "n_entries": len(entries),
+                "error": None,
+            }
+        extracted = extract_text_doc(doc)
+        if fmt == FORMAT_B:
             entries = _normalize(fmt, parse_format_b_doc(doc))
         elif fmt == FORMAT_C:
             entries = _normalize(fmt, refine(parse_format_c_doc(doc)))
