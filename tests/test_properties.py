@@ -125,3 +125,28 @@ def test_html_round_trip_structure(paras):
     assert res["error"] is None
     # every paragraph carries a non-empty headword → one entry each
     assert res["n_entries"] == len(paras)
+
+
+_PF_DOC = st.lists(
+    st.tuples(
+        st.sampled_from(["fc0", "fc1", "fc2"]),
+        st.text(alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd", "Zs")), max_size=40),
+    ),
+    max_size=30,
+)
+
+
+@given(_PF_DOC)
+@settings(max_examples=150, deadline=None)
+def test_format_d_entries_total(lines):
+    """parse_format_d_entries is total on arbitrary pdf2htmlEX-shaped pages
+    and every produced entry has non-empty src AND trl."""
+    from html_parser_spark.dom import parse_html
+    from html_parser_spark.formats.format_d import parse_format_d_entries
+
+    body = "".join(
+        f'<div class="t m0 x1 y{i} ff1 fs0 {fc}">{t}</div>' for i, (fc, t) in enumerate(lines)
+    )
+    html = f'<html><body><div id="page-container"><div id="pf1">{body}</div></div></body></html>'
+    entries = parse_format_d_entries(parse_html(html))
+    assert all(e["src"] and e["trl"] for e in entries)
