@@ -53,21 +53,22 @@ def serialize_styled_text(line_el: Node, styles: StyleResolver) -> str:
         parent = el.parent
         if parent is not None and parent.kind == "element" and parent.tag == "sup":
             return
-        if el.kind != "text" and el.kind != "element":
-            return  # comments: textContent irrelevant, JS also skips via nodeType checks
-        if el.kind == "element" and styles.color(el) == HEADWORD_RED:
-            return
         if el.kind == "text":
             if is_bold:
-                out.append("{" + el.text_content + "}")
+                out.append("{" + el._text + "}")
             elif is_cursive:
-                out.append("<" + el.text_content + ">")
+                out.append("<" + el._text + ">")
             else:
-                out.append(el.text_content)
+                out.append(el._text)
             return
-        is_cursive = styles.font_style(el) == "italic"
-        is_bold = styles.font_weight(el) == "700"
-        for child in el.child_nodes:
+        if el.kind != "element":
+            return  # comments: textContent irrelevant, JS also skips via nodeType checks
+        st = styles.computed(el)  # one cascade fetch for color+style+weight
+        if st["color"] == HEADWORD_RED:
+            return
+        is_cursive = st["font-style"] == "italic"
+        is_bold = st["font-weight"] == "700"
+        for child in el.children:
             walk(child, is_bold, is_cursive)
 
     walk(line_el, False, False)
