@@ -501,6 +501,21 @@ def q_extract_text_rich(spark, sf_dir):
     )
 
 
+def q_media_meta(spark, sf_dir):
+    """Multimodal source plumbing: per-kind stats over the deterministic
+    media table (payload is a pure function of media_id, so DuckDB can
+    regenerate the identical table and check schema + byte accounting)."""
+    from html_parser_spark.ops.multimodal import synth_media_df
+
+    m = synth_media_df(spark, 300)
+    return m.groupBy("kind").agg(
+        F.count("*").alias("n_media"),
+        F.sum(F.length("payload")).alias("total_bytes"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.max(F.col("meta.duration_ms")).alias("max_duration_ms"),
+    )
+
+
 def q_extract_entries(spark, sf_dir):
     """Entry-struct check over the synthetic extraction: headword + counts."""
     _ship_package(spark)
@@ -571,6 +586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_date_battery": q_date_battery,
         "q_extract_text": q_extract_text,
         "q_extract_text_rich": q_extract_text_rich,
+        "q_media_meta": q_media_meta,
         "q_extract_entries": q_extract_entries,
         "q_migrate_v21": q_migrate_v21,
     }
@@ -1039,5 +1055,25 @@ def oracle_sql() -> dict[str, str]:
                    regexp_replace(repeat(l1 || l2, 3), '\\s{2,}', ' ', 'g')
                      AS extracted_text
             FROM base
+        """,
+        "q_media_meta": """
+            -- regenerate ops/multimodal.synth_media_df(300) exactly: payload
+            -- is 'MEDIA' || md5(media_id) x8, kind cycles image/audio/video
+            WITH m AS (
+              SELECT r.range AS media_id,
+                     r.range % 50 AS doc_id,
+                     (['image','audio','video'])[CAST(r.range % 3 AS INT) + 1]
+                       AS kind,
+                     'MEDIA' || repeat(md5(CAST(r.range AS VARCHAR)), 8)
+                       AS payload,
+                     CAST(r.range * 10 AS INT) AS duration_ms
+              FROM range(0, 300) r
+            )
+            SELECT kind,
+                   count(*) AS n_media,
+                   sum(len(payload)) AS total_bytes,
+                   count(DISTINCT doc_id) AS n_docs,
+                   max(duration_ms) AS max_duration_ms
+            FROM m GROUP BY kind
         """,
     }
