@@ -53,7 +53,12 @@ class CheckpointedExtraction:
         return max(chunks) + 1 if chunks else 0
 
     # -- the resumable run --------------------------------------------------
-    def run(self, pages: DataFrame, num_partitions: int = 64) -> dict:
+    def run(
+        self,
+        pages: DataFrame,
+        num_partitions: int = 64,
+        max_html_bytes: int | None = None,
+    ) -> dict:
         """Parse every page not yet in the results table; returns metrics.
         Idempotent: re-running after a kill completes the remainder."""
         from html_parser_spark.spark.pipeline import extract_pages
@@ -62,7 +67,9 @@ class CheckpointedExtraction:
         todo = pages
         if done is not None:
             todo = pages.join(done, on="url", how="left_anti")
-        results = extract_pages(todo, num_partitions=num_partitions)
+        results = extract_pages(
+            todo, num_partitions=num_partitions, max_html_bytes=max_html_bytes
+        )
         chunk = self._next_chunk()
         out = results.withColumn("part_id", F.spark_partition_id())
         chunk_path = os.path.join(self.data_dir, f"chunk={chunk}")

@@ -34,6 +34,11 @@ def main(argv=None):
     ap.add_argument("--migrate", action="store_true",
                     help="also run the v1->v2.1 dictionary migration UDF")
     ap.add_argument("--limit", type=int, default=0, help="dev-mode row cap (S6)")
+    ap.add_argument(
+        "--max-html-bytes", type=int, default=8 * 1024 * 1024,
+        help="route pages over this size around the parse as fmt='oversized' "
+             "(bounds worst-case task time at crawl scale; 0 disables)",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -61,10 +66,18 @@ def main(argv=None):
         from html_parser_spark.spark.checkpoint import CheckpointedExtraction
 
         ck = CheckpointedExtraction(spark, args.output)
-        metrics = ck.run(pages, num_partitions=args.partitions)
+        metrics = ck.run(
+            pages,
+            num_partitions=args.partitions,
+            max_html_bytes=args.max_html_bytes or None,
+        )
         results = ck.results()
     else:
-        results = extract_pages(pages, num_partitions=args.partitions)
+        results = extract_pages(
+            pages,
+            num_partitions=args.partitions,
+            max_html_bytes=args.max_html_bytes or None,
+        )
         if args.migrate:
             from html_parser_spark.spark.dictionary import migrate_results
 
