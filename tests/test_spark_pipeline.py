@@ -293,3 +293,32 @@ def test_embedding_near_dup_lsh_vs_exact(spark):
     }
     assert exact, "exact baseline found no pairs — lower the threshold"
     assert bucketed <= exact
+
+
+def test_iceberg_checkpoint_if_available(spark, tmp_path):
+    """Real MERGE INTO resume — runs only where an Iceberg runtime jar is on
+    the classpath (this sandbox has none: the test SKIPS rather than fakes;
+    the parquet analog above carries the semantics coverage here)."""
+    import pytest
+
+    from html_parser_spark.spark.checkpoint import (
+        IcebergCheckpointedExtraction,
+        iceberg_available,
+    )
+
+    if not iceberg_available(spark):
+        pytest.skip("no iceberg-spark-runtime jar in this environment")
+    from html_parser_spark.data.pages import synthetic_pages_df
+
+    spark.conf.set("spark.sql.catalog.ck", "org.apache.iceberg.spark.SparkCatalog")
+    spark.conf.set("spark.sql.catalog.ck.type", "hadoop")
+    spark.conf.set("spark.sql.catalog.ck.warehouse", str(tmp_path / "wh"))
+    pages = synthetic_pages_df(spark, SF_DIR, paragraphs=1).limit(40).persist()
+    ck = IcebergCheckpointedExtraction(spark, "ck.db.results")
+    m1 = ck.run(pages.limit(25), num_partitions=4)
+    assert m1["docs"] == 25
+    m2 = ck.run(pages, num_partitions=4)
+    assert m2["docs"] == 40  # table total after completing the remainder
+    m3 = ck.run(pages, num_partitions=4)  # idempotent
+    assert m3["docs"] == 40
+    pages.unpersist()
