@@ -140,6 +140,21 @@ def parse_format_d_entries(doc: Node) -> list[dict]:
     if not color_chars:
         return []
     body_fc = color_chars.most_common(1)[0][0]
+    # discriminator: fc* color tokens when they vary; some pdf2htmlEX exports
+    # set one color and distinguish headwords by FONT only — fall back to
+    # ff* tokens (same dominant-token rule) when color carries no signal
+    token_idx = 2
+    if len(color_chars) == 1:
+        font_chars: Counter = Counter()
+        for runs in lines:
+            for txt, rff, _rfc in runs:
+                stripped = js_trim(txt)
+                if stripped and rff:
+                    font_chars[rff] += len(stripped)
+        if len(font_chars) <= 1:
+            return []  # neither color nor font discriminates — no entries
+        token_idx = 1
+        body_fc = font_chars.most_common(1)[0][0]
 
     entries: list[dict] = []
     cur: dict | None = None
@@ -147,12 +162,13 @@ def parse_format_d_entries(doc: Node) -> list[dict]:
         lead = next((r for r in runs if js_trim(r[0])), None)
         if lead is None:
             continue
-        lead_fc = lead[2]
+        lead_fc = lead[token_idx]
         if lead_fc is not None and lead_fc != body_fc:
             src_parts: list[str] = []
             trl_parts: list[str] = []
             taking = True
-            for txt, _ff, fc in runs:
+            for run in runs:
+                txt, fc = run[0], run[token_idx]
                 if taking and (fc == lead_fc or not js_trim(txt)):
                     src_parts.append(txt)
                 else:

@@ -344,3 +344,20 @@ def test_d_entry_pairing_fixture():
     # continuation-line merge: АБА's translation spills onto the next line
     assert "lounging around the house" in by_src["АБА"]
     assert all(e["src"] and e["trl"] for e in entries)
+
+
+def test_d_entry_pairing_font_fallback():
+    """Monochrome export: fc carries no signal, ff* tokens discriminate."""
+    from html_parser_spark.dom import parse_html
+    from html_parser_spark.formats.format_d import parse_format_d_entries
+
+    html = """<html><body><div id="page-container"><div id="pf1">
+      <div class="t x1 y1 ff7 fc0">WORD<span class="ff1"> n. a thing; </span></div>
+      <div class="t x1 y2 ff1 fc0">continued body text that is long enough to dominate. </div>
+      <div class="t x1 y3 ff7 fc0">SECOND<span class="ff1"> v. more body prose here. </span></div>
+    </div></div></body></html>"""
+    entries = parse_format_d_entries(parse_html(html))
+    assert [(e["src"], e["trl"]) for e in entries] == [
+        ("WORD", "n. a thing; continued body text that is long enough to dominate."),
+        ("SECOND", "v. more body prose here."),
+    ]
