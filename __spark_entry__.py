@@ -501,6 +501,17 @@ def q_extract_text_rich(spark, sf_dir):
     )
 
 
+def q_lang_id(spark, sf_dir):
+    """n-gram language-ID (brief §extras): train per-language trigram
+    profiles on the corpus, classify every document by weighted-overlap
+    argmax.  Integer scores keep the comparison exact cross-engine."""
+    from html_parser_spark.ops.text import classify_language, train_lang_profiles
+
+    docs = _docs(spark, sf_dir)
+    profiles = train_lang_profiles(docs, top_n=50)
+    return classify_language(docs, profiles)
+
+
 def q_media_meta(spark, sf_dir):
     """Multimodal source plumbing: per-kind stats over the deterministic
     media table (payload is a pure function of media_id, so DuckDB can
@@ -587,6 +598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_extract_text": q_extract_text,
         "q_extract_text_rich": q_extract_text_rich,
         "q_media_meta": q_media_meta,
+        "q_lang_id": q_lang_id,
         "q_extract_entries": q_extract_entries,
         "q_migrate_v21": q_migrate_v21,
     }
@@ -1075,5 +1087,37 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT doc_id) AS n_docs,
                    max(duration_ms) AS max_duration_ms
             FROM m GROUP BY kind
+        """,
+        "q_lang_id": """
+            WITH t AS (
+              SELECT doc_id, lang,
+                     lower(regexp_replace(text, '\\s+', ' ', 'g')) AS tx
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id, lang,
+                     unnest(list_distinct(list_transform(
+                       range(1, greatest(len(tx) - 2, 0) + 1),
+                       i -> substr(tx, CAST(i AS INT), 3)))) AS gram
+              FROM t
+            ),
+            counts AS (SELECT lang, gram, count(*) AS c FROM g GROUP BY 1, 2),
+            prof AS (
+              SELECT lang, gram, 50 - rank + 1 AS weight FROM (
+                SELECT lang, gram,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY c DESC, gram) AS rank
+                FROM counts)
+              WHERE rank <= 50
+            ),
+            scored AS (
+              SELECT g.doc_id, p.lang, sum(p.weight) AS score
+              FROM g JOIN prof p ON g.gram = p.gram
+              GROUP BY 1, 2
+            )
+            SELECT doc_id, lang AS pred_lang, score FROM (
+              SELECT *, row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY score DESC, lang) AS rn
+              FROM scored) WHERE rn = 1
         """,
     }

@@ -194,7 +194,10 @@ def main():
             sweeps += 1
             eff_now = ((n_docs / wall_hi) / (n_docs / wall_s_lo)) / (SCALE_HI / SCALE_LO)
             over_budget = time.time() - _T_START > BUDGET_SEC
-            if sweeps >= 2 and (eff_now >= 0.8 or sweeps >= 3) or over_budget:
+            # keep sweeping toward a steal-free window until the rule clears
+            # or the wall-clock budget runs out (observed: steal bursts of
+            # 3+ cores decay over ~minutes; walls improve sweep over sweep)
+            if sweeps >= 2 and (eff_now >= 0.8 or sweeps >= 5) or over_budget:
                 break
             time.sleep(10)
             w, _, s = run_extraction(SCALE_HI)

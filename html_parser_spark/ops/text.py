@@ -102,3 +102,69 @@ def lang_profile(docs: DataFrame) -> DataFrame:
             "docs_with_spark",
         )
     )
+
+
+# --- n-gram language identification (brief §extras: "language-ID") ---------
+
+
+def char_ngrams(col: Column, n: int = 3) -> Column:
+    """Distinct lowercase character n-grams of a text column — pure JVM
+    (sequence + transform + substr), no Python.  '' / short text → []."""
+    t = F.lower(F.regexp_replace(col, r"\s+", " "))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(t) - (n - 1)),
+        lambda i: t.substr(i, F.lit(n)),
+    )
+    return F.when(F.length(t) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def train_lang_profiles(
+    docs: DataFrame, text_col: str = "text", lang_col: str = "lang",
+    n: int = 3, top_n: int = 50,
+) -> DataFrame:
+    """Per-language trigram profile: the ``top_n`` most frequent distinct
+    n-grams (by document frequency), weighted ``top_n … 1`` by rank.
+
+    Scale shape: explode is bounded by text length; the profile output is
+    tiny (languages × top_n rows) — the classify join broadcasts it."""
+    from pyspark.sql import Window
+
+    grams = docs.select(
+        F.col(lang_col).alias("lang"),
+        F.explode(char_ngrams(F.col(text_col), n)).alias("gram"),
+    )
+    counts = grams.groupBy("lang", "gram").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("lang").orderBy(F.desc("c"), "gram")
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select("lang", "gram", (F.lit(top_n) - F.col("rank") + 1).alias("weight"))
+    )
+
+
+def classify_language(
+    docs: DataFrame, profiles: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Per-document language prediction: sum of profile weights over the
+    document's distinct n-grams, argmax per doc (ties → lexicographic lang).
+    Integer scores — exact and order-independent in any engine.
+
+    Documents with no profile-matching n-gram produce no row (unknown)."""
+    from pyspark.sql import Window
+
+    dg = docs.select(
+        "doc_id", F.explode(char_ngrams(F.col(text_col), n)).alias("gram")
+    )
+    scored = (
+        dg.join(F.broadcast(profiles), "gram")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("weight").alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "lang")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("lang").alias("pred_lang"), "score")
+    )
