@@ -223,6 +223,17 @@ def q_cosine_topk(spark, sf_dir):
     return cosine_topk(_tbl(spark, sf_dir, "embeddings"), query_ids_below=10, k=5)
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF ANN (brief §extras names IVF explicitly): seed-centroid coarse
+    quantizer, nprobe nearest-list probe, exact in-list re-rank."""
+    from html_parser_spark.ops.similarity import ivf_topk
+
+    return ivf_topk(
+        _tbl(spark, sf_dir, "embeddings"),
+        query_ids_below=5, k=5, n_centroids=16, nprobe=4,
+    )
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs (exact baseline on a bounded id range;
     the n_planes>0 LSH-bucketed variant is the scale path)."""
@@ -580,6 +591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_sig": q_minhash_sig,
         "q_near_dup_pairs": q_near_dup_pairs,
         "q_cosine_topk": q_cosine_topk,
+        "q_ivf_topk": q_ivf_topk,
         "q_embedding_near_dup": q_embedding_near_dup,
         "q_embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "q_ngram_jaccard": q_ngram_jaccard,
@@ -876,6 +888,50 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, cosine, rank
             FROM ranked WHERE rank <= 5
+        """,
+        "q_ivf_topk": """
+            WITH e AS (SELECT vec_id, embedding FROM embeddings),
+            cents AS (SELECT vec_id AS cent_id, embedding AS cv
+                      FROM e WHERE vec_id < 16),
+            assign AS (
+              SELECT vec_id, cent_id FROM (
+                SELECT a.vec_id, c.cent_id,
+                       row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                         (list_dot_product(a.embedding, c.cv) /
+                          (sqrt(list_dot_product(a.embedding, a.embedding)) *
+                           sqrt(list_dot_product(c.cv, c.cv)))) DESC,
+                         c.cent_id ASC) AS rn
+                FROM e a CROSS JOIN cents c) WHERE rn = 1
+            ),
+            q AS (SELECT vec_id AS query_id, embedding AS qv
+                  FROM e WHERE vec_id < 5),
+            probes AS (
+              SELECT query_id, qv, cent_id FROM (
+                SELECT q.query_id, q.qv, c.cent_id,
+                       row_number() OVER (PARTITION BY q.query_id ORDER BY
+                         (list_dot_product(q.qv, c.cv) /
+                          (sqrt(list_dot_product(q.qv, q.qv)) *
+                           sqrt(list_dot_product(c.cv, c.cv)))) DESC,
+                         c.cent_id ASC) AS rn
+                FROM q CROSS JOIN cents c) WHERE rn <= 4
+            ),
+            cand AS (
+              SELECT p.query_id, p.qv, a.vec_id
+              FROM probes p JOIN assign a USING (cent_id)
+              WHERE a.vec_id != p.query_id
+            ),
+            scored AS (
+              SELECT c.query_id, c.vec_id AS neighbor_id,
+                     round(list_dot_product(c.qv, e.embedding) /
+                           (sqrt(list_dot_product(c.qv, c.qv)) *
+                            sqrt(list_dot_product(e.embedding, e.embedding))), 4)
+                       AS cosine
+              FROM cand c JOIN e ON c.vec_id = e.vec_id
+            )
+            SELECT query_id, neighbor_id, cosine, rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id ASC) AS rank
+              FROM scored) WHERE rank <= 5
         """,
         "q_embedding_near_dup": """
             -- list_dot_product (double accumulation) not list_cosine_similarity

@@ -146,3 +146,82 @@ def bucket_histogram(embeddings: DataFrame, n_planes: int = 8) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count("*").alias("vectors"))
     )
+
+
+# --- IVF (inverted-file) ANN: the data-dependent counterpart of the
+# hyperplane-LSH path.  Coarse quantizer: deterministic seed centroids
+# (vec_id < n_centroids — the k-means-init stand-in; a Lloyd iteration is a
+# posexplode+groupBy away and changes nothing structurally).  Vectors are
+# assigned to their nearest centroid (one broadcast join — centroids are
+# tiny); queries probe the ``nprobe`` nearest lists and re-rank exactly
+# inside them.  At 10^12 vectors the probe join replaces the full scan the
+# same way the LSH bucket join does, with recall controlled by nprobe.
+
+
+def _cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def ivf_assign(
+    embeddings: DataFrame, n_centroids: int = 16, vec_col: str = "embedding"
+) -> DataFrame:
+    """(vec_id, cent_id): each vector's nearest seed centroid by cosine
+    (ties → lowest cent_id)."""
+    cents = embeddings.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cent_id"), F.col(vec_col).alias("cv")
+    )
+    sim = _cosine(F.col(vec_col), F.col("cv"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cent_id"))
+    return (
+        embeddings.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cent_id", sim.alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cent_id")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids_below: int = 5,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: probe the ``nprobe`` nearest centroid lists per
+    query, exact cosine re-rank inside them.  ``nprobe == n_centroids``
+    degenerates to exact brute force (tested equivalent to cosine_topk)."""
+    assign = ivf_assign(embeddings, n_centroids, vec_col)
+    cents = embeddings.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cent_id"), F.col(vec_col).alias("cv")
+    )
+    queries = embeddings.filter(F.col("vec_id") < query_ids_below).select(
+        F.col("vec_id").alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("cent_id"))
+    probes = (
+        queries.crossJoin(F.broadcast(cents))
+        .select("query_id", "qv", "cent_id", _cosine(F.col("qv"), F.col("cv")).alias("csim"))
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qv", "cent_id")
+    )
+    cand = probes.join(assign, "cent_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cv = embeddings.select(F.col("vec_id"), F.col(vec_col).alias("nv"))
+    scored = cand.join(cv, "vec_id").select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(_cosine(F.col("qv"), F.col("nv")), 4).alias("cosine"),
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -344,3 +344,31 @@ def test_lang_id_discriminative(spark):
     pred = {r.doc_id: r.pred_lang for r in classify_language(docs, profiles).collect()}
     truth = {i: lang for i, lang, _ in rows}
     assert pred == truth  # perfect self-classification on separable corpora
+
+
+def test_ivf_topk_full_probe_equals_brute_force(spark):
+    """nprobe == n_centroids probes every inverted list, so IVF must return
+    EXACTLY the brute-force cosine top-k; a partial probe returns k rows per
+    query whose cosines are a subset drawn from probed lists only."""
+    from html_parser_spark.ops.similarity import cosine_topk, ivf_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    brute = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in cosine_topk(emb, query_ids_below=3, k=4).collect()
+    }
+    full = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in ivf_topk(
+            emb, query_ids_below=3, k=4, n_centroids=8, nprobe=8
+        ).collect()
+    }
+    assert full == brute
+    part = ivf_topk(emb, query_ids_below=3, k=4, n_centroids=8, nprobe=2).collect()
+    by_q = {}
+    for r in part:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        assert sorted(r.rank for r in rows) == list(range(1, len(rows) + 1))
+        cos = [r.cosine for r in sorted(rows, key=lambda r: r.rank)]
+        assert cos == sorted(cos, reverse=True)
