@@ -180,10 +180,15 @@ def q_fingerprint(spark, sf_dir):
 
 
 def q_token_stats(spark, sf_dir):
-    from html_parser_spark.ops.text import token_count
+    """Token counting, both ways the brief names: whitespace + BPE-ish regex."""
+    from html_parser_spark.ops.text import bpe_token_count, token_count
 
     d = _docs(spark, sf_dir)
-    return d.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+    )
 
 
 def q_quality_score(spark, sf_dir):
@@ -707,7 +712,10 @@ def oracle_sql() -> dict[str, str]:
         "q_token_stats": """
             SELECT doc_id,
                    CASE WHEN len(trim(text)) = 0 THEN 0
-                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+                   len(regexp_extract_all(text,
+                       ' ?[A-Za-zА-Яа-яЁё]+| ?[0-9]+| ?[^ A-Za-zА-Яа-яЁё0-9]+'))
+                     AS n_bpe_tokens
             FROM documents
         """,
         "q_quality_score": f"""

@@ -168,3 +168,15 @@ def classify_language(
         .filter(F.col("rn") == 1)
         .select("doc_id", F.col("lang").alias("pred_lang"), "score")
     )
+
+
+# BPE-ish pre-tokenizer (brief: "token counting (whitespace + a BPE-ish
+# regex)"): GPT-2-style word/number/punct split with the leading-space
+# convention, restricted to RE2-compatible syntax (no lookahead) so the
+# SAME pattern runs in Spark (Java regex) and the DuckDB oracle (RE2).
+BPE_SPLIT_RE = r" ?[A-Za-zА-Яа-яЁё]+| ?[0-9]+| ?[^ A-Za-zА-Яа-яЁё0-9]+"
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Number of BPE-ish pre-tokens (JVM regexp_extract_all, codegen)."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_SPLIT_RE), F.lit(0)))
