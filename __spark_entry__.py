@@ -191,6 +191,16 @@ def q_token_stats(spark, sf_dir):
     )
 
 
+def q_winnow_fingerprint(spark, sf_dir):
+    """Winnowing (rolling k-gram window minima) — the edit-robust
+    fingerprint; bounded id range keeps the row count oracle-friendly."""
+    from html_parser_spark.ops.text import winnow_fingerprints
+
+    return winnow_fingerprints(
+        _docs(spark, sf_dir).filter(F.col("doc_id") < 60), k=8, w=4
+    )
+
+
 def q_quality_score(spark, sf_dir):
     from html_parser_spark.ops.text import quality_features
 
@@ -590,6 +600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_topk": q_topk,
         "q_exact_dedup": q_exact_dedup,
         "q_fingerprint": q_fingerprint,
+        "q_winnow_fingerprint": q_winnow_fingerprint,
         "q_token_stats": q_token_stats,
         "q_quality_score": q_quality_score,
         "q_lang_profile": q_lang_profile,
@@ -708,6 +719,30 @@ def oracle_sql() -> dict[str, str]:
                    md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS fingerprint,
                    len(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm_len
             FROM documents
+        """,
+        "q_winnow_fingerprint": """
+            WITH t AS (
+              SELECT doc_id,
+                     lower(regexp_replace(text, '\\s+', ' ', 'g')) AS tx
+              FROM documents WHERE doc_id < 60
+            ),
+            h AS (
+              SELECT doc_id,
+                     list_transform(
+                       list_transform(range(1, greatest(len(tx) - 7, 0) + 1),
+                                      i -> substr(tx, CAST(i AS INT), 8)),
+                       g -> md5(g)) AS hs
+              FROM t
+            ),
+            m AS (
+              SELECT doc_id,
+                     CASE WHEN len(hs) >= 4 THEN
+                       list_transform(range(1, len(hs) - 3 + 1),
+                         i -> list_min(hs[CAST(i AS INT):CAST(i + 3 AS INT)]))
+                     ELSE hs END AS mins
+              FROM h
+            )
+            SELECT doc_id, unnest(list_distinct(mins)) AS fingerprint FROM m
         """,
         "q_token_stats": """
             SELECT doc_id,

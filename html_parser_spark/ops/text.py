@@ -180,3 +180,40 @@ BPE_SPLIT_RE = r" ?[A-Za-zА-Яа-яЁё]+| ?[0-9]+| ?[^ A-Za-zА-Яа-яЁё0-9
 def bpe_token_count(col: Column) -> Column:
     """Number of BPE-ish pre-tokens (JVM regexp_extract_all, codegen)."""
     return F.size(F.regexp_extract_all(col, F.lit(BPE_SPLIT_RE), F.lit(0)))
+
+
+def winnow_fingerprints(
+    docs: DataFrame, text_col: str = "text", k: int = 8, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003): hash
+    every character k-gram, take the minimum of each w-length window of
+    consecutive hashes, emit the distinct minima.  Guarantees any shared
+    substring of length ≥ k+w-1 contributes at least one shared fingerprint
+    — the rolling-hash fingerprint family the brief names, robust to edits
+    in a way the whole-document digest (``fingerprint``) is not.
+
+    All JVM higher-order functions; hashes are md5-hex strings (lexicographic
+    minima are portable to any engine).  Each intermediate array is
+    materialized as a column — Catalyst does no CSE inside lambdas (see
+    ops/dedup.py PERF note)."""
+    t = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    d = docs.withColumn("_t", t).withColumn("_n", F.length("_t"))
+    grams = F.when(
+        F.col("_n") >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.col("_n") - (k - 1)),
+            lambda i: F.col("_t").substr(i, F.lit(k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    d = d.withColumn("_h", F.transform(grams, lambda g: F.md5(g)))
+    nh = F.size(F.col("_h"))
+    mins = F.when(
+        nh >= w,
+        F.transform(
+            F.sequence(F.lit(1), nh - (w - 1)),
+            lambda i: F.array_min(F.slice(F.col("_h"), i, w)),
+        ),
+    ).otherwise(F.col("_h"))
+    return d.select(
+        "doc_id", F.explode(F.array_distinct(mins)).alias("fingerprint")
+    )

@@ -372,3 +372,26 @@ def test_ivf_topk_full_probe_equals_brute_force(spark):
         assert sorted(r.rank for r in rows) == list(range(1, len(rows) + 1))
         cos = [r.cosine for r in sorted(rows, key=lambda r: r.rank)]
         assert cos == sorted(cos, reverse=True)
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """Winnowing guarantee: documents sharing a substring of length >= k+w-1
+    share at least one fingerprint; unrelated text shares ~none."""
+    from html_parser_spark.ops.text import winnow_fingerprints
+
+    shared = "the identical plagiarized passage lives right here"
+    docs = spark.createDataFrame(
+        [
+            (0, f"intro words before {shared} and a unique tail zero"),
+            (1, f"completely different opening {shared} with other ending"),
+            (2, "nothing in common with either of the other documents at all"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs, k=8, w=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert by_doc[0] & by_doc[1], "shared passage must share a fingerprint"
+    overlap_02 = len(by_doc[0] & by_doc[2]) / max(1, len(by_doc[0]))
+    assert overlap_02 < 0.2, overlap_02
