@@ -755,7 +755,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_quality_score": f"""
             WITH f AS (
-              SELECT doc_id, lang,
+              SELECT doc_id, lang, text,
                      len(text) AS n_chars_m,
                      CASE WHEN len(trim(text)) = 0 THEN 0
                           ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
@@ -769,6 +769,11 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN n_tokens > 0
                         THEN round(n_stopwords / CAST(n_tokens AS DOUBLE), 4)
                         ELSE 0.0 END AS stopword_ratio,
+                   CASE WHEN n_chars_m > 0
+                        THEN floor((n_chars_m - len(regexp_replace(text,
+                               '[.,;:!?''"()-]', '', 'g')))
+                             / CAST(n_chars_m AS DOUBLE) * 10000 + 0.5) / 10000
+                        ELSE 0.0 END AS punct_ratio,
                    round(least(1.0, n_tokens / 100.0) *
                          (1.0 - CASE WHEN n_tokens > 0
                                      THEN round(n_stopwords / CAST(n_tokens AS DOUBLE), 4)

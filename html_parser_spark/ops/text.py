@@ -41,6 +41,12 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     n_tok = token_count(t)
     n_chars = F.length(t)
     n_stop = stopword_count(t)
+    # ASCII punctuation count via strip-and-diff (portable char class)
+    n_punct = n_chars - F.length(F.regexp_replace(t, "[.,;:!?'\"()-]", ""))
+    punct_ratio = F.when(
+        n_chars > 0,
+        F.floor(n_punct.cast("double") / n_chars * 10000 + F.lit(0.5)) / 10000,
+    ).otherwise(F.lit(0.0))
     mean_tok_len = F.when(n_tok > 0, F.round((n_chars - (n_tok - 1)) / n_tok, 4)).otherwise(
         F.lit(0.0)
     )
@@ -53,6 +59,7 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
         n_stop.alias("n_stopwords"),
         mean_tok_len.alias("mean_token_len"),
         stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
         F.round(
             F.least(F.lit(1.0), n_tok / F.lit(100.0)) * (F.lit(1.0) - stop_ratio), 4
         ).alias("quality_score"),
