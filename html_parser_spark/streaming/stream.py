@@ -127,3 +127,19 @@ def sessionize_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def dedup_stream(
+    pages: DataFrame, watermark: str = "1 hour", key: str = "url"
+) -> DataFrame:
+    """Streaming exact-dedup (the batch twin is ``ops/dedup``): keep the
+    first arrival per key among events inside the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` bounds the dedup state — at crawl
+    scale re-fetches of a url cluster in time, so a bounded horizon removes
+    them without unbounded state; cross-horizon (historical) duplicates are
+    the batch MERGE/anti-join's job (spark/checkpoint.py), and the two
+    compose: stream dedups the firehose, MERGE dedups against the lake."""
+    return pages.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
+        [key]
+    )

@@ -188,3 +188,35 @@ def test_watermark_drops_late_data(spark, tmp_path):
         q.stop()
     # the 10:00 window emitted with ONLY the on-time event — the late 100.0 never counted
     assert rows[t] == (1, 1.0), rows
+
+
+def test_dedup_stream(spark, tmp_path):
+    """Streaming dedup drops same-key re-arrivals within the watermark."""
+    from html_parser_spark.streaming.stream import PAGES_SCHEMA, dedup_stream
+
+    ev_dir = str(tmp_path / "pages")
+    rows = [
+        ("u1", "2024-01-01 00:00:00"), ("u2", "2024-01-01 00:01:00"),
+        ("u1", "2024-01-01 00:02:00"),  # duplicate inside the horizon
+        ("u3", "2024-01-01 00:03:00"), ("u2", "2024-01-01 00:04:00"),
+    ]
+    df = spark.createDataFrame(
+        [(u, ts, None, None, None) for u, ts in rows],
+        "url string, warc_ts string, html binary, text string, lang string",
+    ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    df.coalesce(1).write.parquet(ev_dir)
+    stream = spark.readStream.schema(PAGES_SCHEMA).parquet(ev_dir)
+    q = (
+        dedup_stream(stream)
+        .select("url")
+        .writeStream.format("memory")
+        .queryName("deduped")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(r.url for r in spark.sql("select * from deduped").collect())
+    finally:
+        q.stop()
+    assert got == ["u1", "u2", "u3"]
