@@ -39,15 +39,25 @@ def cosine_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """For each query vector (vec_id < query_ids_below): top-k most similar
-    other vectors by cosine.  Returns (query_id, neighbor_id, cosine, rank)."""
+    other vectors by cosine.  Returns (query_id, neighbor_id, cosine, rank).
+
+    Norms are MATERIALIZED once per vector before the pair join (the values
+    are bit-identical to inline recomputation, so the oracle is unchanged) —
+    per pair only the dot product walks the arrays, not three passes."""
     queries = embeddings.filter(F.col("vec_id") < query_ids_below).select(
-        F.col("vec_id").alias("query_id"), F.col(vec_col).alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
     )
-    cands = embeddings.select(F.col("vec_id").alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    cands = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
+    )
     joined = cands.crossJoin(F.broadcast(queries)).filter(
         F.col("neighbor_id") != F.col("query_id")
     )
-    cos = F.round(_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), 4)
+    cos = F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4)
     scored = joined.select("query_id", "neighbor_id", cos.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -114,6 +124,9 @@ def embedding_near_duplicates(
             "embedding_near_duplicates: n_planes must be > 0 for the bucketed "
             "path; pass exact=True (with a bounded input) for the O(n²) baseline"
         )
+    # norms materialized once per vector (bit-identical values; the per-pair
+    # work is then a single dot-product array pass)
+    emb = emb.withColumn("_nrm", _norm(F.col(vec_col)))
     if not exact:
         bucketed = emb.join(lsh_bucketed_cosine(emb, n_planes, vec_col), on="vec_id")
         a, b = bucketed.alias("a"), bucketed.alias("b")
@@ -125,7 +138,7 @@ def embedding_near_duplicates(
         cond = F.col("a.vec_id") < F.col("b.vec_id")
     cos = F.round(
         _dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
-        / (_norm(F.col(f"a.{vec_col}")) * _norm(F.col(f"b.{vec_col}"))),
+        / (F.col("a._nrm") * F.col("b._nrm")),
         4,
     )
     return (
@@ -158,22 +171,21 @@ def bucket_histogram(embeddings: DataFrame, n_planes: int = 8) -> DataFrame:
 # same way the LSH bucket join does, with recall controlled by nprobe.
 
 
-def _cosine(a, b):
-    return _dot(a, b) / (_norm(a) * _norm(b))
-
-
 def ivf_assign(
     embeddings: DataFrame, n_centroids: int = 16, vec_col: str = "embedding"
 ) -> DataFrame:
     """(vec_id, cent_id): each vector's nearest seed centroid by cosine
-    (ties → lowest cent_id)."""
+    (ties → lowest cent_id).  Norms materialized once per side."""
     cents = embeddings.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("cent_id"), F.col(vec_col).alias("cv")
+        F.col("vec_id").alias("cent_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cvn"),
     )
-    sim = _cosine(F.col(vec_col), F.col("cv"))
+    sim = _dot(F.col(vec_col), F.col("cv")) / (F.col("_vn") * F.col("cvn"))
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cent_id"))
     return (
-        embeddings.crossJoin(F.broadcast(cents))
+        embeddings.withColumn("_vn", _norm(F.col(vec_col)))
+        .crossJoin(F.broadcast(cents))
         .select("vec_id", "cent_id", sim.alias("sim"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -194,27 +206,38 @@ def ivf_topk(
     degenerates to exact brute force (tested equivalent to cosine_topk)."""
     assign = ivf_assign(embeddings, n_centroids, vec_col)
     cents = embeddings.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("cent_id"), F.col(vec_col).alias("cv")
+        F.col("vec_id").alias("cent_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cvn"),
     )
     queries = embeddings.filter(F.col("vec_id") < query_ids_below).select(
-        F.col("vec_id").alias("query_id"), F.col(vec_col).alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
     )
     wp = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("cent_id"))
+    csim = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cvn"))
     probes = (
         queries.crossJoin(F.broadcast(cents))
-        .select("query_id", "qv", "cent_id", _cosine(F.col("qv"), F.col("cv")).alias("csim"))
+        .select("query_id", "qv", "qn", "cent_id", csim.alias("csim"))
         .withColumn("rn", F.row_number().over(wp))
         .filter(F.col("rn") <= nprobe)
-        .select("query_id", "qv", "cent_id")
+        .select("query_id", "qv", "qn", "cent_id")
     )
     cand = probes.join(assign, "cent_id").filter(
         F.col("vec_id") != F.col("query_id")
     )
-    cv = embeddings.select(F.col("vec_id"), F.col(vec_col).alias("nv"))
+    cv = embeddings.select(
+        F.col("vec_id"),
+        F.col(vec_col).alias("nv"),
+        _norm(F.col(vec_col)).alias("nvn"),
+    )
     scored = cand.join(cv, "vec_id").select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(_cosine(F.col("qv"), F.col("nv")), 4).alias("cosine"),
+        F.round(
+            _dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nvn")), 4
+        ).alias("cosine"),
     )
     wk = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
