@@ -788,7 +788,8 @@ def oracle_sql() -> dict[str, str]:
                                ELSE len(regexp_split_to_array(trim(text), '\\s+'))
                                END) AS DOUBLE) / count(*)) * 100 + 0.5)
                      / 100 AS avg_tokens,
-                   sum(CASE WHEN regexp_matches(text, 'spark') THEN 1 ELSE 0 END)
+                   CAST(sum(CASE WHEN regexp_matches(text, 'spark')
+                            THEN 1 ELSE 0 END) AS BIGINT)
                      AS docs_with_spark
             FROM documents GROUP BY lang
         """,
@@ -850,7 +851,8 @@ def oracle_sql() -> dict[str, str]:
                                             ORDER BY ts, event_id) AS session_idx
               FROM o
             )
-            SELECT user_id, session_idx, count(*) AS n_events,
+            SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+                   count(*) AS n_events,
                    CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
                      AS session_value
             FROM s GROUP BY user_id, session_idx
@@ -1033,7 +1035,7 @@ def oracle_sql() -> dict[str, str]:
               FROM events GROUP BY 1, 2
             )
             SELECT CAST(date_trunc('day', h) AS TIMESTAMP) AS day, event_type,
-                   sum(n) AS n_events,
+                   CAST(sum(n) AS BIGINT) AS n_events,
                    CAST(round(sum(s), 2) AS DOUBLE) AS sum_value,
                    floor((CAST(sum(s) AS DOUBLE) / sum(n)) * 100 + 0.5) / 100
                      AS avg_value,
@@ -1187,7 +1189,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT kind,
                    count(*) AS n_media,
-                   sum(len(payload)) AS total_bytes,
+                   CAST(sum(len(payload)) AS BIGINT) AS total_bytes,
                    count(DISTINCT doc_id) AS n_docs,
                    max(duration_ms) AS max_duration_ms
             FROM m GROUP BY kind
@@ -1215,7 +1217,8 @@ def oracle_sql() -> dict[str, str]:
               WHERE rank <= 50
             ),
             scored AS (
-              SELECT g.doc_id, p.lang, sum(p.weight) AS score
+              SELECT g.doc_id, p.lang,
+                     CAST(sum(p.weight) AS BIGINT) AS score
               FROM g JOIN prof p ON g.gram = p.gram
               GROUP BY 1, 2
             )

@@ -307,6 +307,11 @@ class StyleResolver:
             for r in self.sheet.class_tag_rules(el):
                 self._apply_decls(base, r.decls)
             self._shape_memo[shape] = base
+        # ALIASING: when the element has no #id rules and no inline style the
+        # SHARED _shape_memo base dict is returned directly (every same-shape
+        # element gets the same object).  Callers must treat computed() output
+        # as read-only — mutate a copy, never the returned dict, or every
+        # sibling with this shape silently changes style.
         style = base
         id_rules = self.sheet.id_rules(el) if attrs.get("id") else ()
         if id_rules or inline:

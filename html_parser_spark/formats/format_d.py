@@ -71,6 +71,7 @@ def parse_format_d_doc(doc: Node, threshold: float = 843.0) -> list[dict]:
 # --- real entry pairing (beyond the reference prototype) -------------------
 
 _WS_COLLAPSE = re.compile(r"\s+")
+_HAS_WORD = re.compile(r"[^\W_]", re.UNICODE)  # any letter or digit
 
 
 def _line_runs(div: Node, base_ff: str | None, base_fc: str | None) -> list[tuple]:
@@ -144,6 +145,7 @@ def parse_format_d_entries(doc: Node) -> list[dict]:
     # set one color and distinguish headwords by FONT only — fall back to
     # ff* tokens (same dominant-token rule) when color carries no signal
     token_idx = 2
+    head_token: str | None = None
     if len(color_chars) == 1:
         font_chars: Counter = Counter()
         for runs in lines:
@@ -155,6 +157,20 @@ def parse_format_d_entries(doc: Node) -> list[dict]:
             return []  # neither color nor font discriminates — no entries
         token_idx = 1
         body_fc = font_chars.most_common(1)[0][0]
+        # Fonts carry LESS signal than colors: a page typically has one
+        # headword color but several non-body fonts (bold headwords, italic
+        # grammar labels, watermark faces).  "any non-body lead" would turn
+        # every italic-led continuation line into a bogus entry, so in font
+        # mode the headword face is pinned to the most frequent line-leading
+        # token that differs from the body face.
+        lead_chars: Counter = Counter()
+        for runs in lines:
+            lead = next((r for r in runs if js_trim(r[0])), None)
+            if lead is not None and lead[1] is not None and lead[1] != body_fc:
+                lead_chars[lead[1]] += 1
+        if not lead_chars:
+            return []
+        head_token = lead_chars.most_common(1)[0][0]
 
     entries: list[dict] = []
     cur: dict | None = None
@@ -163,19 +179,55 @@ def parse_format_d_entries(doc: Node) -> list[dict]:
         if lead is None:
             continue
         lead_fc = lead[token_idx]
-        if lead_fc is not None and lead_fc != body_fc:
+        is_head = (
+            lead_fc is not None
+            and lead_fc != body_fc
+            and (head_token is None or lead_fc == head_token)
+        )
+        if is_head:
             src_parts: list[str] = []
             trl_parts: list[str] = []
+            pending: list[str] = []  # font mode: neutral punctuation buffer
             taking = True
             for run in runs:
                 txt, fc = run[0], run[token_idx]
                 if taking and (fc == lead_fc or not js_trim(txt)):
+                    src_parts.extend(pending)
+                    pending.clear()
                     src_parts.append(txt)
+                elif (
+                    taking
+                    and head_token is not None
+                    and not _HAS_WORD.search(txt)
+                ):
+                    # pdf2htmlEX often renders intra-headword hyphens/commas
+                    # in the BODY face even when the surrounding headword is
+                    # bold — a letterless run is neutral: it joins the src
+                    # only if another headword-face run follows it
+                    pending.append(txt)
                 else:
                     taking = False
+                    trl_parts.extend(pending)
+                    pending.clear()
                     trl_parts.append(txt)
+            trl_parts.extend(pending)
             cur = {"src": js_trim("".join(src_parts)), "trl": "".join(trl_parts)}
             entries.append(cur)
+        elif lead_fc is not None and lead_fc != body_fc:
+            # font mode: led by a non-body, non-headword face.  Watermarks /
+            # running headers render the ENTIRE line in that face; a genuine
+            # continuation line merely STARTS with it (an italic grammar
+            # label, a collocation in small-caps) and mixes body text after.
+            total = sum(len(js_trim(t)) for t, *_ in runs if js_trim(t))
+            inface = sum(
+                len(js_trim(r[0]))
+                for r in runs
+                if js_trim(r[0]) and r[token_idx] == lead_fc
+            )
+            if inface == total:
+                continue  # single-face line — noise; keep the entry open
+            if cur is not None:
+                cur["trl"] += "".join(r[0] for r in runs)
         elif cur is not None:
             cur["trl"] += "".join(r[0] for r in runs)
     for e in entries:

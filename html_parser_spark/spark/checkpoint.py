@@ -150,6 +150,13 @@ class IcebergCheckpointedExtraction:
                 USING iceberg"""
         )
 
+    def _latest_snapshot_id(self) -> str:
+        snap = self.spark.sql(
+            f"SELECT snapshot_id FROM {self.table}.snapshots "
+            "ORDER BY committed_at DESC LIMIT 1"
+        ).collect()
+        return str(snap[0][0]) if snap else "none"
+
     def run(
         self,
         pages: DataFrame,
@@ -159,26 +166,41 @@ class IcebergCheckpointedExtraction:
         from html_parser_spark.spark.pipeline import extract_pages
 
         self.ensure_tables()
+        # Resume = left-anti against the urls already committed, exactly like
+        # the parquet analog: MERGE's NOT-MATCHED alone would dedupe the
+        # *writes* but only after paying the full parse on every re-run —
+        # at crawl scale the parse IS the cost, so prune before the kernel.
+        todo = pages.join(
+            self.spark.table(self.table).select("url"), on="url", how="left_anti"
+        )
         results = extract_pages(
-            pages, num_partitions=num_partitions, max_html_bytes=max_html_bytes
+            todo, num_partitions=num_partitions, max_html_bytes=max_html_bytes
         ).withColumn("part_id", F.spark_partition_id())
-        results.createOrReplaceTempView("_new_results")
-        # NOT MATCHED = the anti-join of the parquet analog, done
-        # transactionally by the table format; re-runs are no-ops per url
+        # Materialize the parse ONCE into a staging table; both the MERGE and
+        # the lineage INSERT then read the staged rows, so the pandas-UDF
+        # kernel executes a single time per run and part_id is stable across
+        # the two statements (an uncached temp view would re-run the whole
+        # extraction for each consumer).
+        staging = f"{self.table}_staging"
+        results.writeTo(staging).using("iceberg").createOrReplace()
+
+        before = self._latest_snapshot_id()
         self.spark.sql(
             f"""MERGE INTO {self.table} t
                 USING (SELECT url, warc_ts, lang, fmt, extracted_text, entries,
                               n_entries, CAST(n_bytes_in AS BIGINT) AS n_bytes_in,
                               error
-                       FROM _new_results) s
+                       FROM {staging}) s
                 ON t.url = s.url
                 WHEN NOT MATCHED THEN INSERT *"""
         )
-        snap = self.spark.sql(
-            f"SELECT snapshot_id FROM {self.table}.snapshots "
-            "ORDER BY committed_at DESC LIMIT 1"
-        ).collect()
-        snap_id = str(snap[0][0]) if snap else "none"
+        after = self._latest_snapshot_id()
+        # the hint names the MERGE's own commit; if MERGE inserted nothing a
+        # new snapshot may not exist — record 'noop' rather than mislabeling
+        # an unrelated earlier snapshot
+        snap_id = after if after != before else "noop"
+        # staged rows are exactly the urls this run parsed (post anti-join),
+        # so lineage counts cover this run only — no overcount on resume
         self.spark.sql(
             f"""INSERT INTO {self.lineage_table}
                 SELECT '{snap_id}' AS snapshot_hint, part_id,
@@ -186,12 +208,22 @@ class IcebergCheckpointedExtraction:
                        sum(n_bytes_in) AS byte_count,
                        sum(CASE WHEN error IS NOT NULL THEN 1 ELSE 0 END)
                          AS error_count
-                FROM _new_results GROUP BY part_id"""
+                FROM {staging} GROUP BY part_id"""
         )
+        new_row = self.spark.table(staging).agg(
+            F.count("*").alias("docs"), F.sum("n_entries").alias("entries")
+        ).collect()[0]
         row = self.spark.table(self.table).agg(
             F.count("*").alias("docs"), F.sum("n_entries").alias("entries")
         ).collect()[0]
-        return {"snapshot": snap_id, "docs": row["docs"], "entries": row["entries"] or 0}
+        self.spark.sql(f"DROP TABLE IF EXISTS {staging}")
+        return {
+            "snapshot": snap_id,
+            "docs": row["docs"],
+            "entries": row["entries"] or 0,
+            "docs_new": new_row["docs"],
+            "entries_new": new_row["entries"] or 0,
+        }
 
     def expire_snapshots(self, older_than_days: int = 7) -> None:
         import datetime

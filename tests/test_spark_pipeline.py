@@ -316,11 +316,13 @@ def test_iceberg_checkpoint_if_available(spark, tmp_path):
     pages = synthetic_pages_df(spark, SF_DIR, paragraphs=1).limit(40).persist()
     ck = IcebergCheckpointedExtraction(spark, "ck.db.results")
     m1 = ck.run(pages.limit(25), num_partitions=4)
-    assert m1["docs"] == 25
+    assert m1["docs"] == 25 and m1["docs_new"] == 25
     m2 = ck.run(pages, num_partitions=4)
     assert m2["docs"] == 40  # table total after completing the remainder
+    assert m2["docs_new"] == 15  # anti-join: only the remainder was parsed
     m3 = ck.run(pages, num_partitions=4)  # idempotent
     assert m3["docs"] == 40
+    assert m3["docs_new"] == 0 and m3["snapshot"] == "noop"
     pages.unpersist()
 
 

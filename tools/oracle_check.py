@@ -51,6 +51,37 @@ def value_hash(cols: list[str], rows: list[tuple]) -> str:
     return h.hexdigest()
 
 
+def duck_rows_pandas_path(rel) -> list[tuple]:
+    """Fetch a DuckDB relation the way the DRIVER does: via ``.df()`` (pandas).
+
+    This is the path that exposed the round-2 HUGEINT bug: ``fetchall()``
+    yields Python ints for HUGEINT sums, but pandas has no int128 dtype so
+    ``.df()`` coerces the column to float64 — ``26100`` becomes ``26100.0``
+    and the strict hash diverges from Spark's BIGINT.  Fetching here through
+    pandas (numpy scalars unwrapped with ``.item()``, exactly the coercion
+    the driver sees) makes local green predict driver green.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def conv(x):
+        if isinstance(x, np.ndarray):
+            return [conv(v) for v in x.tolist()]
+        if isinstance(x, np.generic):
+            return x.item()
+        if x is pd.NaT:
+            return None
+        if isinstance(x, pd.Timestamp):
+            return x.to_pydatetime()
+        return x
+
+    df = rel.df()
+    return [
+        tuple(conv(x) for x in row)
+        for row in df.itertuples(index=False, name=None)
+    ]
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -87,7 +118,7 @@ def main():
         try:
             rel = con.sql(oracles[name])
             dcols = rel.columns
-            drows = rel.fetchall()
+            drows = duck_rows_pandas_path(rel)
         except Exception as e:
             print(f"FAIL {name}: duckdb error {e}")
             failures.append(name)
