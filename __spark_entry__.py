@@ -239,13 +239,15 @@ def q_cosine_topk(spark, sf_dir):
 
 
 def q_ivf_topk(spark, sf_dir):
-    """IVF ANN (brief §extras names IVF explicitly): seed-centroid coarse
-    quantizer, nprobe nearest-list probe, exact in-list re-rank."""
+    """IVF ANN (brief §extras names IVF explicitly): seed centroids refined
+    by ONE Lloyd iteration (decimal-exact cluster means, so the trained
+    centroids are bit-reproducible cross-engine), nprobe nearest-list probe,
+    exact in-list re-rank."""
     from html_parser_spark.ops.similarity import ivf_topk
 
     return ivf_topk(
         _tbl(spark, sf_dir, "embeddings"),
-        query_ids_below=5, k=5, n_centroids=16, nprobe=4,
+        query_ids_below=5, k=5, n_centroids=16, nprobe=4, train_iters=1,
     )
 
 
@@ -940,9 +942,43 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 5
         """,
         "q_ivf_topk": """
+            -- one Lloyd iteration over the seed centroids, then probe+rerank.
+            -- Cluster means sum through DECIMAL(30,15): order-independent and
+            -- bit-identical with Spark's decimal-summed means.
             WITH e AS (SELECT vec_id, embedding FROM embeddings),
-            cents AS (SELECT vec_id AS cent_id, embedding AS cv
-                      FROM e WHERE vec_id < 16),
+            seed AS (SELECT vec_id AS cent_id,
+                            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+                     FROM e WHERE vec_id < 16),
+            asg0 AS (
+              SELECT vec_id, cent_id, embedding FROM (
+                SELECT a.vec_id, c.cent_id, a.embedding,
+                       row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                         (list_dot_product(a.embedding, c.cv) /
+                          (sqrt(list_dot_product(a.embedding, a.embedding)) *
+                           sqrt(list_dot_product(c.cv, c.cv)))) DESC,
+                         c.cent_id ASC) AS rn
+                FROM e a CROSS JOIN seed c) WHERE rn = 1
+            ),
+            ex AS (
+              SELECT cent_id,
+                     unnest(range(1, len(embedding) + 1)) AS pos,
+                     unnest(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+                       AS val
+              FROM asg0
+            ),
+            sums AS (
+              SELECT cent_id, pos,
+                     sum(CAST(val AS DECIMAL(30,15))) AS s, count(*) AS c
+              FROM ex GROUP BY 1, 2
+            ),
+            refined AS (
+              SELECT cent_id, list(CAST(s AS DOUBLE) / c ORDER BY pos) AS cv
+              FROM sums GROUP BY cent_id
+            ),
+            cents AS (
+              SELECT s.cent_id, coalesce(r.cv, s.cv) AS cv
+              FROM seed s LEFT JOIN refined r USING (cent_id)
+            ),
             assign AS (
               SELECT vec_id, cent_id FROM (
                 SELECT a.vec_id, c.cent_id,

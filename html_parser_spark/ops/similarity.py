@@ -163,24 +163,104 @@ def bucket_histogram(embeddings: DataFrame, n_planes: int = 8) -> DataFrame:
 
 # --- IVF (inverted-file) ANN: the data-dependent counterpart of the
 # hyperplane-LSH path.  Coarse quantizer: deterministic seed centroids
-# (vec_id < n_centroids — the k-means-init stand-in; a Lloyd iteration is a
-# posexplode+groupBy away and changes nothing structurally).  Vectors are
-# assigned to their nearest centroid (one broadcast join — centroids are
-# tiny); queries probe the ``nprobe`` nearest lists and re-rank exactly
-# inside them.  At 10^12 vectors the probe join replaces the full scan the
-# same way the LSH bucket join does, with recall controlled by nprobe.
+# (vec_id < n_centroids — the k-means init), optionally refined by Lloyd
+# iterations (``ivf_train``).  Vectors are assigned to their nearest
+# centroid (one broadcast join — centroids are tiny); queries probe the
+# ``nprobe`` nearest lists and re-rank exactly inside them.  At 10^12
+# vectors the probe join replaces the full scan the same way the LSH bucket
+# join does, with recall controlled by nprobe.
+
+
+def seed_centroids(
+    embeddings: DataFrame, n_centroids: int = 16, vec_col: str = "embedding"
+) -> DataFrame:
+    """(cent_id, cv): the deterministic k-means init — the first
+    ``n_centroids`` vectors by id (seed vectors, no randomness)."""
+    return embeddings.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cent_id"), F.col(vec_col).alias("cv")
+    )
+
+
+def ivf_train(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 1,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd refinement of the seed centroids: assign every vector to its
+    nearest centroid (cosine), recompute each centroid as the mean of its
+    cluster, repeat.  Returns (cent_id, cv) with cv ARRAY<DOUBLE>.
+
+    Scale/determinism notes:
+    * each iteration is one broadcast-join assignment + one
+      posexplode/groupBy mean — both shuffle-light, no driver loop over data;
+    * the per-dimension mean sums through DECIMAL(30,15), which is
+      order-independent (shuffle-safe) AND cross-engine exact, so the same
+      input yields bit-identical centroids on every run and in the DuckDB
+      oracle (the round-2 DECIMAL lesson applied up front);
+    * clusters that receive no vectors keep their previous centroid.
+    """
+    # doubles from the start so refined (double) and kept (seed) centroids
+    # stay one type across iterations
+    cents = seed_centroids(embeddings, n_centroids, vec_col).select(
+        "cent_id", F.transform("cv", lambda x: x.cast("double")).alias("cv")
+    )
+    for _ in range(n_iters):
+        c = cents.select("cent_id", "cv", _norm(F.col("cv")).alias("cvn"))
+        sim = _dot(F.col(vec_col), F.col("cv")) / (F.col("_vn") * F.col("cvn"))
+        w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cent_id"))
+        assigned = (
+            embeddings.withColumn("_vn", _norm(F.col(vec_col)))
+            .crossJoin(F.broadcast(c))
+            .select(
+                "vec_id", "cent_id", sim.alias("sim"), F.col(vec_col).alias("_v")
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("cent_id", "_v")
+        )
+        sums = (
+            assigned.select("cent_id", F.posexplode("_v").alias("pos", "val"))
+            .groupBy("cent_id", "pos")
+            .agg(
+                F.sum(
+                    F.col("val").cast("double").cast("decimal(30,15)")
+                ).alias("s"),
+                F.count("*").alias("c"),
+            )
+        )
+        refined = (
+            sums.withColumn("m", F.col("s").cast("double") / F.col("c"))
+            .groupBy("cent_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("ncv")
+            )
+        )
+        cents = cents.join(refined, "cent_id", "left").select(
+            "cent_id", F.coalesce("ncv", "cv").alias("cv")
+        )
+    return cents
 
 
 def ivf_assign(
-    embeddings: DataFrame, n_centroids: int = 16, vec_col: str = "embedding"
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
-    """(vec_id, cent_id): each vector's nearest seed centroid by cosine
-    (ties → lowest cent_id).  Norms materialized once per side."""
-    cents = embeddings.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col(vec_col).alias("cv"),
-        _norm(F.col(vec_col)).alias("cvn"),
+    """(vec_id, cent_id): each vector's nearest centroid by cosine
+    (ties → lowest cent_id).  Norms materialized once per side.
+    ``centroids`` (cent_id, cv) overrides the seed quantizer — pass
+    ``ivf_train(...)`` output for trained lists."""
+    base = (
+        centroids
+        if centroids is not None
+        else seed_centroids(embeddings, n_centroids, vec_col)
     )
+    cents = base.select("cent_id", "cv", _norm(F.col("cv")).alias("cvn"))
     sim = _dot(F.col(vec_col), F.col("cv")) / (F.col("_vn") * F.col("cvn"))
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cent_id"))
     return (
@@ -200,15 +280,21 @@ def ivf_topk(
     n_centroids: int = 16,
     nprobe: int = 4,
     vec_col: str = "embedding",
+    train_iters: int = 0,
 ) -> DataFrame:
     """IVF approximate top-k: probe the ``nprobe`` nearest centroid lists per
     query, exact cosine re-rank inside them.  ``nprobe == n_centroids``
-    degenerates to exact brute force (tested equivalent to cosine_topk)."""
-    assign = ivf_assign(embeddings, n_centroids, vec_col)
-    cents = embeddings.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col(vec_col).alias("cv"),
-        _norm(F.col(vec_col)).alias("cvn"),
+    degenerates to exact brute force (tested equivalent to cosine_topk).
+    ``train_iters > 0`` runs that many Lloyd refinements over the seed
+    centroids first (``ivf_train``) — better-balanced lists, same plan."""
+    trained = (
+        ivf_train(embeddings, n_centroids, train_iters, vec_col)
+        if train_iters > 0
+        else seed_centroids(embeddings, n_centroids, vec_col)
+    )
+    assign = ivf_assign(embeddings, n_centroids, vec_col, centroids=trained)
+    cents = trained.select(
+        "cent_id", "cv", _norm(F.col("cv")).alias("cvn")
     )
     queries = embeddings.filter(F.col("vec_id") < query_ids_below).select(
         F.col("vec_id").alias("query_id"),

@@ -12,8 +12,10 @@ twins of the batch pipeline, built on the same kernels:
   (late data dropped after the watermark; the batch twin is
   ``__spark_entry__.q_event_windows``).
 * ``sessionize_stream`` — custom stateful operator via
-  ``applyInPandasWithState``: per-user session accumulation with processing-
-  time timeout (the batch twin is ``q_sessionize``).
+  ``applyInPandasWithState``: per-user EVENT-TIME sessionization (30-min
+  gap, EventTimeTimeout), replay-equivalent to the batch twin
+  ``q_sessionize`` — the same events produce the same sessions whether
+  they arrive as a stream or sit in the lake.
 """
 
 from __future__ import annotations
@@ -82,50 +84,113 @@ def windowed_event_stats(
 _SESSION_OUTPUT = T.StructType(
     [
         T.StructField("user_id", T.LongType()),
+        T.StructField("session_idx", T.LongType()),
         T.StructField("n_events", T.LongType()),
         T.StructField("session_value", T.DoubleType()),
         T.StructField("closed", T.BooleanType()),
     ]
 )
 
+# last_sec: event-time of the session's latest event, WHOLE SECONDS (the
+# batch twin computes gaps on second-truncated epochs — the stream must
+# truncate identically or a 1800.5s gap splits here and not there).
+# value_dec: the running DECIMAL(18,6) sum serialized as a string so exact
+# arithmetic survives state round-trips (a double in state would drift).
 _SESSION_STATE = T.StructType(
     [
+        T.StructField("session_idx", T.LongType()),
+        T.StructField("last_sec", T.LongType()),
         T.StructField("n_events", T.LongType()),
-        T.StructField("session_value", T.DoubleType()),
+        T.StructField("value_dec", T.StringType()),
     ]
 )
 
+_SESSION_GAP_S = 1800
+
+
+def _dec_round2(acc) -> float:
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(acc).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP))
+
 
 def _session_fn(key, pdfs, state: GroupState):
-    """Accumulate per-user event counts/values; emit and clear on timeout."""
+    """Event-time sessionization, replay-equivalent to the batch twin
+    (``__spark_entry__.q_sessionize``): per user, events ordered by
+    (ts, event_id); a gap > 1800s (whole-second epochs) closes the session.
+    Values accumulate through DECIMAL(18,6) with HALF_UP rounding — the
+    batch query's exact arithmetic, so stream and batch agree bit-for-bit
+    on the same events."""
+    from decimal import ROUND_HALF_UP, Decimal
+
     (user_id,) = key
     if state.hasTimedOut:
-        n, v = state.get
-        state.remove()
-        yield pd.DataFrame(
-            [{"user_id": user_id, "n_events": n, "session_value": v, "closed": True}]
-        )
+        idx, last_sec, n, vdec = state.get
+        # close the open session but keep a DORMANT state row (n=0): the
+        # session_idx counter must survive, or the user's next session would
+        # restart numbering at 1 and collide with earlier session keys.  No
+        # new timeout is set — the row is inert until the next event.
+        state.update((idx, last_sec, 0, "0"))
+        if n > 0:
+            yield pd.DataFrame(
+                [{"user_id": user_id, "session_idx": idx, "n_events": n,
+                  "session_value": _dec_round2(vdec), "closed": True}]
+            )
         return
-    n, v = state.get if state.exists else (0, 0.0)
-    for pdf in pdfs:
-        n += len(pdf)
-        v += float(pdf["value"].sum())
-    state.update((n, round(v, 2)))
-    state.setTimeoutDuration(30 * 60 * 1000)  # 30min processing-time gap
-    yield pd.DataFrame(
-        [{"user_id": user_id, "n_events": n, "session_value": round(v, 2), "closed": False}]
-    )
+    if state.exists:
+        idx, last_sec, n, vdec = state.get
+        acc = Decimal(vdec)
+    else:
+        idx, last_sec, n, acc = 0, None, 0, Decimal(0)
+    out = []
+    parts = [p for p in pdfs if len(p)]
+    if parts:
+        ev = pd.concat(parts).sort_values(["ts", "event_id"])
+        q6 = Decimal("0.000001")
+        for ts, val in zip(ev["ts"], ev["value"]):
+            sec = pd.Timestamp(ts).value // 1_000_000_000
+            if last_sec is None or sec - last_sec > _SESSION_GAP_S:
+                if n > 0:  # n == 0 → dormant resume: already closed by timeout
+                    out.append((idx, n, _dec_round2(acc), True))
+                idx += 1
+                n, acc = 0, Decimal(0)
+            n += 1
+            # repr() == shortest round-trip == the JVM's Double.toString,
+            # which is what Spark's double→decimal cast parses
+            acc += Decimal(repr(float(val))).quantize(q6, rounding=ROUND_HALF_UP)
+            last_sec = sec
+    if last_sec is not None and n > 0:
+        state.update((idx, int(last_sec), n, str(acc)))
+        # close when the WATERMARK passes the gap horizon; never set a
+        # timeout at/before the current watermark (the API rejects it)
+        timeout_ms = (last_sec + _SESSION_GAP_S + 1) * 1000
+        state.setTimeoutTimestamp(
+            max(timeout_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        out.append((idx, n, _dec_round2(acc), False))
+    if out:
+        yield pd.DataFrame(
+            [{"user_id": user_id, "session_idx": i, "n_events": c,
+              "session_value": v, "closed": cl} for i, c, v, cl in out]
+        )
 
 
-def sessionize_stream(events: DataFrame) -> DataFrame:
-    """Custom stateful operator: per-user session accumulation with a 30-min
-    processing-time timeout (applyInPandasWithState)."""
-    return events.groupBy("user_id").applyInPandasWithState(
-        _session_fn,
-        outputStructType=_SESSION_OUTPUT,
-        stateStructType=_SESSION_STATE,
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+def sessionize_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful operator: per-user event-time sessionization with a
+    30-min gap (applyInPandasWithState + EventTimeTimeout).  Emits every
+    update of the open session plus a final ``closed`` row when the
+    watermark passes the gap horizon; on replay the closed sessions equal
+    the batch ``q_sessionize`` output exactly."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn,
+            outputStructType=_SESSION_OUTPUT,
+            stateStructType=_SESSION_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     )
 
 

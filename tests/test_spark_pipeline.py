@@ -374,6 +374,44 @@ def test_ivf_topk_full_probe_equals_brute_force(spark):
         assert sorted(r.rank for r in rows) == list(range(1, len(rows) + 1))
         cos = [r.cosine for r in sorted(rows, key=lambda r: r.rank)]
         assert cos == sorted(cos, reverse=True)
+    # the equivalence must survive Lloyd training: full probe over TRAINED
+    # lists still covers every vector, so the re-rank is exact brute force
+    trained_full = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in ivf_topk(
+            emb, query_ids_below=3, k=4, n_centroids=8, nprobe=8, train_iters=1
+        ).collect()
+    }
+    assert trained_full == brute
+
+
+def test_ivf_recall_nondecreasing_in_nprobe(spark):
+    """For FIXED centroids, a larger nprobe probes a superset of inverted
+    lists, so candidate sets nest and recall@k vs brute force is
+    non-decreasing — deterministically, not just in expectation.  Also pins
+    that trained recall reaches 1.0 at full probe."""
+    from html_parser_spark.ops.similarity import cosine_topk, ivf_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    k, nq = 5, 4
+    truth = {}
+    for r in cosine_topk(emb, query_ids_below=nq, k=k).collect():
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    def recall(nprobe):
+        got = {}
+        for r in ivf_topk(
+            emb, query_ids_below=nq, k=k, n_centroids=8,
+            nprobe=nprobe, train_iters=1,
+        ).collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+        return hits / (len(truth) * k)
+
+    recalls = [recall(p) for p in (1, 2, 4, 8)]
+    assert recalls == sorted(recalls)  # monotone in nprobe
+    assert recalls[-1] == 1.0  # full probe == brute force
+    assert recalls[0] > 0  # even one list finds something
 
 
 def test_winnow_shared_substring_guarantee(spark):

@@ -64,14 +64,29 @@ def test_windowed_event_stats_matches_batch(spark, tmp_path):
     assert got == batch_expected
 
 
-def test_sessionize_stream_stateful(spark, tmp_path):
+def test_sessionize_stream_matches_batch_on_replay(spark, tmp_path):
+    """Event-time sessionize: replaying the events table through the stream
+    yields EXACTLY the batch ``q_sessionize`` sessions — same session
+    boundaries (second-truncated 1800s gaps), same counts, same
+    DECIMAL-rounded values.  Runs in two arrival waves (time-split) to cover
+    cross-batch session continuation and EventTimeTimeout closure."""
+    import __spark_entry__ as entry
     from html_parser_spark.streaming.stream import sessionize_stream
 
     ev_dir = str(tmp_path / "events")
-    spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
-        "ts", F.col("ts").cast("timestamp")
-    ).limit(200).write.parquet(ev_dir)
-    static = spark.read.parquet(ev_dir)
+    static = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    # time-split the replay at the median ts: wave 1 lands, is processed,
+    # then wave 2 arrives — per-user event order is preserved, sessions can
+    # straddle the wave boundary, and wave 2 advances the watermark enough
+    # to time out most wave-1 sessions
+    cut = static.selectExpr("percentile(cast(ts as long), 0.5) AS c").first().c
+    wave1 = static.filter(F.col("ts").cast("long") <= cut)
+    wave2 = static.filter(F.col("ts").cast("long") > cut)
+    wave1.coalesce(1).write.mode("append").parquet(ev_dir)
+
     stream = spark.readStream.schema(static.schema).parquet(ev_dir)
     q = (
         sessionize_stream(stream)
@@ -81,33 +96,23 @@ def test_sessionize_stream_stateful(spark, tmp_path):
         .start()
     )
     try:
-        # NB: processAllAvailable() never returns for processing-time-timeout
-        # stateful queries (timeout-driven empty batches keep the query busy);
-        # poll until the input file has been consumed instead
-        deadline = time.time() + 240  # generous: CI box may be under load
-        seen_rows = False
-        while time.time() < deadline:
-            if q.exception():
-                raise AssertionError(str(q.exception()))
-            lp = q.lastProgress
-            if lp and lp.get("numInputRows", 0) > 0:
-                seen_rows = True
-            if seen_rows and lp and lp.get("numInputRows") == 0:
-                break
-            time.sleep(1)
-        assert seen_rows, "stream never consumed the input"
+        q.processAllAvailable()
+        wave2.coalesce(1).write.mode("append").parquet(ev_dir)
+        q.processAllAvailable()
         rows = spark.sql("select * from sessions").collect()
     finally:
         q.stop()
-    # update-mode memory sink appends one row PER UPDATE and collect order is
-    # not the emission order — take the max cumulative count per session
+    # update-mode sink appends one row per emission; a session's final state
+    # is its row with the most events (counts only grow; the timeout's
+    # closed=True re-emission carries the same count/value)
     got: dict = {}
     for r in rows:
-        if not r.closed:
-            got[r.user_id] = max(got.get(r.user_id, 0), r.n_events)
+        k = (r.user_id, r.session_idx)
+        if k not in got or r.n_events > got[k][0]:
+            got[k] = (r.n_events, r.session_value)
     expected = {
-        r.user_id: r.n
-        for r in static.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+        (r.user_id, r.session_idx): (r.n_events, r.session_value)
+        for r in entry.q_sessionize(spark, SF_DIR).collect()
     }
     assert got == expected
 
