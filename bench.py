@@ -228,6 +228,7 @@ def main():
             "sweep_steal_cores_hi": steals_hi,
             "sweep_steal_cores_lo": steals_lo,
         }
+        scaling["secondary_pair"] = measure_secondary_pair(n_docs)
         write_baseline_md(scaling)
 
     out = {
@@ -247,6 +248,54 @@ def main():
     if scaling:
         out["scaling"] = scaling
     print(json.dumps(out))
+
+
+def measure_secondary_pair(n_docs: int) -> dict | None:
+    """The 4→16 sweep recorded ALONGSIDE the primary 2→8 pair, same
+    steal-inline protocol, so the scaling story does not rest on the
+    friendlier pair alone.  Budget-gated: skipped (recorded as such) when
+    the primary sweeps consumed the wall-clock budget."""
+    raw = os.environ.get("SPARK_GRAFT_BENCH_PAIR2", "4,16")
+    if raw in ("0", ""):
+        return None
+    lo2, hi2 = (int(x) for x in raw.split(","))
+    if time.time() - _T_START > BUDGET_SEC * 0.7:
+        return {"cores_lo": lo2, "cores_hi": hi2, "skipped": "wall-clock budget"}
+    walls = {"hi": [], "lo": []}
+    steals = {"hi": [], "lo": []}
+    w_hi = w_lo = float("inf")
+    for _ in range(2):  # interleaved sweeps, per-level minima
+        time.sleep(10)
+        w, _, s = run_extraction(hi2)
+        walls["hi"].append(round(w, 3))
+        steals["hi"].append(s)
+        w_hi = min(w_hi, w)
+        time.sleep(10)
+        w, _, s = run_extraction(lo2)
+        walls["lo"].append(round(w, 3))
+        steals["lo"].append(s)
+        w_lo = min(w_lo, w)
+        if time.time() - _T_START > BUDGET_SEC:
+            break
+    eff = ((n_docs / w_hi) / (n_docs / w_lo)) / (hi2 / lo2)
+    hw = (
+        cpu_capacity_calibration(lo2, hi2)
+        if time.time() - _T_START < BUDGET_SEC
+        else None
+    )
+    return {
+        "cores_lo": lo2,
+        "cores_hi": hi2,
+        "wall_lo_sec": round(w_lo, 3),
+        "wall_hi_sec": round(w_hi, 3),
+        "scaling_efficiency": round(eff, 3),
+        "hw_parallel_efficiency": hw,
+        "spark_attributable_efficiency": round(min(1.0, eff / hw), 3) if hw else None,
+        "sweep_walls_hi_sec": walls["hi"],
+        "sweep_walls_lo_sec": walls["lo"],
+        "sweep_steal_cores_hi": steals["hi"],
+        "sweep_steal_cores_lo": steals["lo"],
+    }
 
 
 _CAL_PAGES: list[bytes] = []
@@ -375,17 +424,52 @@ number is the relevant one.
 
 Measurement variance: this sandbox is a co-tenant VM with time-varying CPU
 steal (observed 0.5-4 cores via /proc/stat).  The bench interleaves hi/lo
-measurements and takes per-level minima to damp this.  Secondary evidence at
-other scale pairs (same job, same input, quiet windows): 4->16 cores measured
-0.70-0.79 raw with a 0.85 real-kernel pool ceiling at 16 workers (the gap is
-the single local-mode driver JVM serving 16 concurrent Arrow streams — a
-contention point that does not exist on a real cluster, where each executor
-runs its own JVM); 2->8 repeat sweeps measured 0.88-1.0 raw.
+measurements and takes per-level minima to damp this.
+
+{secondary_section(s.get("secondary_pair"))}
 
 Reference ceiling for the same workload shape: sequential headless-Chromium
 parse, ~10 docs/sec on one core (BASELINE.md).
 """
         )
+
+
+def secondary_section(p: dict | None) -> str:
+    if p is None:
+        return (
+            "Secondary pair: disabled this run (SPARK_GRAFT_BENCH_PAIR2=0).  "
+            "Historical quiet-window evidence: 4->16 measured 0.70-0.79 raw "
+            "against a 0.85 real-kernel pool ceiling; 2->8 repeat sweeps "
+            "0.88-1.0 raw."
+        )
+    if "skipped" in p:
+        return (
+            f"Secondary pair {p['cores_lo']}->{p['cores_hi']}: not measured "
+            f"this run ({p['skipped']}).  Historical quiet-window evidence: "
+            "4->16 measured 0.70-0.79 raw against a 0.85 real-kernel pool "
+            "ceiling at 16 workers (the gap is the single local-mode driver "
+            "JVM serving 16 concurrent Arrow streams — absent on a real "
+            "cluster, where each executor runs its own JVM)."
+        )
+    return f"""## Secondary pair — same protocol, measured THIS run
+
+| config | value |
+|---|---|
+| cores (N) | {p['cores_lo']} |
+| cores (4N) | {p['cores_hi']} |
+| wall @ N | {p['wall_lo_sec']} s |
+| wall @ 4N | {p['wall_hi_sec']} s |
+| **efficiency (thr_4N/thr_N)/4** | **{p['scaling_efficiency']}** |
+| hardware parallel-capacity ceiling (real-kernel pool) | {p['hw_parallel_efficiency']} |
+| **Spark-attributable efficiency** | **{p['spark_attributable_efficiency']}** |
+| interleaved sweep walls @ 4N | {p['sweep_walls_hi_sec']} s |
+| interleaved sweep walls @ N | {p['sweep_walls_lo_sec']} s |
+| steal during runs (cores) | hi {p['sweep_steal_cores_hi']}, lo {p['sweep_steal_cores_lo']} |
+
+At {p['cores_hi']} workers the single local-mode driver JVM serves
+{p['cores_hi']} concurrent Arrow streams — a contention point a real
+cluster's per-executor JVMs do not have; the hw-ceiling row quantifies the
+pure-hardware share of the gap for this box."""
 
 
 if __name__ == "__main__":

@@ -58,17 +58,26 @@ def _is_inflection(line: list[Node], i: int, el: Node) -> bool:
 def _classify_line(line: list[Node]) -> dict:
     """P2-P6 for one ``p.af1`` paragraph; returns {spelling?, inflection?, definitions}."""
     # P2 — aggregate sibling elements with the same className (mutates nodes,
-    # visible through `line`, as in the browser)
-    aggregated = [line[0]]
+    # visible through `line`, as in the browser).  `last`/`last_cls` track
+    # aggregated[-1] without re-reading the class property each iteration
+    # (identical semantics: a merge never changes the survivor's class, and
+    # a demoted node's class becomes "").
+    last = line[0]
+    last_cls = last.class_name
+    aggregated = [last]
     for k in range(1, len(line)):
         nxt = line[k]
-        if aggregated[-1].class_name == nxt.class_name:
-            aggregated[-1].text_content = aggregated[-1].text_content + nxt.text_content
+        ncls = nxt.class_name
+        if last_cls == ncls:
+            last.text_content = last.text_content + nxt.text_content
         else:
-            if nxt.class_name == "af":
+            if ncls == "af":
                 # only 'spelling' may carry af; later ones demoted to plain
                 nxt.class_name = ""
+                ncls = ""
             aggregated.append(nxt)
+            last = nxt
+            last_cls = ncls
 
     # P3 — anchor unwrap
     flat: list[Node] = []

@@ -53,13 +53,14 @@ def js_trim_end(s: str) -> str:
 
 
 def has_leading_ws(s: str) -> bool:
-    """JS ``/^\\s/.test(s)`` (utils.ts:6)."""
-    return bool(_LEADING_WS_RE.search(s))
+    """JS ``/^\\s/.test(s)`` (utils.ts:6).  First-char membership test —
+    identical to the anchored regex, without the regex call overhead."""
+    return bool(s) and s[0] in JS_WS_CHARS
 
 
 def has_trailing_ws(s: str) -> bool:
     """JS ``/\\s$/.test(s)`` (utils.ts:7)."""
-    return bool(_TRAILING_WS_RE.search(s))
+    return bool(s) and s[-1] in JS_WS_CHARS
 
 
 def truthy(v) -> bool:

@@ -26,7 +26,8 @@ from html_parser_spark.formats.detect import (
     FORMAT_D,
     detect_format,
 )
-from html_parser_spark.formats.format_a import parse_format_a_doc
+from html_parser_spark.formats.fastscan import scan_format_a
+from html_parser_spark.formats.format_a import parse_format_a_doc, post_process
 from html_parser_spark.formats.format_b import parse_format_b_doc
 from html_parser_spark.formats.format_c import parse_format_c_doc, refine
 from html_parser_spark.formats.format_d import (
@@ -53,6 +54,21 @@ def parse_document(html_bytes: bytes) -> dict:
     try:
         text = decode_html_bytes(html_bytes)
         fmt = detect_format(text)
+        if fmt == FORMAT_A:
+            # hot path: ONE token-stream pass, no DOM allocation (fastscan);
+            # returns None on suspicious markup / empty-text fallback cases,
+            # where the DOM path below carries the exact semantics
+            fast = scan_format_a(text)
+            if fast is not None:
+                extracted, raw_entries = fast
+                entries = _normalize(fmt, post_process(raw_entries))
+                return {
+                    "fmt": fmt,
+                    "extracted_text": extracted,
+                    "entries": entries,
+                    "n_entries": len(entries),
+                    "error": None,
+                }
         # ONE DOM parse shared by text extraction and the format kernel
         # (parsing dominates the profile; the format-A pass mutates the tree,
         # so the read-only extract_text runs first)
