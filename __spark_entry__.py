@@ -207,6 +207,28 @@ def q_quality_score(spark, sf_dir):
     return quality_features(_docs(spark, sf_dir))
 
 
+def q_tfidf(spark, sf_dir):
+    """Per-doc top-5 TF-IDF terms (corpus-relevance weighting for training-
+    data filtering).  Rank uses the ROUNDED score so cross-engine ln() ulps
+    cannot flip orderings."""
+    from html_parser_spark.ops.text import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir), k=5)
+
+
+def q_percentiles(spark, sf_dir):
+    """Exact grouped percentiles (p50/p95/p99) over the events stream —
+    the latency-SLO battery; Spark's exact `percentile` vs DuckDB
+    quantile_cont, both type-7 linear interpolation."""
+    ev = _tbl(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        F.count("*").alias("n_events"),
+    )
+
+
 def q_lang_profile(spark, sf_dir):
     from html_parser_spark.ops.text import lang_profile
 
@@ -606,6 +628,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_stats": q_token_stats,
         "q_quality_score": q_quality_score,
         "q_lang_profile": q_lang_profile,
+        "q_tfidf": q_tfidf,
+        "q_percentiles": q_percentiles,
         "q_minhash_sig": q_minhash_sig,
         "q_near_dup_pairs": q_near_dup_pairs,
         "q_cosine_topk": q_cosine_topk,
@@ -794,6 +818,36 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END) AS BIGINT)
                      AS docs_with_spark
             FROM documents GROUP BY lang
+        """,
+        "q_tfidf": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                       regexp_split_to_array(lower(text), '\\s+'),
+                       x -> len(x) > 0)) AS term
+              FROM documents
+            ),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+            dfc AS (SELECT term, count(DISTINCT doc_id) AS df
+                    FROM toks GROUP BY 1),
+            n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.term,
+                     round(tf.tf * ln((n.n + 1.0) / (dfc.df + 1.0)), 4) AS score
+              FROM tf JOIN dfc USING (term) CROSS JOIN n
+            )
+            SELECT doc_id, term, score, rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY doc_id
+                        ORDER BY score DESC, term ASC) AS rank
+              FROM scored) WHERE rank <= 5
+        """,
+        "q_percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 4) AS p50,
+                   round(quantile_cont(value, 0.95), 4) AS p95,
+                   round(quantile_cont(value, 0.99), 4) AS p99,
+                   count(*) AS n_events
+            FROM events GROUP BY event_type
         """,
         "q_minhash_sig": _MINHASH_CTE,
         "q_ngram_jaccard": """

@@ -259,12 +259,14 @@ def measure_secondary_pair(n_docs: int) -> dict | None:
     if raw in ("0", ""):
         return None
     lo2, hi2 = (int(x) for x in raw.split(","))
-    if time.time() - _T_START > BUDGET_SEC * 0.7:
+    if time.time() - _T_START > BUDGET_SEC * 1.15:
+        # the primary pair is the number of record; the secondary is evidence
+        # breadth — it gets a modest budget extension, not an unbounded one
         return {"cores_lo": lo2, "cores_hi": hi2, "skipped": "wall-clock budget"}
     walls = {"hi": [], "lo": []}
     steals = {"hi": [], "lo": []}
     w_hi = w_lo = float("inf")
-    for _ in range(2):  # interleaved sweeps, per-level minima
+    for sweep in range(2):  # interleaved sweeps, per-level minima
         time.sleep(10)
         w, _, s = run_extraction(hi2)
         walls["hi"].append(round(w, 3))
@@ -275,12 +277,12 @@ def measure_secondary_pair(n_docs: int) -> dict | None:
         walls["lo"].append(round(w, 3))
         steals["lo"].append(s)
         w_lo = min(w_lo, w)
-        if time.time() - _T_START > BUDGET_SEC:
+        if time.time() - _T_START > BUDGET_SEC * 1.3:
             break
     eff = ((n_docs / w_hi) / (n_docs / w_lo)) / (hi2 / lo2)
     hw = (
         cpu_capacity_calibration(lo2, hi2)
-        if time.time() - _T_START < BUDGET_SEC
+        if time.time() - _T_START < BUDGET_SEC * 1.3
         else None
     )
     return {
@@ -375,7 +377,7 @@ def cpu_capacity_calibration(lo: int, hi: int) -> float:
                 best = min(best, time.time() - t0)
         return best
 
-    rounds = 1 if time.time() - _T_START > BUDGET_SEC else 3
+    rounds = 1 if time.time() - _T_START > BUDGET_SEC else 2
     t_hi = t_lo = float("inf")
     for _ in range(rounds):  # interleaved sweeps, per-level minima (steal bursts)
         t_hi = min(t_hi, measure(hi))

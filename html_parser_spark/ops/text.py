@@ -9,7 +9,7 @@ deliberately restricted to the portable subset (ASCII classes, md5).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # deliberately tiny, portable stopword list (the synthetic corpus vocabulary)
 STOPWORDS = ["the", "a", "of", "and", "to", "in"]
@@ -223,4 +223,44 @@ def winnow_fingerprints(
     ).otherwise(F.col("_h"))
     return d.select(
         "doc_id", F.explode(F.array_distinct(mins)).alias("fingerprint")
+    )
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 5, text_col: str = "text") -> DataFrame:
+    """Per-document top-k TF-IDF terms — the classic training-data relevance
+    primitive (term weighting for corpus filtering / topic sampling).
+
+    tf = term count in doc; idf = ln((N+1)/(df+1)) (smoothed, non-negative);
+    rank on the ROUNDED score (4 dp) with term as tiebreak so the ordering is
+    identical cross-engine (a last-ulp ln() difference cannot flip a rank).
+    All JVM expressions: explode → two groupBys (partial-agg friendly) → one
+    broadcast of the single-row corpus count — no UDF, scales as a pair of
+    shuffles on (doc_id, term)/(term)."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("term"),
+    ).filter(F.length("term") > 0)
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = (
+        toks.select("doc_id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    n = docs.select(F.countDistinct("doc_id").alias("n"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf") * F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)), 4
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "score", "rank")
     )

@@ -63,15 +63,31 @@ def main(argv=None):
         pages = pages.limit(args.limit)
 
     if args.resume:
-        from html_parser_spark.spark.checkpoint import CheckpointedExtraction
-
-        ck = CheckpointedExtraction(spark, args.output)
-        metrics = ck.run(
-            pages,
-            num_partitions=args.partitions,
-            max_html_bytes=args.max_html_bytes or None,
+        from html_parser_spark.spark.checkpoint import (
+            CheckpointedExtraction,
+            IcebergCheckpointedExtraction,
+            iceberg_available,
         )
-        results = ck.results()
+
+        # prefer the transactional MERGE INTO path when an Iceberg runtime is
+        # on the classpath AND --output names a catalog table (cat.db.tbl);
+        # the parquet analog (same semantics, tested here) otherwise
+        if iceberg_available(spark) and "/" not in args.output:
+            ck = IcebergCheckpointedExtraction(spark, args.output)
+            metrics = ck.run(
+                pages,
+                num_partitions=args.partitions,
+                max_html_bytes=args.max_html_bytes or None,
+            )
+            results = spark.table(args.output)
+        else:
+            ck = CheckpointedExtraction(spark, args.output)
+            metrics = ck.run(
+                pages,
+                num_partitions=args.partitions,
+                max_html_bytes=args.max_html_bytes or None,
+            )
+            results = ck.results()
     else:
         results = extract_pages(
             pages,
@@ -87,7 +103,13 @@ def main(argv=None):
         row = quality_metrics(results).collect()[0]
         metrics = {k: row[k] for k in ("docs", "entries", "bytes_in", "errors")}
 
-    print(json.dumps({"job": "extract", **{k: int(v) if v is not None else 0 for k, v in metrics.items()}}))
+    print(json.dumps({
+        "job": "extract",
+        **{
+            k: (int(v) if isinstance(v, (int, float)) else (v if v is not None else 0))
+            for k, v in metrics.items()
+        },
+    }))
 
 
 if __name__ == "__main__":
