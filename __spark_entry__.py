@@ -254,6 +254,16 @@ def q_near_dup_pairs(spark, sf_dir):
     return lsh_near_duplicates(_docs(spark, sf_dir), num_hashes=4, bands=2)
 
 
+def q_dup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERING (the dedup endgame): transitive components over
+    the LSH pair graph via min-label propagation (O(diameter) BSP rounds,
+    one-row convergence counts only on the driver), canonical = min doc_id.
+    Oracle: DuckDB recursive CTE computing min reachable id."""
+    from html_parser_spark.ops.dedup import near_dup_components
+
+    return near_dup_components(_docs(spark, sf_dir), num_hashes=4, bands=2)
+
+
 def q_cosine_topk(spark, sf_dir):
     from html_parser_spark.ops.similarity import cosine_topk
 
@@ -632,6 +642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_percentiles": q_percentiles,
         "q_minhash_sig": q_minhash_sig,
         "q_near_dup_pairs": q_near_dup_pairs,
+        "q_dup_clusters": q_dup_clusters,
         "q_cosine_topk": q_cosine_topk,
         "q_ivf_topk": q_ivf_topk,
         "q_embedding_near_dup": q_embedding_near_dup,
@@ -939,6 +950,38 @@ def oracle_sql() -> dict[str, str]:
               ON a.band_id = b.band_id AND a.band_key = b.band_key
              AND a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id
+        """,
+        "q_dup_clusters": f"""
+            WITH RECURSIVE sigs AS ({_MINHASH_CTE}),
+            bands AS (
+              SELECT doc_id, 0 AS band_id, sig_0 || '|' || sig_1 AS band_key FROM sigs
+              UNION ALL
+              SELECT doc_id, 1 AS band_id, sig_2 || '|' || sig_3 AS band_key FROM sigs
+            ),
+            pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band_id = b.band_id AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            sym AS (
+              SELECT doc_a AS v, doc_b AS u FROM pairs
+              UNION
+              SELECT doc_b, doc_a FROM pairs
+            ),
+            reach(v, lbl) AS (
+              SELECT DISTINCT v, v FROM sym
+              UNION
+              SELECT s.v, r.lbl FROM sym s JOIN reach r ON r.v = s.u
+            ),
+            labels AS (
+              SELECT v AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY v
+            )
+            SELECT doc_id, cluster_id,
+                   count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+                   CAST(doc_id = cluster_id AS INT) AS is_canonical
+            FROM labels
         """,
         "q_jaccard_verify": f"""
             WITH sigs AS ({_MINHASH_CTE}),

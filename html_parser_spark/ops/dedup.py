@@ -260,3 +260,87 @@ def simhash_near_duplicates(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# --- near-dup clustering: the dedup ENDGAME ---------------------------------
+# Pairs tell you who matches; keeping one canonical document per cluster
+# requires the transitive closure.  Min-label propagation over the pair
+# graph: each round every vertex takes the min label among itself and its
+# neighbours — one equi-join + one groupBy shuffle per round, converging in
+# O(component diameter) rounds.  Near-dup clusters are shallow (stars and
+# short chains), so 2-4 rounds is typical; the loop is a synchronous BSP
+# iteration driven from the driver, but per round only a ONE-ROW convergence
+# count crosses to the driver — the label table itself never leaves the
+# executors.  (The classic alternating small-star/large-star optimization
+# drops in here unchanged if crawl-scale clusters ever get deep.)
+
+
+def components_from_pairs(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """(doc_a, doc_b) pairs → (doc_id, cluster_id, cluster_size,
+    is_canonical) over every vertex that appears in at least one pair.
+    cluster_id = min doc_id reachable in the component (deterministic);
+    the canonical representative is the cluster_id holder itself."""
+    from pyspark.sql import Window
+
+    sym = pairs.select(
+        F.col("doc_a").alias("v"), F.col("doc_b").alias("u")
+    ).unionAll(pairs.select(F.col("doc_b").alias("v"), F.col("doc_a").alias("u")))
+    sym = sym.persist()
+    # localCheckpoint (eager) TRUNCATES the logical plan each round — an
+    # iterative self-join otherwise doubles its lineage per round and the
+    # plan itself becomes the bottleneck (exponential analyze/explain cost)
+    # long before the data does.  Executor-local blocks are fine for
+    # iteration-temp state; swap for checkpoint(dir) if executor loss during
+    # the loop must be survivable.
+    labels = (
+        sym.select("v").distinct().withColumn("lbl", F.col("v")).localCheckpoint()
+    )
+    for _ in range(max_iters):
+        nbr = (
+            sym.join(labels.select(F.col("v").alias("u"), "lbl"), "u")
+            .groupBy("v")
+            .agg(F.min("lbl").alias("nlbl"))
+            .persist()
+        )
+        improved = (
+            nbr.join(labels, "v").filter(F.col("nlbl") < F.col("lbl")).count()
+        )
+        if improved == 0:
+            nbr.unpersist()
+            break
+        labels = (
+            labels.join(nbr, "v", "left")
+            .select(
+                "v",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        nbr.unpersist()
+    sym.unpersist()
+    w = Window.partitionBy("cluster_id")
+    return labels.select(
+        F.col("v").alias("doc_id"), F.col("lbl").alias("cluster_id")
+    ).select(
+        "doc_id",
+        "cluster_id",
+        F.count("*").over(w).alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("is_canonical"),
+    )
+
+
+def near_dup_components(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+    max_iters: int = 20,
+) -> DataFrame:
+    """LSH near-dup pairs → connected components → canonical selection.
+    The full crawl-dedup composition: band-bucket candidates (O(Σ bucket²)),
+    transitive clustering, keep doc_id == cluster_id as the survivor."""
+    pairs = lsh_near_duplicates(docs, text_col, num_hashes, bands, shingle_k)
+    return components_from_pairs(pairs.select("doc_a", "doc_b"), max_iters)

@@ -435,3 +435,24 @@ def test_winnow_shared_substring_guarantee(spark):
     assert by_doc[0] & by_doc[1], "shared passage must share a fingerprint"
     overlap_02 = len(by_doc[0] & by_doc[2]) / max(1, len(by_doc[0]))
     assert overlap_02 < 0.2, overlap_02
+
+
+def test_components_from_pairs_chain_and_stars(spark):
+    """Min-label propagation: a 9-hop chain needs multiple BSP rounds (labels
+    move one hop per round), a star collapses in one; canonical = min id."""
+    from html_parser_spark.ops.dedup import components_from_pairs
+
+    chain = [(i, i + 1) for i in range(10, 19)]          # 10-11-...-19
+    star = [(3, 7), (3, 8), (3, 9)]                      # hub 3
+    pair = [(100, 101)]
+    edges = spark.createDataFrame(
+        chain + star + pair, "doc_a long, doc_b long"
+    )
+    rows = components_from_pairs(edges).collect()
+    by_doc = {r.doc_id: r for r in rows}
+    assert {r.cluster_id for r in rows if 10 <= r.doc_id <= 19} == {10}
+    assert {r.cluster_id for r in rows if r.doc_id in (3, 7, 8, 9)} == {3}
+    assert by_doc[100].cluster_id == 100 and by_doc[101].cluster_id == 100
+    assert by_doc[10].is_canonical == 1 and by_doc[19].is_canonical == 0
+    assert by_doc[10].cluster_size == 10 and by_doc[3].cluster_size == 4
+    assert len(rows) == 16  # only vertices that appear in some pair
