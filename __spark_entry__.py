@@ -216,6 +216,26 @@ def q_tfidf(spark, sf_dir):
     return tfidf_top_terms(_docs(spark, sf_dir), k=5)
 
 
+def q_data_split(spark, sf_dir):
+    """Deterministic hash-based train/valid/test assignment (the reproducible
+    corpus-split primitive: same doc → same split on every run and engine —
+    unlike randomSplit/sampleBy, a re-run or a different partitioning cannot
+    leak documents across splits).  Bucket = first two md5 hex chars of the
+    doc id (256 buckets): <205 train (~80%), <230 valid (~10%), rest test."""
+    d = _docs(spark, sf_dir)
+    h = F.md5(F.col("doc_id").cast("string"))
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    split = (
+        F.when(bucket < 205, "train").when(bucket < 230, "valid").otherwise("test")
+    )
+    return d.groupBy(split.alias("split")).agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+        F.sum(F.length("text")).alias("total_chars"),
+    )
+
+
 def q_percentiles(spark, sf_dir):
     """Exact grouped percentiles (p50/p95/p99) over the events stream —
     the latency-SLO battery; Spark's exact `percentile` vs DuckDB
@@ -639,6 +659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_score": q_quality_score,
         "q_lang_profile": q_lang_profile,
         "q_tfidf": q_tfidf,
+        "q_data_split": q_data_split,
         "q_percentiles": q_percentiles,
         "q_minhash_sig": q_minhash_sig,
         "q_near_dup_pairs": q_near_dup_pairs,
@@ -851,6 +872,25 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, row_number() OVER (PARTITION BY doc_id
                         ORDER BY score DESC, term ASC) AS rank
               FROM scored) WHERE rank <= 5
+        """,
+        "q_data_split": """
+            WITH b AS (
+              SELECT doc_id, text,
+                     (strpos('0123456789abcdef',
+                             substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                     + strpos('0123456789abcdef',
+                              substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1
+                       AS bucket
+              FROM documents
+            )
+            SELECT CASE WHEN bucket < 205 THEN 'train'
+                        WHEN bucket < 230 THEN 'valid'
+                        ELSE 'test' END AS split,
+                   count(*) AS n_docs,
+                   min(doc_id) AS min_doc,
+                   max(doc_id) AS max_doc,
+                   CAST(sum(len(text)) AS BIGINT) AS total_chars
+            FROM b GROUP BY 1
         """,
         "q_percentiles": """
             SELECT event_type,
