@@ -222,18 +222,44 @@ def q_data_split(spark, sf_dir):
     unlike randomSplit/sampleBy, a re-run or a different partitioning cannot
     leak documents across splits).  Bucket = first two md5 hex chars of the
     doc id (256 buckets): <205 train (~80%), <230 valid (~10%), rest test."""
-    d = _docs(spark, sf_dir)
-    h = F.md5(F.col("doc_id").cast("string"))
-    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
-    split = (
-        F.when(bucket < 205, "train").when(bucket < 230, "valid").otherwise("test")
-    )
-    return d.groupBy(split.alias("split")).agg(
+    from html_parser_spark.ops.corpus import assign_split
+
+    d = assign_split(_docs(spark, sf_dir))
+    return d.groupBy("split").agg(
         F.count("*").alias("n_docs"),
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
         F.sum(F.length("text")).alias("total_chars"),
     )
+
+
+def q_contamination(spark, sf_dir):
+    """Train→test n-gram contamination audit (GPT-3 appendix C / Gopher
+    §A.2): for each test-split doc, the fraction of its distinct 8-word
+    shingles that occur anywhere in the train split.  Shingles are md5-hashed
+    before the semi-join so the shuffle key is 32 bytes, not 8 words."""
+    from html_parser_spark.ops.corpus import contamination_check
+
+    return contamination_check(_docs(spark, sf_dir), shingle_k=8)
+
+
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition filter features: top-token fraction and
+    duplicate-bigram occurrence fraction per document (Rae et al. §A.1.1).
+    Tie on the top token breaks to the smallest token (min over (-count,
+    token)) so the answer is deterministic on every engine."""
+    from html_parser_spark.ops.corpus import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+def q_dedup_survivors(spark, sf_dir):
+    """The deduplicated corpus (what actually ships to training): LSH
+    near-dup components → drop non-canonical members via LEFT ANTI join,
+    keep every doc that was never in a dup cluster."""
+    from html_parser_spark.ops.corpus import dedup_survivors
+
+    return dedup_survivors(_docs(spark, sf_dir), num_hashes=4, bands=2)
 
 
 def q_percentiles(spark, sf_dir):
@@ -660,6 +686,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_profile": q_lang_profile,
         "q_tfidf": q_tfidf,
         "q_data_split": q_data_split,
+        "q_contamination": q_contamination,
+        "q_repetition": q_repetition,
+        "q_dedup_survivors": q_dedup_survivors,
         "q_percentiles": q_percentiles,
         "q_minhash_sig": q_minhash_sig,
         "q_near_dup_pairs": q_near_dup_pairs,
@@ -891,6 +920,109 @@ def oracle_sql() -> dict[str, str]:
                    max(doc_id) AS max_doc,
                    CAST(sum(len(text)) AS BIGINT) AS total_chars
             FROM b GROUP BY 1
+        """,
+        "q_contamination": """
+            WITH s AS (
+              SELECT doc_id,
+                     (strpos('0123456789abcdef',
+                             substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                     + strpos('0123456789abcdef',
+                              substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1
+                       AS bucket,
+                     regexp_split_to_array(trim(text), '\\s+') AS w
+              FROM documents
+            ), sp AS (
+              SELECT doc_id,
+                     CASE WHEN bucket < 205 THEN 'train'
+                          WHEN bucket < 230 THEN 'valid' ELSE 'test' END AS split,
+                     list_distinct(CASE WHEN len(w) >= 8 THEN
+                       list_transform(generate_series(1, len(w) - 7),
+                                      i -> array_to_string(list_slice(w, i, i + 7), ' '))
+                     ELSE [] END) AS sh
+              FROM s
+            ), train_sh AS (
+              SELECT DISTINCT md5(unnest(sh)) AS hsh FROM sp WHERE split = 'train'
+            ), test_docs AS (
+              SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles FROM sp
+              WHERE split = 'test' AND len(sh) > 0
+            ), test_sh AS (
+              SELECT doc_id, md5(unnest(sh)) AS hsh FROM sp WHERE split = 'test'
+            ), hits AS (
+              SELECT doc_id, count(*) AS contaminated FROM test_sh
+              WHERE hsh IN (SELECT hsh FROM train_sh) GROUP BY doc_id
+            )
+            SELECT t.doc_id, t.n_shingles,
+                   CAST(coalesce(h.contaminated, 0) AS BIGINT) AS contaminated,
+                   round(coalesce(h.contaminated, 0) / t.n_shingles, 4)
+                     AS contaminated_frac
+            FROM test_docs t LEFT JOIN hits h USING (doc_id)
+        """,
+        "q_repetition": """
+            WITH t AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+              FROM documents
+            ), tok AS (
+              SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, unnest(w) AS tok
+              FROM t
+            ), wc AS (
+              SELECT doc_id, n_tokens, tok, count(*) AS c
+              FROM tok GROUP BY 1, 2, 3
+            ), top AS (
+              SELECT doc_id, n_tokens, tok AS top_word,
+                     round(c / n_tokens, 4) AS top_word_frac,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY c DESC, tok ASC) AS rn
+              FROM wc
+            ), bg AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) >= 2 THEN
+                       list_transform(generate_series(1, len(w) - 1),
+                                      i -> w[i] || ' ' || w[i + 1])
+                     ELSE [] END AS gs
+              FROM t
+            ), bgc AS (
+              SELECT doc_id, g, count(*) AS c
+              FROM (SELECT doc_id, unnest(gs) AS g FROM bg) GROUP BY 1, 2
+            ), dup AS (
+              SELECT doc_id,
+                     round(sum(CASE WHEN c > 1 THEN c ELSE 0 END) / sum(c), 4)
+                       AS dup_bigram_frac
+              FROM bgc GROUP BY doc_id
+            )
+            SELECT top.doc_id, top.n_tokens, top.top_word, top.top_word_frac,
+                   coalesce(dup.dup_bigram_frac, 0.0) AS dup_bigram_frac
+            FROM top LEFT JOIN dup USING (doc_id) WHERE rn = 1
+        """,
+        "q_dedup_survivors": f"""
+            WITH RECURSIVE sigs AS ({_MINHASH_CTE}),
+            bands AS (
+              SELECT doc_id, 0 AS band_id, sig_0 || '|' || sig_1 AS band_key FROM sigs
+              UNION ALL
+              SELECT doc_id, 1 AS band_id, sig_2 || '|' || sig_3 AS band_key FROM sigs
+            ),
+            pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band_id = b.band_id AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            sym AS (
+              SELECT doc_a AS v, doc_b AS u FROM pairs
+              UNION
+              SELECT doc_b, doc_a FROM pairs
+            ),
+            reach(v, lbl) AS (
+              SELECT DISTINCT v, v FROM sym
+              UNION
+              SELECT s.v, r.lbl FROM sym s JOIN reach r ON r.v = s.u
+            ),
+            losers AS (
+              SELECT v AS doc_id FROM reach GROUP BY v HAVING v <> min(lbl)
+            )
+            SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+            FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM losers)
         """,
         "q_percentiles": """
             SELECT event_type,

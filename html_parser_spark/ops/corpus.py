@@ -1,0 +1,185 @@
+"""Corpus-curation operators for training-data pipelines (brief §extras):
+deterministic split assignment, train/test contamination checking,
+Gopher-style repetition statistics, and dedup-survivor materialization.
+
+These are the steps BETWEEN extraction and training: once text is extracted
+(pipeline.py) and near-dups are identified (ops/dedup.py), a real pipeline
+must (a) assign every document to a split reproducibly, (b) prove the test
+split is not contaminated by train n-grams, (c) drop pathologically
+repetitive documents (Rae et al., "Scaling Language Models" / Gopher §A.1.1
+repetition filters), and (d) materialize the deduplicated corpus itself.
+
+Scale notes (100 TB):
+
+* split assignment — pure per-row hash expression, no shuffle at all; unlike
+  ``randomSplit``/``sampleBy`` the assignment is a function of the document
+  id alone, so re-runs, repartitions, and different engines all agree —
+  documents can never leak across splits between pipeline versions.
+* contamination — the train-side distinct shingle set is huge but uniform
+  (md5 keys); both the distinct and the semi-join are plain hash-partition
+  exchanges with map-side partial aggregation.  Shingles are hashed to md5
+  hex BEFORE the join so the shuffle moves 32-byte keys, not 8-word strings.
+  No O(n²) anywhere: cost is O(total shingles).
+* repetition — explode → (doc_id, token) groupBy: partial aggregation
+  combines map-side, and doc_id is the natural partition key for every
+  downstream agg, so AQE reuses one exchange.
+* survivors — the loser set (non-canonical cluster members) is a tiny
+  fraction of the corpus; LEFT ANTI join on doc_id lets AQE pick a broadcast
+  anti-join when it fits, a shuffle anti-join otherwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .dedup import _with_shingles, near_dup_components
+
+
+def split_bucket(id_col: Column, *, buckets: int = 256) -> Column:
+    """Deterministic bucket in [0, 256): first two md5 hex chars of the id.
+
+    md5 is identical in every engine (the DuckDB oracle reproduces this with
+    strpos arithmetic), so the bucket — and therefore the split — is a pure
+    function of the id, not of partitioning, sampling seed, or engine.
+    """
+    if buckets != 256:
+        raise ValueError("split_bucket is fixed at 256 md5-prefix buckets")
+    return F.conv(F.substring(F.md5(id_col.cast("string")), 1, 2), 16, 10).cast("int")
+
+
+def assign_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    train_hi: int = 205,
+    valid_hi: int = 230,
+) -> DataFrame:
+    """Adds a ``split`` column: bucket <205 → train (~80%), <230 → valid
+    (~10%), else test (~10%).  Narrow (no shuffle), reproducible, portable."""
+    b = split_bucket(F.col(id_col))
+    return docs.withColumn(
+        "split",
+        F.when(b < train_hi, "train").when(b < valid_hi, "valid").otherwise("test"),
+    )
+
+
+def contamination_check(
+    docs: DataFrame,
+    text_col: str = "text",
+    shingle_k: int = 8,
+    train_hi: int = 205,
+    valid_hi: int = 230,
+) -> DataFrame:
+    """Per test-split document: how many of its distinct k-word shingles
+    also occur anywhere in the train split (n-gram decontamination audit,
+    the GPT-3 appendix-C / Gopher §A.2 check).
+
+    Returns (doc_id, n_shingles, contaminated, contaminated_frac) for every
+    test doc with at least one shingle.  Shingles are md5-hashed before the
+    semi-join so the shuffle key is short and uniform.
+    """
+    d = _with_shingles(assign_split(docs, train_hi=train_hi, valid_hi=valid_hi),
+                       text_col, shingle_k)
+    base = d.select(
+        "doc_id", "split", F.array_distinct("_shingles").alias("sh")
+    )
+    train_sh = (
+        base.where(F.col("split") == "train")
+        .select(F.explode("sh").alias("s"))
+        .select(F.md5(F.col("s")).alias("hsh"))
+        .distinct()
+    )
+    test_docs = (
+        base.where(F.col("split") == "test")
+        .select("doc_id", F.size("sh").cast("long").alias("n_shingles"))
+        .where(F.col("n_shingles") > 0)
+    )
+    test_sh = (
+        base.where(F.col("split") == "test")
+        .select("doc_id", F.explode("sh").alias("s"))
+        .select("doc_id", F.md5(F.col("s")).alias("hsh"))
+    )
+    hits = (
+        test_sh.join(train_sh, "hsh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("contaminated"))
+    )
+    return (
+        test_docs.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("contaminated"), F.lit(0).cast("long")).alias(
+                "contaminated"
+            ),
+            F.round(
+                F.coalesce(F.col("contaminated"), F.lit(0))
+                / F.col("n_shingles"),
+                4,
+            ).alias("contaminated_frac"),
+        )
+    )
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition features per document: the fraction of tokens
+    taken by the single most frequent token, and the fraction of bigram
+    occurrences whose bigram appears more than once in the document.
+
+    Returns (doc_id, n_tokens, top_word, top_word_frac, dup_bigram_frac).
+    Ties on the top word break to the lexicographically smallest token so the
+    result is deterministic and engine-portable (min over (-count, token)).
+    """
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks")
+    ).select(
+        "doc_id",
+        F.size("_toks").cast("long").alias("n_tokens"),
+        F.explode("_toks").alias("tok"),
+    )
+    word_counts = toks.groupBy("doc_id", "n_tokens", "tok").agg(
+        F.count("*").alias("c")
+    )
+    top = word_counts.groupBy("doc_id", "n_tokens").agg(
+        F.min(F.struct((-F.col("c")).alias("nc"), F.col("tok").alias("w"))).alias("b")
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.col("b.w").alias("top_word"),
+        F.round((-F.col("b.nc")) / F.col("n_tokens"), 4).alias("top_word_frac"),
+    )
+    d2 = _with_shingles(docs, text_col, 2).select(
+        "doc_id", F.explode("_shingles").alias("g")
+    )
+    bigram_counts = d2.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    dup = bigram_counts.groupBy("doc_id").agg(
+        F.round(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
+            / F.sum("c"),
+            4,
+        ).alias("dup_bigram_frac")
+    )
+    return top.join(dup, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "top_word",
+        "top_word_frac",
+        F.coalesce(F.col("dup_bigram_frac"), F.lit(0.0)).alias("dup_bigram_frac"),
+    )
+
+
+def dedup_survivors(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """The deduplicated corpus itself: LSH near-dup pairs → connected
+    components → drop every non-canonical cluster member, keep everything
+    else.  This is the step the cluster actually ships to training — the
+    pair/cluster queries are the audit trail, this is the output table."""
+    comp = near_dup_components(docs, text_col, num_hashes, bands, shingle_k)
+    losers = comp.where(F.col("is_canonical") == 0).select("doc_id")
+    return docs.join(losers, "doc_id", "left_anti").select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )

@@ -1,0 +1,99 @@
+"""Corpus-curation operators (ops/corpus.py): deterministic splits,
+contamination audit, repetition features, dedup-survivor materialization."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+
+def _bucket(i: int) -> int:
+    return int(hashlib.md5(str(i).encode()).hexdigest()[:2], 16)
+
+
+def _split_of(i: int) -> str:
+    b = _bucket(i)
+    return "train" if b < 205 else ("valid" if b < 230 else "test")
+
+
+def test_assign_split_deterministic_and_proportional(spark):
+    from html_parser_spark.ops.corpus import assign_split
+
+    docs = spark.range(2000).withColumnRenamed("id", "doc_id")
+    got = {r.doc_id: r.split for r in assign_split(docs).collect()}
+    # pure function of the id: matches an independent python md5, so the
+    # assignment is engine- and partitioning-independent
+    for i in (0, 1, 17, 999, 1999):
+        assert got[i] == _split_of(i)
+    # repartitioning cannot move a document across splits
+    got2 = {
+        r.doc_id: r.split
+        for r in assign_split(docs.repartition(13)).collect()
+    }
+    assert got == got2
+    from collections import Counter
+
+    c = Counter(got.values())
+    assert 0.74 <= c["train"] / 2000 <= 0.86
+    assert 0.06 <= c["valid"] / 2000 <= 0.14
+    assert 0.06 <= c["test"] / 2000 <= 0.14
+
+
+def test_contamination_detects_planted_ngram(spark):
+    from html_parser_spark.ops.corpus import contamination_check
+
+    train_id = next(i for i in range(1000) if _split_of(i) == "train")
+    test_ids = [i for i in range(1000) if _split_of(i) == "test"][:2]
+    leaked = "w1 w2 w3 w4 w5 w6 w7 w8"  # one exact 8-gram from the train doc
+    rows = [
+        (train_id, f"{leaked} tail1 tail2 tail3"),
+        (test_ids[0], f"head1 head2 {leaked} end1"),
+        (test_ids[1], "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"),  # clean
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in contamination_check(docs).collect()}
+    assert set(got) == set(test_ids)
+    dirty, clean = got[test_ids[0]], got[test_ids[1]]
+    assert dirty.contaminated == 1 and dirty.n_shingles == 4
+    assert abs(dirty.contaminated_frac - 0.25) < 1e-9
+    assert clean.contaminated == 0 and clean.contaminated_frac == 0.0
+
+
+def test_repetition_stats_hand_checked(spark):
+    from html_parser_spark.ops.corpus import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a b"),      # top a 3/4; bigrams [a a, a a, a b] → dup 2/3
+            (2, "b a b a"),      # tie a=2 b=2 → min token wins: a
+            (3, "x"),            # no bigrams → dup frac 0.0
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    assert got[1].n_tokens == 4 and got[1].top_word == "a"
+    assert abs(got[1].top_word_frac - 0.75) < 1e-9
+    assert abs(got[1].dup_bigram_frac - round(2 / 3, 4)) < 1e-9
+    assert got[2].top_word == "a" and abs(got[2].top_word_frac - 0.5) < 1e-9
+    assert got[3].n_tokens == 1 and got[3].top_word == "x"
+    assert got[3].top_word_frac == 1.0 and got[3].dup_bigram_frac == 0.0
+
+
+def test_dedup_survivors_keeps_canonical_only(spark):
+    from html_parser_spark.ops.corpus import dedup_survivors
+
+    dup_text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, dup_text, "en", len(dup_text)),
+        (2, dup_text, "en", len(dup_text)),          # exact near-dup of 1
+        (3, dup_text + " iota", "en", len(dup_text) + 5),
+        (10, "one unique sentence about nothing shared", "en", 41),
+        (11, "another totally different document body here", "de", 45),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, n_chars long")
+    kept = sorted(r.doc_id for r in dedup_survivors(docs, num_hashes=4, bands=2).collect())
+    # 1 survives as canonical; 2 (and 3 if banded together) drop; 10/11 never
+    # appear in any pair so they pass through the anti-join untouched
+    assert 1 in kept and 2 not in kept
+    assert 10 in kept and 11 in kept
+    langs = {r.doc_id: r.lang for r in dedup_survivors(docs, num_hashes=4, bands=2).collect()}
+    assert langs[11] == "de"
