@@ -138,6 +138,36 @@ def main():
         )
     )
 
+    p = plan_of(entrymod.q_contamination(spark, sf_dir))
+    checks.append(
+        (
+            "q_contamination — train-shingle SEMI-join on md5 keys, no nested loop",
+            p,
+            ["LeftSemi"],
+            ["BroadcastNestedLoopJoin", "CartesianProduct"],
+        )
+    )
+
+    p = plan_of(entrymod.q_dedup_survivors(spark, sf_dir))
+    checks.append(
+        (
+            "q_dedup_survivors — loser set dropped via ANTI-join (broadcastable)",
+            p,
+            ["LeftAnti"],
+            ["CartesianProduct"],
+        )
+    )
+
+    p = plan_of(entrymod.q_repetition(spark, sf_dir))
+    checks.append(
+        (
+            "q_repetition — exploded token aggs combine map-side (partial HashAggregate)",
+            p,
+            ["HashAggregate", "partial_count"],
+            ["BroadcastNestedLoopJoin", "CartesianProduct"],
+        )
+    )
+
     failures = []
     out = ["# Physical-plan audit (generated by tools/plan_audit.py)\n"]
     out.append(
