@@ -262,6 +262,25 @@ def q_dedup_survivors(spark, sf_dir):
     return dedup_survivors(_docs(spark, sf_dir), num_hashes=4, bands=2)
 
 
+def q_chunk_plan(spark, sf_dir):
+    """Context-window chunking (sequence prep): one row per fixed-size token
+    chunk per document — narrow ops only (split/sequence/explode/slice), no
+    shuffle; the chunk layout is identical on every engine."""
+    from html_parser_spark.ops.corpus import chunk_plan
+
+    return chunk_plan(_docs(spark, sf_dir), chunk_tokens=32)
+
+
+def q_pii_scan(spark, sf_dir):
+    """Per-document PII match counts (email/ipv4/long-digit-run) via
+    dialect-portable regexes — the scrub-before-training audit.  Zero matches
+    on the synthetic corpus is the EXPECTED answer (the unit tests plant
+    positives); the oracle proves the count expressions agree per row."""
+    from html_parser_spark.ops.text import pii_scan
+
+    return pii_scan(_docs(spark, sf_dir))
+
+
 def q_percentiles(spark, sf_dir):
     """Exact grouped percentiles (p50/p95/p99) over the events stream —
     the latency-SLO battery; Spark's exact `percentile` vs DuckDB
@@ -689,6 +708,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_contamination": q_contamination,
         "q_repetition": q_repetition,
         "q_dedup_survivors": q_dedup_survivors,
+        "q_chunk_plan": q_chunk_plan,
+        "q_pii_scan": q_pii_scan,
         "q_percentiles": q_percentiles,
         "q_minhash_sig": q_minhash_sig,
         "q_near_dup_pairs": q_near_dup_pairs,
@@ -746,6 +767,15 @@ FROM sh
 
 
 def oracle_sql() -> dict[str, str]:
+    from html_parser_spark.ops.text import PII_PATTERNS
+
+    pii_counts = ",\n                   ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat in PII_PATTERNS.items()
+    )
+    pii_total = " + ".join(
+        f"len(regexp_extract_all(text, '{pat}'))" for pat in PII_PATTERNS.values()
+    )
     return {
         "q_filter_project": """
             SELECT l_orderkey, l_linenumber, l_quantity,
@@ -1023,6 +1053,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
             FROM documents
             WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+        """,
+        "q_chunk_plan": """
+            WITH t AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+              FROM documents
+            ), c AS (
+              SELECT doc_id, w,
+                     unnest(generate_series(
+                       0, CAST(ceil(len(w) / 32.0) AS BIGINT) - 1)) AS chunk_idx
+              FROM t
+            )
+            SELECT doc_id, chunk_idx,
+                   least(CAST(32 AS BIGINT), len(w) - chunk_idx * 32)
+                     AS n_chunk_tokens,
+                   array_to_string(
+                     list_slice(w, chunk_idx * 32 + 1, chunk_idx * 32 + 32), ' ')
+                     AS chunk_text
+            FROM c
+        """,
+        "q_pii_scan": f"""
+            SELECT doc_id,
+                   {pii_counts},
+                   CAST({pii_total} AS BIGINT) AS pii_total
+            FROM documents
         """,
         "q_percentiles": """
             SELECT event_type,

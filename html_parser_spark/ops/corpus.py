@@ -167,6 +167,41 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def chunk_plan(
+    docs: DataFrame, text_col: str = "text", chunk_tokens: int = 32
+) -> DataFrame:
+    """Context-window chunking: split every document into fixed-size token
+    chunks (one output row per chunk) — the sequence-prep step before
+    tokenizer packing.  Pure narrow ops: split → sequence → explode → slice,
+    no shuffle at all; at 100 TB this stays a single map stage whose output
+    partitioning follows the input.
+
+    Returns (doc_id, chunk_idx, n_chunk_tokens, chunk_text)."""
+    d = docs.select(
+        "doc_id", F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks")
+    )
+    n = F.size("_toks")
+    nchunks = F.ceil(n / F.lit(chunk_tokens))
+    d = d.select(
+        "doc_id",
+        "_toks",
+        n.cast("long").alias("n_tokens"),
+        F.explode(F.sequence(F.lit(0).cast("long"), nchunks - 1)).alias("chunk_idx"),
+    )
+    start = (F.col("chunk_idx") * chunk_tokens + 1).cast("int")
+    return d.select(
+        "doc_id",
+        "chunk_idx",
+        F.least(
+            F.lit(chunk_tokens).cast("long"),
+            F.col("n_tokens") - F.col("chunk_idx") * chunk_tokens,
+        ).alias("n_chunk_tokens"),
+        F.concat_ws(" ", F.slice(F.col("_toks"), start, chunk_tokens)).alias(
+            "chunk_text"
+        ),
+    )
+
+
 def dedup_survivors(
     docs: DataFrame,
     text_col: str = "text",

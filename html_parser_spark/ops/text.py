@@ -264,3 +264,48 @@ def tfidf_top_terms(docs: DataFrame, k: int = 5, text_col: str = "text") -> Data
         .filter(F.col("rank") <= k)
         .select("doc_id", "term", "score", "rank")
     )
+
+
+# --- PII scanning / scrubbing (brief §extras: what a crawl pipeline must do
+# before text ships to training) -------------------------------------------
+
+# Dialect-portable patterns: the same source strings compile identically
+# under Java regex (Spark) and RE2 (DuckDB oracle) — no backreferences, no
+# lookaround, ASCII \d/\b semantics shared by both engines.
+PII_PATTERNS: dict[str, str] = {
+    # local@domain.tld — deliberately permissive (recall over precision;
+    # scrubbing a false positive is cheap, leaking a real address is not)
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    # dotted-quad IPs (no octet-range check: scrub 999.1.1.1 too)
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    # 9+ digit runs: phone numbers, SSN-ish ids, account numbers
+    "longnum": r"\b\d{9,}\b",
+}
+
+
+def pii_scan(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII match counts, one column per pattern class plus the
+    total.  Pure `regexp_extract_all` + `size` — JVM-side, codegen, no
+    shuffle; at crawl scale this is a free rider on any existing scan."""
+    cols = [F.col("doc_id")]
+    total = F.lit(0).cast("long")
+    for name, pat in PII_PATTERNS.items():
+        # idx=0 (whole match): Spark defaults to capture group 1, which
+        # errors on patterns whose only groups are non-capturing
+        c = F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))
+        ).cast("long")
+        cols.append(c.alias(f"n_{name}"))
+        total = total + c
+    cols.append(total.alias("pii_total"))
+    return docs.select(*cols)
+
+
+def pii_scrub(col: Column) -> Column:
+    """Redact every PII class with a typed placeholder (``<EMAIL>`` …) —
+    chained `regexp_replace`, order matters: emails first so their digit
+    runs and dotted hosts are gone before the broader numeric patterns."""
+    out = col
+    for name, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"<{name.upper()}>")
+    return out

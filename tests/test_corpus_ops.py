@@ -97,3 +97,46 @@ def test_dedup_survivors_keeps_canonical_only(spark):
     assert 10 in kept and 11 in kept
     langs = {r.doc_id: r.lang for r in dedup_survivors(docs, num_hashes=4, bands=2).collect()}
     assert langs[11] == "de"
+
+
+def test_chunk_plan_hand_checked(spark):
+    from html_parser_spark.ops.corpus import chunk_plan
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(7))), (2, "solo")],
+        "doc_id long, text string",
+    )
+    rows = chunk_plan(docs, chunk_tokens=3).collect()
+    by_key = {(r.doc_id, r.chunk_idx): r for r in rows}
+    assert len(by_key) == 4  # ceil(7/3)=3 chunks + 1
+    assert by_key[(1, 0)].chunk_text == "t0 t1 t2"
+    assert by_key[(1, 2)].chunk_text == "t6"
+    assert by_key[(1, 2)].n_chunk_tokens == 1
+    assert by_key[(2, 0)].n_chunk_tokens == 1
+    # chunks reassemble the document exactly (no token lost or duplicated)
+    joined = " ".join(
+        by_key[(1, i)].chunk_text for i in range(3)
+    )
+    assert joined == " ".join(f"t{i}" for i in range(7))
+
+
+def test_pii_scan_and_scrub(spark):
+    from html_parser_spark.ops.text import pii_scan, pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "contact bob.smith+x@mail.example.com or 10.0.0.1 id 123456789"),
+            (2, "clean text with short 12345 number and a.b"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in pii_scan(docs).collect()}
+    assert got[1].n_email == 1 and got[1].n_ipv4 == 1 and got[1].n_longnum == 1
+    assert got[1].pii_total == 3
+    assert got[2].pii_total == 0
+    scrubbed = {
+        r.doc_id: r.s
+        for r in docs.select("doc_id", pii_scrub(F.col("text")).alias("s")).collect()
+    }
+    assert scrubbed[1] == "contact <EMAIL> or <IPV4> id <LONGNUM>"
+    assert scrubbed[2] == "clean text with short 12345 number and a.b"
