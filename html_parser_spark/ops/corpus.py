@@ -129,21 +129,26 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     Ties on the top word break to the lexicographically smallest token so the
     result is deterministic and engine-portable (min over (-count, token)).
     """
+    # n_tokens is recovered as sum(c) AFTER the explode rather than
+    # size(_toks) before it.  A pre-explode size() looks equivalent, but any
+    # filter later pushed onto n_tokens makes Catalyst re-order the
+    # projection to AFTER the Generate, which then has to carry the whole
+    # token array in every exploded row — an O(tokens x array_bytes) row
+    # copy (~40 GB on 100 half-MB documents, measured) that only shows up
+    # at web-page document sizes.  sum(c) is explode-count-exact (split
+    # always emits size() elements) and keeps the Generate's output to
+    # (doc_id, tok).
     toks = docs.select(
-        "doc_id", F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks")
+        "doc_id",
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    )
+    word_counts = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    top = word_counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.min(F.struct((-F.col("c")).alias("nc"), F.col("tok").alias("w"))).alias("b"),
     ).select(
         "doc_id",
-        F.size("_toks").cast("long").alias("n_tokens"),
-        F.explode("_toks").alias("tok"),
-    )
-    word_counts = toks.groupBy("doc_id", "n_tokens", "tok").agg(
-        F.count("*").alias("c")
-    )
-    top = word_counts.groupBy("doc_id", "n_tokens").agg(
-        F.min(F.struct((-F.col("c")).alias("nc"), F.col("tok").alias("w"))).alias("b")
-    ).select(
-        "doc_id",
-        "n_tokens",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
         F.col("b.w").alias("top_word"),
         F.round((-F.col("b.nc")) / F.col("n_tokens"), 4).alias("top_word_frac"),
     )
@@ -176,29 +181,38 @@ def chunk_plan(
     no shuffle at all; at 100 TB this stays a single map stage whose output
     partitioning follows the input.
 
-    Returns (doc_id, chunk_idx, n_chunk_tokens, chunk_text)."""
+    Returns (doc_id, chunk_idx, n_chunk_tokens, chunk_text).
+
+    The chunk rows are BUILT before the explode (a ``transform`` over the
+    chunk-index sequence producing small (n_chunk_tokens, chunk_text)
+    structs, then ``posexplode`` of that struct array).  Exploding the index
+    sequence first and slicing afterwards reads the same, but the Generate
+    then carries the full token array into every chunk row — an
+    O(n_chunks x array_bytes) row-copy amplification (~16x write volume at
+    64-token chunks on half-MB web documents).  Here the Generate's output
+    is only (doc_id, pos, 2-field struct), so the cost stays O(n_tokens)
+    per document regardless of chunk count."""
     d = docs.select(
         "doc_id", F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks")
     )
-    n = F.size("_toks")
+    n = F.size("_toks").cast("long")
     nchunks = F.ceil(n / F.lit(chunk_tokens))
-    d = d.select(
-        "doc_id",
-        "_toks",
-        n.cast("long").alias("n_tokens"),
-        F.explode(F.sequence(F.lit(0).cast("long"), nchunks - 1)).alias("chunk_idx"),
+    ct = F.lit(chunk_tokens)
+    chunks = F.transform(
+        F.sequence(F.lit(0).cast("long"), nchunks - 1),
+        lambda i: F.struct(
+            F.least(ct.cast("long"), n - i * ct).alias("n_chunk_tokens"),
+            F.concat_ws(
+                " ", F.slice(F.col("_toks"), (i * ct + 1).cast("int"), chunk_tokens)
+            ).alias("chunk_text"),
+        ),
     )
-    start = (F.col("chunk_idx") * chunk_tokens + 1).cast("int")
+    d = d.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "ch"))
     return d.select(
         "doc_id",
-        "chunk_idx",
-        F.least(
-            F.lit(chunk_tokens).cast("long"),
-            F.col("n_tokens") - F.col("chunk_idx") * chunk_tokens,
-        ).alias("n_chunk_tokens"),
-        F.concat_ws(" ", F.slice(F.col("_toks"), start, chunk_tokens)).alias(
-            "chunk_text"
-        ),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("ch.n_chunk_tokens").alias("n_chunk_tokens"),
+        F.col("ch.chunk_text").alias("chunk_text"),
     )
 
 

@@ -1,0 +1,147 @@
+"""spark-submit entry point for the corpus-curation pipeline — the stage
+BETWEEN extraction and training:
+
+    spark-submit --py-files htmlps.zip jobs/curate_job.py \
+        --docs <documents parquet>  --output <dir> \
+        [--min-tokens 10] [--max-top-word-frac 0.5] [--max-dup-bigram-frac 0.9] \
+        [--scrub-pii] [--chunk-tokens 0] [--num-hashes 8] [--bands 4]
+
+Chain (every step a stock DataFrame transform, see ops/corpus.py scale notes):
+
+  documents → repetition/quality filter (Gopher §A.1.1 features)
+            → PII scrub (optional)
+            → near-dup survivors (MinHash-LSH → components → LEFT ANTI)
+            → deterministic md5-bucket split assignment
+            → write parquet partitioned by split
+            → context-window chunks (optional, --chunk-tokens > 0)
+
+Emits ONE JSON line of funnel metrics (docs in → after filter → after dedup,
+per-split counts, chunks written) — the numbers a data-curation run must
+log for lineage.  Input is any parquet with (doc_id, text, lang) columns;
+use --from-extract to curate an extract_job output directly (url/
+extracted_text are mapped to doc_id/text via xxhash64).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", help="documents parquet (doc_id, text, lang)")
+    ap.add_argument("--from-extract",
+                    help="extract_job output dir to curate instead of --docs")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--min-tokens", type=int, default=10)
+    ap.add_argument("--max-top-word-frac", type=float, default=0.5)
+    ap.add_argument("--max-dup-bigram-frac", type=float, default=0.9)
+    ap.add_argument("--scrub-pii", action="store_true")
+    ap.add_argument("--chunk-tokens", type=int, default=0,
+                    help="also write fixed-size token chunks (0 = skip)")
+    ap.add_argument("--num-hashes", type=int, default=8)
+    ap.add_argument("--bands", type=int, default=4)
+    args = ap.parse_args(argv)
+    if bool(args.docs) == bool(args.from_extract):
+        ap.error("exactly one of --docs / --from-extract is required")
+
+    from pyspark.sql import SparkSession, functions as F
+
+    from html_parser_spark.ops.corpus import (
+        assign_split,
+        chunk_plan,
+        dedup_survivors,
+        repetition_stats,
+    )
+    from html_parser_spark.ops.text import pii_scrub
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        from html_parser_spark.spark.session import get_spark
+
+        spark = get_spark(app_name="curate-job")
+
+    if args.docs:
+        docs = spark.read.parquet(args.docs).select("doc_id", "text", "lang")
+    else:
+        docs = (
+            spark.read.parquet(os.path.join(args.from_extract, "data"))
+            .where(F.col("extracted_text").isNotNull())
+            .select(
+                F.xxhash64("url").alias("doc_id"),
+                F.col("extracted_text").alias("text"),
+                "lang",
+            )
+        )
+    n_in = docs.count()
+
+    # 1. repetition / quality gate (Gopher-style features, JVM-side)
+    rep = repetition_stats(docs)
+    keep = rep.where(
+        (F.col("n_tokens") >= args.min_tokens)
+        & (F.col("top_word_frac") <= args.max_top_word_frac)
+        & (F.col("dup_bigram_frac") <= args.max_dup_bigram_frac)
+    ).select("doc_id")
+    docs = docs.join(keep, "doc_id", "left_semi")
+    n_filtered = docs.count()
+
+    # 2. PII scrub (narrow, rides the same scan) — then MATERIALIZE.
+    # The persist here is load-bearing, not a cache hint: Catalyst does no
+    # CSE inside higher-order-function lambdas (see ops/dedup.py
+    # word_shingles PERF note), so feeding the scrub expression straight
+    # into the shingle transforms re-runs the regex chain once per
+    # consumer per row (measured ~45x on 500 KB extracted pages).  The
+    # persist cuts the plan so dedup/split/write all read the scrubbed
+    # bytes exactly once; MEMORY_AND_DISK spills instead of OOMing when
+    # the post-filter corpus outgrows executor memory at crawl scale.
+    if args.scrub_pii:
+        docs = docs.withColumn("text", pii_scrub(F.col("text")))
+    docs = docs.withColumn("n_chars", F.length("text").cast("long"))
+    from pyspark import StorageLevel
+
+    docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
+
+    # 3. near-dup survivors (LSH → components → anti-join)
+    docs = dedup_survivors(
+        docs.select("doc_id", "text", "lang", "n_chars"),
+        num_hashes=args.num_hashes,
+        bands=args.bands,
+    ).join(docs.select("doc_id", "text"), "doc_id")
+    n_dedup = docs.count()
+
+    # 4. deterministic split + write, partitioned by split so training reads
+    #    prune to one directory
+    docs = assign_split(docs)
+    out_docs = os.path.join(args.output, "docs")
+    docs.write.mode("overwrite").partitionBy("split").parquet(out_docs)
+    final = spark.read.parquet(out_docs)
+    splits = {
+        r["split"]: r["n"]
+        for r in final.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+
+    # 5. optional chunk table
+    n_chunks = 0
+    if args.chunk_tokens > 0:
+        chunks = chunk_plan(final, chunk_tokens=args.chunk_tokens)
+        out_chunks = os.path.join(args.output, "chunks")
+        chunks.write.mode("overwrite").parquet(out_chunks)
+        n_chunks = spark.read.parquet(out_chunks).count()
+
+    print(json.dumps({
+        "job": "curate",
+        "docs_in": n_in,
+        "after_quality_filter": n_filtered,
+        "after_dedup": n_dedup,
+        "splits": splits,
+        "chunks": n_chunks,
+    }))
+
+
+if __name__ == "__main__":
+    main()

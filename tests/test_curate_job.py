@@ -1,0 +1,46 @@
+"""End-to-end curation job: filter → scrub → dedup → split → chunks."""
+
+import json
+import os
+
+
+def test_curate_job_end_to_end(spark, tmp_path, capsys):
+    import jobs.curate_job as cj
+
+    out = str(tmp_path / "curated")
+    cj.main([
+        "--docs", "/root/testdata/sf0.001/documents.parquet",
+        "--output", out,
+        "--min-tokens", "5",
+        "--scrub-pii",
+        "--chunk-tokens", "16",
+        "--num-hashes", "4",
+        "--bands", "2",
+    ])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["job"] == "curate"
+    assert stats["docs_in"] >= stats["after_quality_filter"] >= stats["after_dedup"]
+    assert stats["after_dedup"] > 0
+    assert sum(stats["splits"].values()) == stats["after_dedup"]
+    assert stats["chunks"] >= stats["after_dedup"]  # every doc ≥1 chunk
+
+    docs = spark.read.parquet(os.path.join(out, "docs"))
+    assert set(docs.columns) >= {"doc_id", "text", "lang", "n_chars", "split"}
+    # split column is materialized as a partition directory (pruned reads)
+    assert any(p.startswith("split=") for p in os.listdir(os.path.join(out, "docs")))
+    chunks = spark.read.parquet(os.path.join(out, "chunks"))
+    assert chunks.columns == ["doc_id", "chunk_idx", "n_chunk_tokens", "chunk_text"]
+    # chunk layout is consistent: per-doc token totals match the doc text
+    from pyspark.sql import functions as F
+
+    tot = (
+        chunks.groupBy("doc_id").agg(F.sum("n_chunk_tokens").alias("n"))
+        .join(
+            docs.select(
+                "doc_id",
+                F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("expect"),
+            ),
+            "doc_id",
+        )
+    )
+    assert tot.where(F.col("n") != F.col("expect")).count() == 0
