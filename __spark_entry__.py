@@ -652,6 +652,48 @@ def q_media_meta(spark, sf_dir):
     )
 
 
+def q_warc_roundtrip(spark, sf_dir):
+    """WARC source+sink (Common-Crawl container format): synthesize a crawl
+    from the documents table, write it as per-record-gzip ``.warc.gz`` part
+    files, read it back through the binaryFile→mapInPandas parser, and emit
+    per-url byte accounting.  The DuckDB oracle computes the same columns
+    straight from ``documents`` — a hash match proves the writer→reader
+    round-trip is byte-exact (md5 over the body bytes) for every record."""
+    import shutil
+    import tempfile
+
+    _ship_package(spark)
+    from html_parser_spark.sources.warc import read_warc, write_warc_files
+
+    docs = _docs(spark, sf_dir)
+    pages = docs.select(
+        F.concat(
+            F.lit("https://d"),
+            F.pmod("doc_id", F.lit(20)).cast("string"),
+            F.lit(".example.org/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        # fixed epoch (2024-01-01T00:00:00Z) + doc_id seconds — no now()
+        F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id")).alias("warc_ts"),
+        F.encode("text", "UTF-8").alias("html"),
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_warc_rt_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    write_warc_files(pages.repartition(8), out, compress=True)
+    w = read_warc(spark, os.path.join(out, "*.warc.gz"))
+    return w.select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("warc_date"),
+        F.length("html").cast("long").alias("n_bytes"),
+        F.md5("html").alias("body_md5"),
+        F.col("http_status").cast("int").alias("http_status"),
+        "content_type",
+    )
+
+
 def q_extract_entries(spark, sf_dir):
     """Entry-struct check over the synthetic extraction: headword + counts."""
     _ship_package(spark)
@@ -735,6 +777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_extract_text_rich": q_extract_text_rich,
         "q_media_meta": q_media_meta,
         "q_lang_id": q_lang_id,
+        "q_warc_roundtrip": q_warc_roundtrip,
         "q_extract_entries": q_extract_entries,
         "q_migrate_v21": q_migrate_v21,
     }
@@ -1532,6 +1575,20 @@ def oracle_sql() -> dict[str, str]:
                    regexp_replace(repeat(l1 || l2, 3), '\\s{2,}', ' ', 'g')
                      AS extracted_text
             FROM base
+        """,
+        "q_warc_roundtrip": """
+            -- recompute the per-url accounting straight from documents;
+            -- matching md5 per url == the WARC writer->reader round-trip
+            -- preserved every body byte
+            SELECT 'https://d' || (doc_id % 20) || '.example.org/doc/' || doc_id
+                     AS url,
+                   strftime(TIMESTAMP '2024-01-01 00:00:00' + to_seconds(doc_id),
+                            '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   md5(text) AS body_md5,
+                   CAST(200 AS INTEGER) AS http_status,
+                   'text/html; charset=utf-8' AS content_type
+            FROM documents
         """,
         "q_media_meta": """
             -- regenerate ops/multimodal.synth_media_df(300) exactly: payload

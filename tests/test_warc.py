@@ -1,0 +1,122 @@
+"""WARC source/sink: byte-exact round-trip, binary-safety, ingest wiring."""
+
+import glob
+import gzip
+import os
+
+from pyspark.sql import functions as F, types as T
+
+
+def _pages(spark, rows):
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("html", T.BinaryType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def _adversarial_rows():
+    from datetime import datetime
+
+    ts = datetime(2024, 5, 1, 12, 0, 0)
+    return [
+        # body containing the record separator AND a fake WARC header AND
+        # a fake HTTP head — parser must trust Content-Length only
+        ("https://a.example.org/1", ts, b"x\r\n\r\nWARC/1.0\r\nHTTP/1.1 200 OK\r\n\r\ny"),
+        ("https://a.example.org/2", ts, b""),  # empty body
+        ("https://b.example.org/3", ts, "юникод ЦӀnew№".encode()),
+        ("https://b.example.org/4", ts, bytes(range(256))),  # full byte range
+    ]
+
+
+def test_warc_roundtrip_gzip_and_plain(spark, tmp_path):
+    from html_parser_spark.sources.warc import read_warc, write_warc_files
+
+    pages = _pages(spark, _adversarial_rows()).repartition(2)
+    for compress, sub in [(True, "gz"), (False, "plain")]:
+        out = str(tmp_path / sub)
+        n_files = write_warc_files(pages, out, compress=compress)
+        assert 1 <= n_files <= 2
+        pat = os.path.join(out, "*.warc.gz" if compress else "*.warc")
+        back = read_warc(spark, pat).orderBy("url").collect()
+        orig = sorted(_adversarial_rows())
+        assert [r["url"] for r in back] == [o[0] for o in orig]
+        assert [bytes(r["html"]) for r in back] == [o[2] for o in orig]
+        assert all(r["warc_ts"] == orig[0][1] for r in back)
+        assert all(r["http_status"] == 200 for r in back)
+        assert all(r["warc_type"] == "response" for r in back)
+        assert all(r["content_type"] == "text/html; charset=utf-8" for r in back)
+
+
+def test_warc_gz_members_are_concatenable(spark, tmp_path):
+    """Common-Crawl layout: every record its own gzip member, so `cat`-ing
+    part files (or members) is itself a valid archive."""
+    from html_parser_spark.sources.warc import iter_warc_records, write_warc_files
+
+    pages = _pages(spark, _adversarial_rows()).coalesce(1)
+    out = str(tmp_path / "gz")
+    write_warc_files(pages, out, compress=True)
+    (path,) = glob.glob(os.path.join(out, "*.warc.gz"))
+    blob = open(path, "rb").read()
+    # member count == record count (each record independently inflatable)
+    n_members = 0
+    import zlib
+
+    buf = blob
+    while buf:
+        d = zlib.decompressobj(31)
+        d.decompress(buf)
+        d.flush()
+        n_members += 1
+        buf = d.unused_data
+    assert n_members == 4
+    # doubled archive parses to doubled records
+    assert len(list(iter_warc_records(blob + blob))) == 8
+
+
+def test_warc_deterministic_record_bytes(spark):
+    """Uncompressed record serialization is a pure function of the row
+    (deterministic record-id from md5(url), fixed date format)."""
+    from html_parser_spark.sources.warc import to_warc_records
+
+    pages = _pages(spark, _adversarial_rows())
+    a = [bytes(r["record"]) for r in to_warc_records(pages, compress=False).collect()]
+    b = [bytes(r["record"]) for r in to_warc_records(pages, compress=False).collect()]
+    assert sorted(a) == sorted(b)
+    rec = next(x for x in a if b"/doc/1" not in x and b"a.example.org/1" in x)
+    assert rec.startswith(b"WARC/1.0\r\nWARC-Type: response\r\n")
+    assert b"WARC-Date: 2024-05-01T12:00:00Z" in rec
+    assert rec.endswith(b"\r\n\r\n")
+
+
+def test_warc_reader_rejects_truncation(spark, tmp_path):
+    from html_parser_spark.sources.warc import iter_warc_records, to_warc_records
+    import pytest
+
+    pages = _pages(spark, _adversarial_rows())
+    rec = b"".join(
+        bytes(r["record"]) for r in to_warc_records(pages, compress=False).collect()
+    )
+    with pytest.raises(ValueError):
+        list(iter_warc_records(rec[:-10]))
+    with pytest.raises(ValueError):
+        list(iter_warc_records(gzip.compress(rec)[:-4]))
+
+
+def test_warc_ingest_feeds_extraction(spark, tmp_path):
+    """read_warc output plugs straight into the extraction pipeline."""
+    from html_parser_spark.data.pages import synthetic_pages_df
+    from html_parser_spark.sources.warc import read_warc, write_warc_files
+    from html_parser_spark.spark.pipeline import extract_pages
+
+    pages = synthetic_pages_df(spark, "/root/testdata/sf0.001", paragraphs=1).limit(20)
+    out = str(tmp_path / "crawl")
+    write_warc_files(pages.repartition(2), out)
+    back = read_warc(spark, os.path.join(out, "*.warc.gz"))
+    res = extract_pages(back.withColumn("lang", F.lit("lez")))
+    rows = res.select("url", "fmt", "n_entries").collect()
+    assert len(rows) == 20
+    assert all(r["fmt"] == "A" and r["n_entries"] >= 1 for r in rows)
