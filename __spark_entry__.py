@@ -652,6 +652,86 @@ def q_media_meta(spark, sf_dir):
     )
 
 
+def _synth_urls(spark, sf_dir):
+    """Deterministic varied urls over documents: scheme/host/tld/path/query
+    all pure functions of (doc_id, source, lang) so the DuckDB oracle can
+    state the EXPECTED parse output without a URL parser."""
+    docs = _docs(spark, sf_dir)
+    tld = F.element_at(
+        F.array(F.lit("org"), F.lit("net"), F.lit("com")),
+        (F.pmod("doc_id", F.lit(3)) + 1).cast("int"),
+    )
+    host = F.concat(
+        F.lit("w"),
+        F.pmod("doc_id", F.lit(7)).cast("string"),
+        F.lit("."),
+        F.col("source"),
+        F.lit(".example."),
+        tld,
+    )
+    url = F.concat(
+        F.when(F.pmod("doc_id", F.lit(2)) == 0, F.lit("https")).otherwise(
+            F.lit("http")
+        ),
+        F.lit("://"),
+        host,
+        F.lit("/a/"),
+        F.pmod("doc_id", F.lit(5)).cast("string"),
+        F.lit("/p"),
+        F.col("doc_id").cast("string"),
+        F.when(
+            F.pmod("doc_id", F.lit(4)) == 0,
+            F.concat(
+                F.lit("?q="), F.col("doc_id").cast("string"), F.lit("&lang="), "lang"
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return docs.select(
+        "doc_id", "lang", url.alias("url"), F.encode("text", "UTF-8").alias("html")
+    )
+
+
+def q_url_parts(spark, sf_dir):
+    """URL decomposition (web-curation op): Spark's JVM ``parse_url`` per
+    part vs the oracle's closed-form expected values — a real check of the
+    parser, not a reimplementation on both sides."""
+    from html_parser_spark.ops.web import url_parts
+
+    parts = url_parts(_synth_urls(spark, sf_dir))
+    return parts.select(
+        "doc_id", "scheme", "host", "path", "query", "registered_domain"
+    )
+
+
+def q_domain_stats(spark, sf_dir):
+    """Per-host crawl accounting (the domain-skew audit): one shuffle with
+    map-side partials; corpus share from a window over the tiny aggregate."""
+    from html_parser_spark.ops.web import domain_stats, url_parts
+
+    parts = url_parts(_synth_urls(spark, sf_dir))
+    return domain_stats(parts, bytes_col="html")
+
+
+def q_blocklist(spark, sf_dir):
+    """Broadcast LEFT ANTI blocklist filter: drop the two dominant hosts
+    (deterministic tie-break), report per-lang survivor counts."""
+    from html_parser_spark.ops.web import (
+        domain_stats,
+        host_blocklist_filter,
+        url_parts,
+    )
+
+    parts = url_parts(_synth_urls(spark, sf_dir))
+    top2 = (
+        domain_stats(parts)
+        .orderBy(F.desc("n_docs"), F.asc("host"))
+        .limit(2)
+        .select("host")
+    )
+    kept = host_blocklist_filter(parts, top2)
+    return kept.groupBy("lang").agg(F.count("*").alias("n_docs_kept"))
+
+
 def q_warc_roundtrip(spark, sf_dir):
     """WARC source+sink (Common-Crawl container format): synthesize a crawl
     from the documents table, write it as per-record-gzip ``.warc.gz`` part
@@ -777,6 +857,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_extract_text_rich": q_extract_text_rich,
         "q_media_meta": q_media_meta,
         "q_lang_id": q_lang_id,
+        "q_url_parts": q_url_parts,
+        "q_domain_stats": q_domain_stats,
+        "q_blocklist": q_blocklist,
         "q_warc_roundtrip": q_warc_roundtrip,
         "q_extract_entries": q_extract_entries,
         "q_migrate_v21": q_migrate_v21,
@@ -1575,6 +1658,50 @@ def oracle_sql() -> dict[str, str]:
                    regexp_replace(repeat(l1 || l2, 3), '\\s{2,}', ' ', 'g')
                      AS extracted_text
             FROM base
+        """,
+        "q_url_parts": """
+            -- EXPECTED parse output in closed form (urls are pure functions
+            -- of doc_id/source/lang) — checks Spark's parse_url, not a
+            -- second parser
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END AS scheme,
+                   'w' || (doc_id % 7) || '.' || source || '.example.' ||
+                     (['org','net','com'])[(doc_id % 3) + 1] AS host,
+                   '/a/' || (doc_id % 5) || '/p' || doc_id AS path,
+                   CASE WHEN doc_id % 4 = 0
+                        THEN 'q=' || doc_id || '&lang=' || lang END AS "query",
+                   'example.' || (['org','net','com'])[(doc_id % 3) + 1]
+                     AS registered_domain
+            FROM documents
+        """,
+        "q_domain_stats": """
+            WITH u AS (
+              SELECT 'w' || (doc_id % 7) || '.' || source || '.example.' ||
+                       (['org','net','com'])[(doc_id % 3) + 1] AS host,
+                     octet_length(encode(text)) AS nb
+              FROM documents
+            )
+            SELECT host,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(nb) AS BIGINT) AS total_bytes,
+                   round(count(*) / CAST((SELECT count(*) FROM documents) AS DOUBLE),
+                         4) AS doc_share
+            FROM u GROUP BY host
+        """,
+        "q_blocklist": """
+            WITH u AS (
+              SELECT lang,
+                     'w' || (doc_id % 7) || '.' || source || '.example.' ||
+                       (['org','net','com'])[(doc_id % 3) + 1] AS host
+              FROM documents
+            ),
+            top2 AS (
+              SELECT host FROM u GROUP BY host
+              ORDER BY count(*) DESC, host ASC LIMIT 2
+            )
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs_kept
+            FROM u WHERE host NOT IN (SELECT host FROM top2)
+            GROUP BY lang
         """,
         "q_warc_roundtrip": """
             -- recompute the per-url accounting straight from documents;

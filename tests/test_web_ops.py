@@ -1,0 +1,57 @@
+"""URL/domain curation ops: parse edges, skew accounting, broadcast plan."""
+
+from pyspark.sql import functions as F
+
+
+def test_url_parts_edges(spark):
+    from html_parser_spark.ops.web import url_parts
+
+    rows = [
+        ("https://user:pw@sub.host.example.co:8443/p/q?x=1&y=2#frag",),
+        ("http://example.org",),
+        ("http://example.org/",),
+        ("https://a.b/path%20x?q=%C3%A9",),
+    ]
+    out = {
+        r["url"]: r
+        for r in url_parts(spark.createDataFrame(rows, ["url"])).collect()
+    }
+    r = out[rows[0][0]]
+    assert r["scheme"] == "https"
+    assert r["host"] == "sub.host.example.co"  # no port, no userinfo
+    assert r["path"] == "/p/q"
+    assert r["query"] == "x=1&y=2"
+    assert r["registered_domain"] == "example.co"
+    bare = out["http://example.org"]
+    assert bare["host"] == "example.org"
+    assert bare["query"] is None and bare["path"] == ""
+    assert out["http://example.org/"]["path"] == "/"
+    assert out["https://a.b/path%20x?q=%C3%A9"]["query"] == "q=%C3%A9"
+
+
+def test_domain_stats_shares(spark):
+    from html_parser_spark.ops.web import domain_stats
+
+    df = spark.createDataFrame(
+        [("a.org", "xx"), ("a.org", "yyyy"), ("b.org", "z"), ("c.org", "")],
+        ["host", "body"],
+    )
+    rows = {r["host"]: r for r in domain_stats(df, bytes_col="body").collect()}
+    assert rows["a.org"]["n_docs"] == 2 and rows["a.org"]["total_bytes"] == 6
+    assert rows["a.org"]["doc_share"] == 0.5
+    assert abs(sum(r["doc_share"] for r in rows.values()) - 1.0) < 1e-9
+
+
+def test_blocklist_is_broadcast_anti_join(spark):
+    from html_parser_spark.ops.web import host_blocklist_filter
+
+    df = spark.createDataFrame(
+        [(f"h{i % 5}.org", i) for i in range(100)], ["host", "v"]
+    )
+    kept = host_blocklist_filter(df, ["h0.org", "h3.org"])
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    hosts = {r["host"] for r in kept.collect()}
+    assert hosts == {"h1.org", "h2.org", "h4.org"}
+    assert kept.count() == 60
