@@ -26,7 +26,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages", required=True,
-                    help="pages parquet dir, or synth:<sf_dir> to synthesize")
+                    help="pages parquet dir, synth:<sf_dir> to synthesize, or "
+                         "warc:<path-or-glob> to ingest crawl archives directly")
     ap.add_argument("--output", required=True)
     ap.add_argument("--partitions", type=int, default=256)
     ap.add_argument("--resume", action="store_true",
@@ -57,6 +58,17 @@ def main(argv=None):
         from html_parser_spark.data.pages import pages_df
 
         pages = pages_df(spark, args.pages.split(":", 1)[1], include_fixtures=True)
+    elif args.pages.startswith("warc:"):
+        from pyspark.sql import functions as F
+
+        from html_parser_spark.sources.warc import read_warc
+
+        # crawl ingest: WARC scan (one task per archive, no shuffle) feeds
+        # the parse directly; lang is unknown at ingest (lang-ID is a
+        # downstream curation op)
+        pages = read_warc(spark, args.pages.split(":", 1)[1]).select(
+            "url", "warc_ts", "html", F.lit(None).cast("string").alias("lang")
+        )
     else:
         pages = spark.read.parquet(args.pages)
     if args.limit:

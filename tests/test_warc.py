@@ -106,6 +106,29 @@ def test_warc_reader_rejects_truncation(spark, tmp_path):
         list(iter_warc_records(gzip.compress(rec)[:-4]))
 
 
+def test_extract_job_warc_input(spark, tmp_path, capsys):
+    """jobs/extract_job.py --pages warc:<glob> runs the full pipeline."""
+    import json
+
+    import jobs.extract_job as ej
+    from html_parser_spark.data.pages import synthetic_pages_df
+    from html_parser_spark.sources.warc import write_warc_files
+
+    pages = synthetic_pages_df(spark, "/root/testdata/sf0.001", paragraphs=1).limit(30)
+    crawl = str(tmp_path / "crawl")
+    write_warc_files(pages.repartition(3), crawl)
+    out = str(tmp_path / "results")
+    ej.main([
+        "--pages", f"warc:{crawl}/*.warc.gz",
+        "--output", out,
+        "--partitions", "4",
+    ])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["docs"] == 30 and stats["errors"] == 0
+    res = spark.read.parquet(f"{out}/data")
+    assert res.where("fmt = 'A' AND n_entries >= 1").count() == 30
+
+
 def test_warc_ingest_feeds_extraction(spark, tmp_path):
     """read_warc output plugs straight into the extraction pipeline."""
     from html_parser_spark.data.pages import synthetic_pages_df
