@@ -652,6 +652,16 @@ def q_media_meta(spark, sf_dir):
     )
 
 
+def q_span_dedup(spark, sf_dir):
+    """C4-style span-level dedup: every repeated 10-token span keeps only
+    its first (doc_id, idx) occurrence; docs are reassembled from surviving
+    spans.  Returning the full clean_text makes the hash a byte-exact check
+    of the reassembly, not just the counts."""
+    from html_parser_spark.ops.corpus import span_dedup
+
+    return span_dedup(_docs(spark, sf_dir), span_tokens=10)
+
+
 def _synth_urls(spark, sf_dir):
     """Deterministic varied urls over documents: scheme/host/tld/path/query
     all pure functions of (doc_id, source, lang) so the DuckDB oracle can
@@ -857,6 +867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_extract_text_rich": q_extract_text_rich,
         "q_media_meta": q_media_meta,
         "q_lang_id": q_lang_id,
+        "q_span_dedup": q_span_dedup,
         "q_url_parts": q_url_parts,
         "q_domain_stats": q_domain_stats,
         "q_blocklist": q_blocklist,
@@ -1658,6 +1669,36 @@ def oracle_sql() -> dict[str, str]:
                    regexp_replace(repeat(l1 || l2, 3), '\\s{2,}', ' ', 'g')
                      AS extracted_text
             FROM base
+        """,
+        "q_span_dedup": """
+            WITH t AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+              FROM documents
+            ), c AS (
+              SELECT doc_id, w,
+                     unnest(generate_series(
+                       0, CAST(ceil(len(w) / 10.0) AS BIGINT) - 1)) AS chunk_idx
+              FROM t
+            ), s AS (
+              SELECT doc_id, chunk_idx,
+                     array_to_string(
+                       list_slice(w, chunk_idx * 10 + 1, chunk_idx * 10 + 10), ' ')
+                       AS chunk_text
+              FROM c
+            ), k AS (
+              SELECT doc_id, chunk_idx, chunk_text,
+                     row_number() OVER (PARTITION BY chunk_text
+                                        ORDER BY doc_id, chunk_idx) = 1 AS kept
+              FROM s
+            )
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_spans_kept,
+                   CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT)
+                     AS n_spans_dropped,
+                   coalesce(string_agg(CASE WHEN kept THEN chunk_text END,
+                                       ' ' ORDER BY chunk_idx), '') AS clean_text
+            FROM k GROUP BY doc_id
         """,
         "q_url_parts": """
             -- EXPECTED parse output in closed form (urls are pure functions

@@ -232,3 +232,55 @@ def dedup_survivors(
     return docs.join(losers, "doc_id", "left_anti").select(
         "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
     )
+
+
+def span_dedup(
+    docs: DataFrame, text_col: str = "text", span_tokens: int = 10
+) -> DataFrame:
+    """C4-style span-level dedup (Raffel et al. §2.2): remove every
+    repeated occurrence of a token span from the corpus, keeping only its
+    first occurrence (smallest (doc_id, span index)), then reassemble each
+    document from its surviving spans.
+
+    Returns (doc_id, n_spans_kept, n_spans_dropped, clean_text).
+
+    C4 used three-sentence spans; this corpus has no sentence structure, so
+    the span is a fixed ``span_tokens`` window (the ``chunk_plan``
+    tiling).  The plan is deliberately NOT a window-function rank over the
+    span text: web boilerplate makes span frequency zipfian (one cookie
+    banner → 10^9 rows in one window partition), and a windowed sort cannot
+    partial-aggregate.  Instead:
+
+        spans → groupBy(md5(span)) . min(struct(doc_id, idx))   # map-side
+              → join back on the 16-byte hash                    # AQE-skew
+              → keep rows equal to their span's minimum
+              → groupBy(doc_id) ordered reassembly               # agg only
+
+    The min() collapses hot spans to one row per partition map-side, so the
+    shuffle carries |distinct spans| rows; the join is equi on md5 keys
+    (AQE splits any residual skew).  md5 equality stands in for span
+    equality (collision odds ~n²/2^128 — negligible against 10^12 spans).
+    """
+    spans = chunk_plan(docs, text_col=text_col, chunk_tokens=span_tokens).select(
+        "doc_id", "chunk_idx", "chunk_text", F.md5("chunk_text").alias("h")
+    )
+    firsts = spans.groupBy("h").agg(
+        F.min(F.struct("doc_id", "chunk_idx")).alias("first")
+    )
+    flagged = spans.join(firsts, "h").withColumn(
+        "kept",
+        (F.col("first.doc_id") == F.col("doc_id"))
+        & (F.col("first.chunk_idx") == F.col("chunk_idx")),
+    )
+    kept_struct = F.when(F.col("kept"), F.struct("chunk_idx", "chunk_text"))
+    return flagged.groupBy("doc_id").agg(
+        F.sum(F.col("kept").cast("long")).alias("n_spans_kept"),
+        F.sum((~F.col("kept")).cast("long")).alias("n_spans_dropped"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda s: s.chunk_text,
+            ),
+        ).alias("clean_text"),
+    )

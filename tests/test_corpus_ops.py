@@ -140,3 +140,38 @@ def test_pii_scan_and_scrub(spark):
     }
     assert scrubbed[1] == "contact <EMAIL> or <IPV4> id <LONGNUM>"
     assert scrubbed[2] == "clean text with short 12345 number and a.b"
+
+
+def test_span_dedup_keeps_first_occurrence(spark):
+    from html_parser_spark.ops.corpus import span_dedup
+
+    boiler = "cookie notice accept all"  # 4 tokens = one span at span_tokens=4
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler} alpha beta gamma delta"),
+            (2, f"{boiler} epsilon zeta eta theta"),
+            (3, "iota kappa lambda mu " + boiler),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in span_dedup(docs, span_tokens=4).collect()}
+    # doc 1 holds the first occurrence of the boilerplate span -> keeps both
+    assert out[1]["n_spans_dropped"] == 0
+    assert out[1]["clean_text"] == f"{boiler} alpha beta gamma delta"
+    # docs 2 and 3 lose exactly the boilerplate span, keep their own content
+    assert out[2]["n_spans_dropped"] == 1
+    assert out[2]["clean_text"] == "epsilon zeta eta theta"
+    assert out[3]["n_spans_dropped"] == 1
+    assert out[3]["clean_text"] == "iota kappa lambda mu"
+
+
+def test_span_dedup_plan_has_no_window_sort(spark):
+    """The dedup must be groupBy-min + join (map-side partials collapse hot
+    boilerplate spans), never a window rank over the span text — a windowed
+    sort cannot partial-aggregate and melts on zipfian span frequencies."""
+    from html_parser_spark.ops.corpus import span_dedup
+
+    docs = spark.createDataFrame([(1, "a b c d e f")], ["doc_id", "text"])
+    plan = span_dedup(docs, span_tokens=3)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
