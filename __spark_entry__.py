@@ -742,6 +742,71 @@ def q_blocklist(spark, sf_dir):
     return kept.groupBy("lang").agg(F.count("*").alias("n_docs_kept"))
 
 
+def q_url_canon(spark, sf_dir):
+    """URL canonicalization for crawl-level url dedup: messy urls (mixed
+    case, default ports, fragments, empty paths) are built in closed form
+    from doc_id, so the oracle states the expected canonical form directly
+    — a real check of the normalizer."""
+    from html_parser_spark.ops.web import canonicalize_url
+
+    docs = _docs(spark, sf_dir)
+    tld = F.element_at(
+        F.array(F.lit("org"), F.lit("net"), F.lit("com")),
+        (F.pmod("doc_id", F.lit(3)) + 1).cast("int"),
+    )
+    even = F.pmod("doc_id", F.lit(2)) == 0
+    m4 = F.pmod("doc_id", F.lit(4))
+    messy = F.concat(
+        F.when(even, F.lit("HTTPS")).otherwise(F.lit("http")),
+        F.lit("://W"),
+        F.pmod("doc_id", F.lit(7)).cast("string"),
+        F.lit("."),
+        F.upper("source"),
+        F.lit(".Example."),
+        tld,
+        F.when(m4 == 0, F.when(even, F.lit(":443")).otherwise(F.lit(":80")))
+        .when(m4 == 1, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.when(F.pmod("doc_id", F.lit(6)) == 0, F.lit("")).otherwise(
+            F.concat(F.lit("/a/p"), F.col("doc_id").cast("string"))
+        ),
+        F.when(
+            F.pmod("doc_id", F.lit(3)) == 0,
+            F.concat(F.lit("?q="), F.col("doc_id").cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(F.pmod("doc_id", F.lit(5)) == 0, F.lit("#s")).otherwise(F.lit("")),
+    )
+    return docs.select(
+        "doc_id",
+        messy.alias("raw_url"),
+        canonicalize_url(messy).alias("canonical_url"),
+    )
+
+
+def q_latest_capture(spark, sf_dir):
+    """Crawl-capture dedup: 3 captures per url a day apart; keep the newest
+    (groupBy-max over a struct — partial-agg, no window sort)."""
+    from html_parser_spark.ops.web import latest_capture
+
+    docs = _docs(spark, sf_dir)
+    captures = docs.crossJoin(
+        spark.range(3).withColumnRenamed("id", "capture")
+    ).select(
+        F.concat(F.lit("https://example.org/doc/"), F.col("doc_id").cast("string"))
+        .alias("url"),
+        F.timestamp_seconds(
+            F.lit(1704067200) + F.col("doc_id") + F.col("capture") * 86400
+        ).alias("warc_ts"),
+        F.concat("text", F.lit(" v"), F.col("capture").cast("string")).alias("body"),
+    )
+    latest = latest_capture(captures)
+    return latest.select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("warc_date"),
+        F.md5(F.encode("body", "UTF-8")).alias("body_md5"),
+    )
+
+
 def q_warc_roundtrip(spark, sf_dir):
     """WARC source+sink (Common-Crawl container format): synthesize a crawl
     from the documents table, write it as per-record-gzip ``.warc.gz`` part
@@ -871,6 +936,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_url_parts": q_url_parts,
         "q_domain_stats": q_domain_stats,
         "q_blocklist": q_blocklist,
+        "q_url_canon": q_url_canon,
+        "q_latest_capture": q_latest_capture,
         "q_warc_roundtrip": q_warc_roundtrip,
         "q_extract_entries": q_extract_entries,
         "q_migrate_v21": q_migrate_v21,
@@ -1743,6 +1810,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, CAST(count(*) AS BIGINT) AS n_docs_kept
             FROM u WHERE host NOT IN (SELECT host FROM top2)
             GROUP BY lang
+        """,
+        "q_url_canon": """
+            -- expected canonical form in closed form from doc_id
+            SELECT doc_id,
+                   (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END)
+                   || '://W' || (doc_id % 7) || '.' || upper(source)
+                   || '.Example.' || (['org','net','com'])[(doc_id % 3) + 1]
+                   || (CASE WHEN doc_id % 4 = 0
+                            THEN CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END
+                            WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END)
+                   || (CASE WHEN doc_id % 6 = 0 THEN '' ELSE '/a/p' || doc_id END)
+                   || (CASE WHEN doc_id % 3 = 0 THEN '?q=' || doc_id ELSE '' END)
+                   || (CASE WHEN doc_id % 5 = 0 THEN '#s' ELSE '' END) AS raw_url,
+                   (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END)
+                   || '://w' || (doc_id % 7) || '.' || lower(source)
+                   || '.example.' || (['org','net','com'])[(doc_id % 3) + 1]
+                   || (CASE WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END)
+                   || (CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '/a/p' || doc_id END)
+                   || (CASE WHEN doc_id % 3 = 0 THEN '?q=' || doc_id ELSE '' END)
+                     AS canonical_url
+            FROM documents
+        """,
+        "q_latest_capture": """
+            -- newest of the 3 synthesized captures is capture 2 (+2 days)
+            SELECT 'https://example.org/doc/' || doc_id AS url,
+                   strftime(TIMESTAMP '2024-01-01 00:00:00'
+                            + to_seconds(doc_id + 172800),
+                            '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+                   md5(text || ' v2') AS body_md5
+            FROM documents
         """,
         "q_warc_roundtrip": """
             -- recompute the per-url accounting straight from documents;

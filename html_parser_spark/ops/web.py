@@ -91,3 +91,51 @@ def host_blocklist_filter(
         on=F.col(host_col) == F.col("_blocked_host"),
         how="left_anti",
     )
+
+
+def canonicalize_url(url) -> "F.Column":
+    """Canonical url for crawl-level url dedup: lowercase scheme+authority,
+    strip the fragment, strip default ports (:80 http / :443 https), and
+    normalize an empty path to '/'.  Pure column expressions — this runs
+    per-capture over the whole crawl, so it must stay in codegen.
+
+    Query strings are preserved verbatim (param re-ordering changes
+    semantics on enough real sites that crawlers keep them as-is)."""
+    u = F.col(url) if isinstance(url, str) else url
+    scheme = F.lower(F.parse_url(u, F.lit("PROTOCOL")))
+    auth = F.lower(F.parse_url(u, F.lit("AUTHORITY")))
+    auth = F.when(
+        scheme == "http", F.regexp_replace(auth, ":80$", "")
+    ).when(
+        scheme == "https", F.regexp_replace(auth, ":443$", "")
+    ).otherwise(auth)
+    path = F.parse_url(u, F.lit("PATH"))
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.parse_url(u, F.lit("QUERY"))
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        auth,
+        path,
+        F.when(query.isNotNull(), F.concat(F.lit("?"), query)).otherwise(F.lit("")),
+    )
+
+
+def latest_capture(
+    df: DataFrame, url_col: str = "url", ts_col: str = "warc_ts"
+) -> DataFrame:
+    """Crawl-capture dedup: keep the NEWEST capture per url (Common Crawl
+    re-fetches urls across monthly crawls; extraction wants one row/url).
+
+    groupBy(url).max(struct(ts, other cols)) — struct ordering compares the
+    timestamp first, remaining columns break exact-ts ties
+    deterministically.  Partial aggregation keeps only the current maximum
+    per url per map task, so the shuffle carries one row per (url,
+    partition) — strictly cheaper than the row_number window, which must
+    shuffle and sort EVERY capture.  Column order (and so tie-break order)
+    follows the input schema."""
+    others = [c for c in df.columns if c not in (url_col, ts_col)]
+    agg = df.groupBy(url_col).agg(
+        F.max(F.struct(ts_col, *others)).alias("_r")
+    )
+    return agg.select(url_col, *[F.col(f"_r.{c}").alias(c) for c in (ts_col, *others)])

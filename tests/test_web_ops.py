@@ -55,3 +55,51 @@ def test_blocklist_is_broadcast_anti_join(spark):
     hosts = {r["host"] for r in kept.collect()}
     assert hosts == {"h1.org", "h2.org", "h4.org"}
     assert kept.count() == 60
+
+
+def test_canonicalize_url_edges(spark):
+    from html_parser_spark.ops.web import canonicalize_url
+
+    rows = [
+        ("HTTP://WWW.Example.ORG:80/Path/X?Q=MixedCase#frag",),
+        ("https://example.org:443",),
+        ("https://example.org:8443/x",),
+        ("http://example.org/?a=1#b",),
+    ]
+    df = spark.createDataFrame(rows, ["url"])
+    out = dict(
+        (r["url"], r["canon"])
+        for r in df.select("url", canonicalize_url("url").alias("canon")).collect()
+    )
+    # scheme+authority lowercased, default port stripped, fragment dropped,
+    # path case and query case PRESERVED
+    assert out[rows[0][0]] == "http://www.example.org/Path/X?Q=MixedCase"
+    assert out["https://example.org:443"] == "https://example.org/"
+    assert out["https://example.org:8443/x"] == "https://example.org:8443/x"
+    assert out["http://example.org/?a=1#b"] == "http://example.org/?a=1"
+
+
+def test_latest_capture_ties_and_plan(spark):
+    from datetime import datetime
+
+    from html_parser_spark.ops.web import latest_capture
+
+    t0, t1 = datetime(2024, 1, 1), datetime(2024, 2, 1)
+    df = spark.createDataFrame(
+        [
+            ("u1", t0, "old"),
+            ("u1", t1, "new"),
+            ("u2", t0, "a"),
+            ("u2", t0, "b"),  # exact-ts tie -> next column breaks it (max)
+        ],
+        ["url", "warc_ts", "body"],
+    )
+    out = {r["url"]: r for r in latest_capture(df).collect()}
+    assert out["u1"]["body"] == "new" and out["u1"]["warc_ts"] == t1
+    assert out["u2"]["body"] == "b"  # deterministic tie-break
+    # struct-max is a SortAggregate (not hash-aggregable), but the property
+    # that matters at crawl scale is map-side partial aggregation before the
+    # exchange — and no window over the raw captures
+    plan = latest_capture(df)._jdf.queryExecution().executedPlan().toString()
+    assert "partial_max" in plan
+    assert "Window" not in plan
