@@ -168,6 +168,46 @@ def main():
         )
     )
 
+    p = plan_of(entrymod.q_span_dedup(spark, sf_dir))
+    checks.append(
+        (
+            "q_span_dedup — groupBy-min + hash join on span hashes, no window over spans",
+            p,
+            ["HashAggregate", "Join"],
+            ["Window", "CartesianProduct", "BroadcastNestedLoopJoin"],
+        )
+    )
+
+    p = plan_of(entrymod.q_blocklist(spark, sf_dir))
+    checks.append(
+        (
+            "q_blocklist — blocklist dropped via broadcast LEFT ANTI join",
+            p,
+            ["LeftAnti", "BroadcastHashJoin"],
+            ["CartesianProduct"],
+        )
+    )
+
+    p = plan_of(entrymod.q_latest_capture(spark, sf_dir))
+    checks.append(
+        (
+            "q_latest_capture — struct-max with map-side partial agg, no capture window",
+            p,
+            ["partial_max"],
+            ["Window"],
+        )
+    )
+
+    p = plan_of(entrymod.q_warc_roundtrip(spark, sf_dir))
+    checks.append(
+        (
+            "q_warc_roundtrip — WARC ingest is a shuffle-free scan → single mapInPandas",
+            p,
+            ["MapInPandas"],
+            ["Exchange", "Window"],  # the READ side must not shuffle
+        )
+    )
+
     failures = []
     out = ["# Physical-plan audit (generated by tools/plan_audit.py)\n"]
     out.append(
