@@ -112,13 +112,17 @@ def canonicalize_url(url) -> "F.Column":
     path = F.parse_url(u, F.lit("PATH"))
     path = F.when(path == "", F.lit("/")).otherwise(path)
     query = F.parse_url(u, F.lit("QUERY"))
-    return F.concat(
+    canon = F.concat(
         scheme,
         F.lit("://"),
         auth,
         path,
         F.when(query.isNotNull(), F.concat(F.lit("?"), query)).otherwise(F.lit("")),
     )
+    # non-absolute / unparseable identifiers (relative paths, bare ids) pass
+    # through verbatim — a NULL canon would collapse every such row onto ONE
+    # dedup key, silently merging unrelated documents
+    return F.when(scheme.isNotNull() & auth.isNotNull(), canon).otherwise(u)
 
 
 def latest_capture(

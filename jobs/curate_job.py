@@ -4,11 +4,13 @@ BETWEEN extraction and training:
     spark-submit --py-files htmlps.zip jobs/curate_job.py \
         --docs <documents parquet>  --output <dir> \
         [--min-tokens 10] [--max-top-word-frac 0.5] [--max-dup-bigram-frac 0.9] \
-        [--scrub-pii] [--chunk-tokens 0] [--num-hashes 8] [--bands 4]
+        [--scrub-pii] [--span-dedup-tokens 0] [--blocklist-hosts h1,h2] \
+        [--chunk-tokens 0] [--num-hashes 8] [--bands 4]
 
 Chain (every step a stock DataFrame transform, see ops/corpus.py scale notes):
 
   documents → repetition/quality filter (Gopher §A.1.1 features)
+            → C4-style span dedup (optional)
             → PII scrub (optional)
             → near-dup survivors (MinHash-LSH → components → LEFT ANTI)
             → deterministic md5-bucket split assignment
@@ -18,8 +20,10 @@ Chain (every step a stock DataFrame transform, see ops/corpus.py scale notes):
 Emits ONE JSON line of funnel metrics (docs in → after filter → after dedup,
 per-split counts, chunks written) — the numbers a data-curation run must
 log for lineage.  Input is any parquet with (doc_id, text, lang) columns;
-use --from-extract to curate an extract_job output directly (url/
-extracted_text are mapped to doc_id/text via xxhash64).
+use --from-extract to curate an extract_job output directly: urls are
+canonicalized, the newest capture per canonical url wins (latest_capture),
+--blocklist-hosts drops blocked hosts, then url/extracted_text map to
+doc_id/text via xxhash64.
 """
 
 from __future__ import annotations
@@ -42,6 +46,10 @@ def main(argv=None):
     ap.add_argument("--max-top-word-frac", type=float, default=0.5)
     ap.add_argument("--max-dup-bigram-frac", type=float, default=0.9)
     ap.add_argument("--scrub-pii", action="store_true")
+    ap.add_argument("--span-dedup-tokens", type=int, default=0,
+                    help="C4-style span dedup window in tokens (0 = skip)")
+    ap.add_argument("--blocklist-hosts", default="",
+                    help="comma-separated hosts to drop (--from-extract only)")
     ap.add_argument("--chunk-tokens", type=int, default=0,
                     help="also write fixed-size token chunks (0 = skip)")
     ap.add_argument("--num-hashes", type=int, default=8)
@@ -66,17 +74,38 @@ def main(argv=None):
 
         spark = get_spark(app_name="curate-job")
 
+    n_captures = None
     if args.docs:
         docs = spark.read.parquet(args.docs).select("doc_id", "text", "lang")
     else:
-        docs = (
+        from html_parser_spark.ops.web import (
+            canonicalize_url,
+            host_blocklist_filter,
+            latest_capture,
+            url_parts,
+        )
+
+        res = (
             spark.read.parquet(os.path.join(args.from_extract, "data"))
             .where(F.col("extracted_text").isNotNull())
             .select(
-                F.xxhash64("url").alias("doc_id"),
-                F.col("extracted_text").alias("text"),
+                canonicalize_url("url").alias("url"),
+                "warc_ts",
+                "extracted_text",
                 "lang",
             )
+        )
+        n_captures = res.count()
+        # url-level dedup: canonical url + newest capture wins
+        res = latest_capture(res)
+        if args.blocklist_hosts:
+            res = host_blocklist_filter(
+                url_parts(res), args.blocklist_hosts.split(",")
+            ).select("url", "warc_ts", "extracted_text", "lang")
+        docs = res.select(
+            F.xxhash64("url").alias("doc_id"),
+            F.col("extracted_text").alias("text"),
+            "lang",
         )
     n_in = docs.count()
 
@@ -89,6 +118,25 @@ def main(argv=None):
     ).select("doc_id")
     docs = docs.join(keep, "doc_id", "left_semi")
     n_filtered = docs.count()
+
+    # 1b. C4-style span dedup (optional): strip cross-document boilerplate
+    # spans before doc-level near-dup, so shared banners don't glue
+    # otherwise-distinct documents into one LSH cluster
+    n_spans_dropped = 0
+    if args.span_dedup_tokens > 0:
+        from pyspark import StorageLevel as _SL
+
+        from html_parser_spark.ops.corpus import span_dedup
+
+        sd = span_dedup(docs, span_tokens=args.span_dedup_tokens).persist(
+            _SL.MEMORY_AND_DISK
+        )
+        n_spans_dropped = sd.agg(
+            F.sum("n_spans_dropped").cast("long").alias("d")
+        ).collect()[0]["d"] or 0
+        docs = sd.join(docs.select("doc_id", "lang"), "doc_id").select(
+            "doc_id", F.col("clean_text").alias("text"), "lang"
+        )
 
     # 2. PII scrub (narrow, rides the same scan) — then MATERIALIZE.
     # The persist here is load-bearing, not a cache hint: Catalyst does no
@@ -135,6 +183,8 @@ def main(argv=None):
 
     print(json.dumps({
         "job": "curate",
+        **({"captures_in": n_captures} if n_captures is not None else {}),
+        "spans_dropped": n_spans_dropped,
         "docs_in": n_in,
         "after_quality_filter": n_filtered,
         "after_dedup": n_dedup,

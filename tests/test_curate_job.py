@@ -44,3 +44,37 @@ def test_curate_job_end_to_end(spark, tmp_path, capsys):
         )
     )
     assert tot.where(F.col("n") != F.col("expect")).count() == 0
+
+
+def test_curate_job_from_extract_with_span_dedup(spark, tmp_path, capsys):
+    """extract -> curate chain: url canon + latest-capture + blocklist +
+    span dedup all wired through the production job."""
+    import jobs.curate_job as cj
+    import jobs.extract_job as ej
+
+    ex_out = str(tmp_path / "extract")
+    ej.main([
+        "--pages", "synth:/root/testdata/sf0.001",
+        "--output", ex_out,
+        "--limit", "40",
+        "--partitions", "4",
+    ])
+    capsys.readouterr()
+    cur_out = str(tmp_path / "curated")
+    cj.main([
+        "--from-extract", ex_out,
+        "--output", cur_out,
+        "--min-tokens", "1",
+        "--span-dedup-tokens", "8",
+        "--blocklist-hosts", "spam.example,ads.example",
+        "--num-hashes", "4",
+        "--bands", "2",
+    ])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["captures_in"] == 40
+    # synthetic urls are unique per capture and none match the blocklist
+    assert stats["docs_in"] == 40
+    assert stats["spans_dropped"] >= 0
+    assert stats["after_dedup"] > 0
+    docs = spark.read.parquet(os.path.join(cur_out, "docs"))
+    assert docs.count() == stats["after_dedup"]

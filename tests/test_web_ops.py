@@ -79,6 +79,17 @@ def test_canonicalize_url_edges(spark):
     assert out["http://example.org/?a=1#b"] == "http://example.org/?a=1"
 
 
+def test_canonicalize_url_passthrough_unparseable(spark):
+    """Relative paths / bare ids canonicalize to THEMSELVES, never NULL —
+    a NULL canon would collapse every such row onto one dedup key."""
+    from html_parser_spark.ops.web import canonicalize_url
+
+    rows = [("talibov/0001.html",), ("doc-42",), ("",)]
+    df = spark.createDataFrame(rows, ["url"])
+    out = [r["c"] for r in df.select(canonicalize_url("url").alias("c")).collect()]
+    assert out == [r[0] for r in rows]
+
+
 def test_latest_capture_ties_and_plan(spark):
     from datetime import datetime
 
