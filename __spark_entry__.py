@@ -742,6 +742,30 @@ def q_blocklist(spark, sf_dir):
     return kept.groupBy("lang").agg(F.count("*").alias("n_docs_kept"))
 
 
+def q_psl_domain(spark, sf_dir):
+    """Registered domain via longest public-suffix match (codegen literal
+    array probe, zero shuffle/join): multi-label suffixes (co.uk, com.au)
+    must beat the last-2-labels heuristic; unknown TLDs fall back to it."""
+    from html_parser_spark.ops.web import registered_domain_psl
+
+    docs = _docs(spark, sf_dir)
+    suffix = F.element_at(
+        F.array(
+            F.lit(".blogs.example.com"),
+            F.lit(".example.co.uk"),
+            F.lit(".shop.example.com.au"),
+            F.lit(".example.unknowntld"),
+        ),
+        (F.pmod("doc_id", F.lit(4)) + 1).cast("int"),
+    )
+    host = F.concat(F.lit("h"), F.col("doc_id").cast("string"), suffix)
+    return docs.select(
+        "doc_id",
+        host.alias("host"),
+        registered_domain_psl(host).alias("registered_domain"),
+    )
+
+
 def q_url_canon(spark, sf_dir):
     """URL canonicalization for crawl-level url dedup: messy urls (mixed
     case, default ports, fragments, empty paths) are built in closed form
@@ -936,6 +960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_url_parts": q_url_parts,
         "q_domain_stats": q_domain_stats,
         "q_blocklist": q_blocklist,
+        "q_psl_domain": q_psl_domain,
         "q_url_canon": q_url_canon,
         "q_latest_capture": q_latest_capture,
         "q_warc_roundtrip": q_warc_roundtrip,
@@ -1810,6 +1835,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, CAST(count(*) AS BIGINT) AS n_docs_kept
             FROM u WHERE host NOT IN (SELECT host FROM top2)
             GROUP BY lang
+        """,
+        "q_psl_domain": """
+            -- expected registered domain per suffix branch, in closed form
+            SELECT doc_id,
+                   'h' || doc_id ||
+                     (['.blogs.example.com', '.example.co.uk',
+                       '.shop.example.com.au', '.example.unknowntld']
+                      )[(doc_id % 4) + 1] AS host,
+                   (['example.com', 'example.co.uk',
+                     'example.com.au', 'example.unknowntld']
+                    )[(doc_id % 4) + 1] AS registered_domain
+            FROM documents
         """,
         "q_url_canon": """
             -- expected canonical form in closed form from doc_id

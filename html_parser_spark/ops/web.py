@@ -143,3 +143,53 @@ def latest_capture(
         F.max(F.struct(ts_col, *others)).alias("_r")
     )
     return agg.select(url_col, *[F.col(f"_r.{c}").alias(c) for c in (ts_col, *others)])
+
+
+# a deterministic stand-in for the real ~10k-entry public-suffix list; the
+# production swap is just a longer `psl` argument (see registered_domain_psl)
+DEFAULT_PSL = [
+    "com", "org", "net", "edu", "gov", "io", "dev",
+    "uk", "co.uk", "org.uk", "ac.uk",
+    "au", "com.au", "net.au", "org.au",
+    "jp", "co.jp", "ne.jp",
+    "br", "com.br",
+]
+
+
+def registered_domain_psl(host, psl: "list[str] | None" = None) -> "F.Column":
+    """Registered domain via LONGEST public-suffix match ('a.b.example.co.uk'
+    → 'example.co.uk'), falling back to the last-2-labels heuristic when no
+    suffix matches.
+
+    The suffix set rides the plan as a literal array probed with
+    ``array_contains`` — pure codegen, zero shuffle, zero join; even the
+    full real PSL (~10k entries, ~200 KB) is cheaper as plan literal than
+    as a per-row join.  Candidate suffixes are the host's last 1..4 labels
+    (no public suffix has more; longest match wins, per PSL semantics)."""
+    u = F.col(host) if isinstance(host, str) else host
+    psl_arr = F.array(*[F.lit(s) for s in (psl or DEFAULT_PSL)])
+    labels = F.split(u, r"\.")
+    n = F.size(labels)
+    # candidate suffixes: last k labels, k = 1..min(4, n) (k = n covers a
+    # host that IS a bare public suffix; sequence() must never run 1..0,
+    # which Spark treats as a DESCENDING range)
+    cands = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.least(F.lit(4), n), F.lit(1))),
+        lambda k: F.concat_ws(".", F.slice(labels, n - k + 1, 4)),
+    )
+    matched = F.filter(cands, lambda c: F.array_contains(psl_arr, c))
+    # longest match = max by label count (struct ordering: count first)
+    best = F.array_max(
+        F.transform(
+            matched,
+            lambda m: F.struct(F.size(F.split(m, r"\.")).alias("k"), m.alias("s")),
+        )
+    )
+    reg = F.concat_ws(".", F.slice(labels, n - best["k"], best["k"] + 1))
+    fallback = F.regexp_extract(u, _REG_DOMAIN_RE, 1)
+    has = F.size(matched) > 0
+    return (
+        F.when(has & (n > best["k"]), reg)
+        .when(has, u)  # the host IS a public suffix: no registrable part
+        .otherwise(fallback)
+    )

@@ -114,3 +114,45 @@ def test_latest_capture_ties_and_plan(spark):
     plan = latest_capture(df)._jdf.queryExecution().executedPlan().toString()
     assert "partial_max" in plan
     assert "Window" not in plan
+
+
+def test_registered_domain_psl(spark):
+    """Longest-suffix-wins PSL matching beats the last-2-labels heuristic on
+    co.uk-style suffixes; unknown TLDs fall back to it; a host that IS a
+    bare public suffix has no registrable part and passes through."""
+    from html_parser_spark.ops.web import registered_domain_psl
+
+    rows = [
+        ("a.b.example.co.uk",),   # multi-label suffix: longest match
+        ("example.co.uk",),       # exactly suffix+1 label
+        ("www.example.com",),     # single-label suffix
+        ("example.com",),
+        ("shop.example.com.au",),
+        ("co.uk",),               # host IS a public suffix
+        ("foo.unknowntld",),      # no suffix match -> heuristic fallback
+        ("deep.x.y.foo.unknowntld",),
+        ("localhost",),           # single label, no match anywhere
+    ]
+    df = spark.createDataFrame(rows, ["host"])
+    out = dict(
+        (r["host"], r["reg"])
+        for r in df.select(
+            "host", registered_domain_psl("host").alias("reg")
+        ).collect()
+    )
+    assert out["a.b.example.co.uk"] == "example.co.uk"
+    assert out["example.co.uk"] == "example.co.uk"
+    assert out["www.example.com"] == "example.com"
+    assert out["example.com"] == "example.com"
+    assert out["shop.example.com.au"] == "example.com.au"
+    assert out["co.uk"] == "co.uk"
+    assert out["foo.unknowntld"] == "foo.unknowntld"
+    assert out["deep.x.y.foo.unknowntld"] == "foo.unknowntld"
+    assert out["localhost"] == ""  # heuristic needs two labels
+
+    # zero shuffle / zero join: the suffix set rides the plan as a literal
+    plan = (
+        df.select(registered_domain_psl("host").alias("r"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Join" not in plan
