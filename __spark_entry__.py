@@ -873,6 +873,42 @@ def q_warc_roundtrip(spark, sf_dir):
     )
 
 
+def q_warc_index(spark, sf_dir):
+    """CDX-style record index over an uncompressed WARC: write the synthetic
+    crawl as ONE sorted ``.warc`` part, read it back with per-record seekable
+    extents, and emit (url, rec_offset, rec_length).  The DuckDB oracle
+    re-derives every extent in CLOSED FORM from ``documents`` alone — record
+    length from the serialized header/payload byte arithmetic, offset as the
+    running sum over doc_id order — so a hash match proves the reader's
+    offsets tile the file exactly as the writer laid it out."""
+    import shutil
+    import tempfile
+
+    _ship_package(spark)
+    from html_parser_spark.sources.warc import read_warc, write_warc_files
+
+    docs = _docs(spark, sf_dir)
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://d"),
+            F.pmod("doc_id", F.lit(20)).cast("string"),
+            F.lit(".example.org/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id")).alias("warc_ts"),
+        F.encode("text", "UTF-8").alias("html"),
+    ).repartition(1).sortWithinPartitions("doc_id")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_warc_ix_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    write_warc_files(pages, out, compress=False)
+    w = read_warc(spark, os.path.join(out, "*.warc"), with_offsets=True)
+    return w.select("url", "rec_offset", "rec_length")
+
+
 def q_extract_entries(spark, sf_dir):
     """Entry-struct check over the synthetic extraction: headword + counts."""
     _ship_package(spark)
@@ -964,6 +1000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_url_canon": q_url_canon,
         "q_latest_capture": q_latest_capture,
         "q_warc_roundtrip": q_warc_roundtrip,
+        "q_warc_index": q_warc_index,
         "q_extract_entries": q_extract_entries,
         "q_migrate_v21": q_migrate_v21,
     }
@@ -1891,6 +1928,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(200 AS INTEGER) AS http_status,
                    'text/html; charset=utf-8' AS content_type
             FROM documents
+        """,
+        "q_warc_index": """
+            -- re-derive every record's seekable extent in closed form: the
+            -- serialized record is a pure function of (url, html bytes), so
+            -- its length is byte arithmetic (uuid=36, date=20 are fixed
+            -- width) and its offset is the running sum in doc_id file order
+            WITH p AS (
+              SELECT doc_id,
+                     'https://d' || (doc_id % 20) || '.example.org/doc/'
+                       || doc_id AS url,
+                     CAST(octet_length(encode(text)) AS BIGINT) AS hl
+              FROM documents
+            ), r AS (
+              SELECT doc_id, url,
+                     CAST(octet_length(encode(
+                       e'HTTP/1.1 200 OK\\r\\nContent-Type: text/html; '
+                       || e'charset=utf-8\\r\\nContent-Length: '
+                       || CAST(hl AS VARCHAR) || e'\\r\\n\\r\\n'
+                     )) AS BIGINT) + hl AS http_len
+              FROM p
+            ), s AS (
+              SELECT doc_id, url,
+                     CAST(octet_length(encode(
+                       e'WARC/1.0\\r\\nWARC-Type: response\\r\\n'
+                       || 'WARC-Record-ID: <urn:uuid:' || repeat('x', 36)
+                       || e'>\\r\\nWARC-Date: ' || repeat('x', 20)
+                       || e'\\r\\nWARC-Target-URI: ' || url
+                       || e'\\r\\nContent-Type: application/http; '
+                       || e'msgtype=response\\r\\nContent-Length: '
+                       || CAST(http_len AS VARCHAR) || e'\\r\\n\\r\\n'
+                     )) AS BIGINT) + http_len + 4 AS rec_length
+              FROM r
+            )
+            SELECT url,
+                   CAST(COALESCE(SUM(rec_length) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS BIGINT) AS rec_offset,
+                   CAST(rec_length AS BIGINT) AS rec_length
+            FROM s
         """,
         "q_media_meta": """
             -- regenerate ops/multimodal.synth_media_df(300) exactly: payload

@@ -162,26 +162,40 @@ def write_warc_files(pages: DataFrame, out_dir: str, compress: bool = True) -> i
 # ---------------------------------------------------------------- reader ---
 
 
-def _gunzip_members(blob: bytes) -> bytes:
-    """Inflate a concatenation of gzip members (the .warc.gz layout)."""
-    out, buf = [], blob
-    while buf:
+_GZ_CHUNK = 1 << 20
+
+
+def _iter_gzip_members(blob: bytes) -> Iterator[tuple[int, int, bytes]]:
+    """Yield (offset, compressed_length, inflated_bytes) per gzip member.
+
+    Feeds the inflater in 1 MB chunks rather than the whole remaining tail,
+    so a shard with many members (Common Crawl: one member per record,
+    ~50k/file) inflates in O(n) — ``d.unused_data`` on a whole-tail feed
+    would copy the remainder once per member, O(members × filesize)."""
+    mv, n = memoryview(blob), len(blob)
+    pos = 0
+    while pos < n:
         d = zlib.decompressobj(31)  # 16+15: gzip wrapper, 32KB window
-        out.append(d.decompress(buf))
-        out.append(d.flush())
+        start, out = pos, []
+        while pos < n and not d.eof:
+            chunk = mv[pos : pos + _GZ_CHUNK]
+            out.append(d.decompress(chunk))
+            pos += len(chunk) - len(d.unused_data)
         if not d.eof:
             raise ValueError("truncated gzip member in WARC file")
-        buf = d.unused_data
-    return b"".join(out)
+        out.append(d.flush())
+        yield start, pos - start, b"".join(out)
 
 
-def iter_warc_records(blob: bytes) -> Iterator[tuple[dict, bytes]]:
-    """Yield (headers, payload) per record from raw .warc / .warc.gz bytes.
+def _iter_plain_records(
+    data: bytes, base: int = 0
+) -> Iterator[tuple[dict, bytes, int, int]]:
+    """(headers, payload, offset, length) per record in UNCOMPRESSED bytes.
 
     Payload extent comes from ``Content-Length`` alone — never from
     scanning for a delimiter — so bodies containing CRLFCRLF or literal
-    ``WARC/1.0`` parse correctly."""
-    data = _gunzip_members(blob) if blob[:2] == b"\x1f\x8b" else blob
+    ``WARC/1.0`` parse correctly.  The extent includes the record's
+    trailing CRLFCRLF block, so extents tile the file exactly."""
     pos, n = 0, len(data)
     while pos < n:
         while data.startswith(b"\r\n", pos):
@@ -190,6 +204,7 @@ def iter_warc_records(blob: bytes) -> Iterator[tuple[dict, bytes]]:
             break
         if not data.startswith(b"WARC/", pos):
             raise ValueError(f"expected WARC/ header at offset {pos}")
+        start = pos
         head_end = data.find(b"\r\n\r\n", pos)
         if head_end < 0:
             raise ValueError("unterminated WARC header block")
@@ -203,6 +218,35 @@ def iter_warc_records(blob: bytes) -> Iterator[tuple[dict, bytes]]:
         if len(payload) != clen:
             raise ValueError("truncated WARC record payload")
         pos = body_start + clen
+        if data[pos : pos + 4] == b"\r\n\r\n":
+            pos += 4
+        yield headers, payload, base + start, pos - start
+
+
+def iter_warc_records_extents(blob: bytes) -> Iterator[tuple[dict, bytes, int, int]]:
+    """Yield (headers, payload, offset, length) per record, where
+    (offset, length) is the record's SEEKABLE extent within ``blob``:
+
+    * ``.warc.gz`` — the compressed extent of the gzip member holding the
+      record (range-read + inflate yields the record; with the
+      one-member-per-record Common-Crawl layout this is exact, and a
+      multi-record member simply maps all its records to the member);
+    * plain ``.warc`` — the record's own byte extent incl. trailing CRLFs.
+
+    These extents are what a CDX-style index stores: fetching
+    ``blob[offset : offset+length]`` and re-parsing it recovers the record
+    without touching the rest of the file."""
+    if blob[:2] == b"\x1f\x8b":
+        for m_off, m_len, data in _iter_gzip_members(blob):
+            for headers, payload, _, _ in _iter_plain_records(data):
+                yield headers, payload, m_off, m_len
+    else:
+        yield from _iter_plain_records(blob)
+
+
+def iter_warc_records(blob: bytes) -> Iterator[tuple[dict, bytes]]:
+    """Yield (headers, payload) per record from raw .warc / .warc.gz bytes."""
+    for headers, payload, _, _ in iter_warc_records_extents(blob):
         yield headers, payload
 
 
@@ -225,38 +269,66 @@ def _split_http(payload: bytes) -> tuple[int | None, str | None, bytes]:
     return status, ctype, payload[sep + 4 :]
 
 
-def _parse_files(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    cols = [f.name for f in WARC_PAGE_SCHEMA.fields]
-    for pdf in batches:
-        rows: dict[str, list] = {c: [] for c in cols}
-        for path, content in zip(pdf["path"], pdf["content"]):
-            for headers, payload in iter_warc_records(bytes(content)):
-                wtype = headers.get("warc-type", "")
-                if wtype == "response":
-                    status, ctype, body = _split_http(payload)
-                else:  # resource / conversion / … records carry raw bodies
-                    status, ctype, body = None, headers.get("content-type"), payload
-                ts = headers.get("warc-date")
-                rows["url"].append(headers.get("warc-target-uri"))
-                rows["warc_ts"].append(
-                    datetime.strptime(ts, _PY_DATE_FMT) if ts else None
-                )
-                rows["html"].append(body)
-                rows["content_type"].append(ctype)
-                rows["http_status"].append(status)
-                rows["warc_type"].append(wtype)
-                rows["record_id"].append(headers.get("warc-record-id"))
-                rows["source_file"].append(path)
-        yield pd.DataFrame(rows, columns=cols)
+WARC_INDEXED_SCHEMA = T.StructType(
+    WARC_PAGE_SCHEMA.fields
+    + [
+        T.StructField("rec_offset", T.LongType()),
+        T.StructField("rec_length", T.LongType()),
+    ]
+)
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
+def _record_rows(path: str, blob: bytes, rows: dict, with_offsets: bool) -> None:
+    for headers, payload, off, length in iter_warc_records_extents(blob):
+        wtype = headers.get("warc-type", "")
+        if wtype == "response":
+            status, ctype, body = _split_http(payload)
+        else:  # resource / conversion / … records carry raw bodies
+            status, ctype, body = None, headers.get("content-type"), payload
+        ts = headers.get("warc-date")
+        rows["url"].append(headers.get("warc-target-uri"))
+        rows["warc_ts"].append(datetime.strptime(ts, _PY_DATE_FMT) if ts else None)
+        rows["html"].append(body)
+        rows["content_type"].append(ctype)
+        rows["http_status"].append(status)
+        rows["warc_type"].append(wtype)
+        rows["record_id"].append(headers.get("warc-record-id"))
+        rows["source_file"].append(path)
+        if with_offsets:
+            rows["rec_offset"].append(off)
+            rows["rec_length"].append(length)
+
+
+def _parse_files_fn(with_offsets: bool):
+    schema = WARC_INDEXED_SCHEMA if with_offsets else WARC_PAGE_SCHEMA
+    cols = [f.name for f in schema.fields]
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {c: [] for c in cols}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                _record_rows(path, bytes(content), rows, with_offsets)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return _parse
+
+
+def read_warc(
+    spark: SparkSession, path: str, with_offsets: bool = False
+) -> DataFrame:
     """Crawl archive(s) → pages DataFrame (url, warc_ts, html, …).
 
     ``binaryFile`` scan (one row/task per file, never split) → ONE
     mapInPandas stage.  The result feeds ``spark.pipeline.extract_pages``
     directly or lands into the Iceberg pages table via a plain write —
-    either way the whole ingest is a shuffle-free map."""
+    either way the whole ingest is a shuffle-free map.
+
+    ``with_offsets=True`` adds (rec_offset, rec_length) — each record's
+    seekable extent in its source file (the member extent for per-record
+    ``.warc.gz``).  Projecting (url, warc_ts, source_file, rec_offset,
+    rec_length) from that IS the CDX index Common Crawl publishes: point
+    lookups then range-read kilobytes via ``fetch_warc_records`` instead
+    of re-scanning terabyte shard sets."""
     reader = spark.read.format("binaryFile")
     head, tail = os.path.split(path)
     if "*" in tail and "*" not in head:
@@ -266,6 +338,67 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
         reader = reader.option("pathGlobFilter", tail)
         path = head
     files = reader.load(path)
+    schema = WARC_INDEXED_SCHEMA if with_offsets else WARC_PAGE_SCHEMA
     return files.select("path", "content").mapInPandas(
-        _parse_files, schema=WARC_PAGE_SCHEMA
+        _parse_files_fn(with_offsets), schema=schema
     )
+
+
+def _local_path(uri: str) -> str:
+    if uri.startswith("file:"):
+        p = uri[5:]
+        while p.startswith("//"):  # file:///x and file://host/x forms
+            p = p[1:]
+        return p
+    return uri
+
+
+def fetch_warc_records(index: DataFrame) -> DataFrame:
+    """Random access by CDX index: (source_file, rec_offset, rec_length)
+    rows → the referenced records, read via seek+read of ONLY those byte
+    ranges (on an object store the same call is a ranged GET).
+
+    The index is repartitioned by file and range-sorted within partitions,
+    so each task touches each file once, in ascending-offset order —
+    sequential-ish I/O even for thousands of lookups per shard.  When the
+    index carries a ``record_id`` column, a multi-record extent (a shared
+    gzip member) is filtered back down to the requested record."""
+    want_id = "record_id" in index.columns
+    cols = ["source_file", "rec_offset", "rec_length"] + (
+        ["record_id"] if want_id else []
+    )
+    ranges = (
+        index.select(*cols)
+        .repartition("source_file")
+        .sortWithinPartitions("source_file", "rec_offset")
+    )
+    out_cols = [f.name for f in WARC_PAGE_SCHEMA.fields]
+
+    def _fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        open_path, fh = None, None
+        try:
+            for pdf in batches:
+                rows: dict[str, list] = {c: [] for c in out_cols}
+                for t in pdf.itertuples(index=False):
+                    if t.source_file != open_path:
+                        if fh is not None:
+                            fh.close()
+                        open_path = t.source_file
+                        fh = open(_local_path(open_path), "rb")
+                    fh.seek(int(t.rec_offset))
+                    blob = fh.read(int(t.rec_length))
+                    got: dict[str, list] = {c: [] for c in out_cols}
+                    _record_rows(open_path, blob, got, with_offsets=False)
+                    keep = range(len(got["url"]))
+                    if want_id:
+                        keep = [
+                            i for i in keep if got["record_id"][i] == t.record_id
+                        ]
+                    for c in out_cols:
+                        rows[c].extend(got[c][i] for i in keep)
+                yield pd.DataFrame(rows, columns=out_cols)
+        finally:
+            if fh is not None:
+                fh.close()
+
+    return ranges.mapInPandas(_fetch, schema=WARC_PAGE_SCHEMA)

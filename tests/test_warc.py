@@ -143,3 +143,95 @@ def test_warc_ingest_feeds_extraction(spark, tmp_path):
     rows = res.select("url", "fmt", "n_entries").collect()
     assert len(rows) == 20
     assert all(r["fmt"] == "A" and r["n_entries"] >= 1 for r in rows)
+
+
+def test_warc_extents_seekable_gz(spark, tmp_path):
+    """rec_offset/rec_length on .warc.gz are gzip-member extents: a range
+    read of exactly those bytes inflates + parses to that record alone."""
+    from html_parser_spark.sources.warc import (
+        iter_warc_records,
+        read_warc,
+        write_warc_files,
+    )
+
+    pages = _pages(spark, _adversarial_rows()).repartition(2)
+    out = str(tmp_path / "gz")
+    write_warc_files(pages, out, compress=True)
+    back = read_warc(
+        spark, os.path.join(out, "*.warc.gz"), with_offsets=True
+    ).collect()
+    assert len(back) == 4
+    orig = {u: b for u, _, b in _adversarial_rows()}
+    for r in back:
+        path = r["source_file"]
+        path = path[5:].lstrip("/") if path.startswith("file:") else path
+        with open("/" + path if not path.startswith("/") else path, "rb") as f:
+            f.seek(r["rec_offset"])
+            blob = f.read(r["rec_length"])
+        ((headers, payload),) = list(iter_warc_records(blob))
+        assert headers["warc-target-uri"] == r["url"]
+        assert payload.endswith(orig[r["url"]])
+    # member extents tile the file: offsets sorted, lengths sum to filesize
+    by_file = {}
+    for r in back:
+        by_file.setdefault(r["source_file"], []).append(
+            (r["rec_offset"], r["rec_length"])
+        )
+    for path, extents in by_file.items():
+        p = path[5:] if path.startswith("file:") else path
+        extents.sort()
+        assert extents[0][0] == 0
+        for (o1, l1), (o2, _) in zip(extents, extents[1:]):
+            assert o1 + l1 == o2
+        assert sum(l for _, l in extents) == os.path.getsize(p)
+
+
+def test_warc_extents_plain_tile(spark, tmp_path):
+    """Plain .warc extents are per-record (incl. trailing CRLFs), start at
+    a WARC/ magic, and tile the file with no gaps."""
+    from html_parser_spark.sources.warc import read_warc, write_warc_files
+
+    pages = _pages(spark, _adversarial_rows()).coalesce(1)
+    out = str(tmp_path / "plain")
+    write_warc_files(pages, out, compress=False)
+    (path,) = glob.glob(os.path.join(out, "*.warc"))
+    data = open(path, "rb").read()
+    back = sorted(
+        read_warc(spark, os.path.join(out, "*.warc"), with_offsets=True).collect(),
+        key=lambda r: r["rec_offset"],
+    )
+    pos = 0
+    for r in back:
+        assert r["rec_offset"] == pos
+        assert data[pos : pos + 5] == b"WARC/"
+        assert data[pos + r["rec_length"] - 4 : pos + r["rec_length"]] == b"\r\n\r\n"
+        pos += r["rec_length"]
+    assert pos == len(data)
+
+
+def test_fetch_warc_records_by_index(spark, tmp_path):
+    """The CDX pattern end-to-end: build the index once, then random-access
+    a subset through fetch_warc_records and get byte-identical records."""
+    from html_parser_spark.sources.warc import (
+        fetch_warc_records,
+        read_warc,
+        write_warc_files,
+    )
+
+    pages = _pages(spark, _adversarial_rows()).repartition(2)
+    out = str(tmp_path / "gz")
+    write_warc_files(pages, out, compress=True)
+    full = read_warc(spark, os.path.join(out, "*.warc.gz"), with_offsets=True)
+    index = full.select("url", "record_id", "source_file", "rec_offset", "rec_length")
+    wanted = index.where(F.col("url").contains("b.example.org"))
+    got = fetch_warc_records(wanted).orderBy("url").collect()
+    orig = {u: (ts, b) for u, ts, b in _adversarial_rows() if "b.example" in u}
+    assert [r["url"] for r in got] == sorted(orig)
+    for r in got:
+        ts, body = orig[r["url"]]
+        assert bytes(r["html"]) == body and r["warc_ts"] == ts
+        assert r["http_status"] == 200 and r["warc_type"] == "response"
+    # plan shape: index-side exchange only (tiny), then one mapInPandas —
+    # the archive files themselves are never rescanned
+    plan = fetch_warc_records(wanted)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
