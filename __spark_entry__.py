@@ -626,6 +626,56 @@ def q_extract_text_rich(spark, sf_dir):
     )
 
 
+def q_main_content(spark, sf_dir):
+    """Boilerplate removal (jusText-style) over synthesized crawl pages:
+    header/nav/aside/footer/sidebar furniture plus a link-dense promo block
+    wrap two real content paragraphs; the extractor must keep exactly the
+    content (with heading promotion) and the DuckDB oracle reconstructs the
+    expected main_text symbolically from ``documents.text`` — a hash match
+    proves the DOM-ancestry kills, the length/link-density rule, and the
+    block join are all byte-exact."""
+    _ship_package(spark)
+    from html_parser_spark.data.pages import _esc
+    from html_parser_spark.ops.boilerplate import extract_main_content
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    p1 = F.substring("text", 1, 300)
+    p2 = F.substring("text", 301, 200)
+    html = F.concat(
+        F.lit(
+            "<!doctype html><html><head><title>b</title></head><body>\n"
+            '<header><h1>Site</h1><nav><a href="/">Home</a> '
+            '<a href="/about">About</a></nav></header>\n'
+            '<div class="sidebar"><p>'
+        ),
+        _esc(F.substring("text", 1, 120)),
+        F.lit('</p></div>\n<div id="content">\n<h2>Section DOC'),
+        did,
+        F.lit("</h2>\n<p>"),
+        _esc(p1),
+        F.lit(
+            '</p>\n<p class="deals">Deal <a href="/x">now</a> '
+            '<a href="/y">more great deals on this page</a></p>\n<p>'
+        ),
+        _esc(p2),
+        F.lit(' <a href="/ref">details</a></p>\n</div>\n<aside><p>'),
+        _esc(F.substring("text", 1, 100)),
+        F.lit("</p></aside>\n<footer><p>Copyright 2024 "),
+        _esc(F.substring("text", 1, 80)),
+        F.lit(" all rights reserved</p></footer>\n</body></html>\n"),
+    )
+    pages = docs.select("doc_id", F.encode(html, "UTF-8").alias("html"))
+    out = extract_main_content(pages)
+    return out.select(
+        "doc_id",
+        "main_text",
+        "n_blocks",
+        "n_content_blocks",
+        F.col("content_chars").cast("long").alias("content_chars"),
+    )
+
+
 def q_lang_id(spark, sf_dir):
     """n-gram language-ID (brief §extras): train per-language trigram
     profiles on the corpus, classify every document by weighted-overlap
@@ -1001,6 +1051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_latest_capture": q_latest_capture,
         "q_warc_roundtrip": q_warc_roundtrip,
         "q_warc_index": q_warc_index,
+        "q_main_content": q_main_content,
         "q_extract_entries": q_extract_entries,
         "q_migrate_v21": q_migrate_v21,
     }
@@ -1967,6 +2018,38 @@ def oracle_sql() -> dict[str, str]:
                         0) AS BIGINT) AS rec_offset,
                    CAST(rec_length AS BIGINT) AS rec_length
             FROM s
+        """,
+        "q_main_content": """
+            -- reconstruct the expected main content symbolically: the two
+            -- real paragraphs survive iff >= 25 collapsed chars (the inline
+            -- 'details' anchor adds 8), the heading is promoted iff the
+            -- following paragraph is content, everything else (header, nav,
+            -- sidebar, promo, aside, footer) is boilerplate by construction
+            WITH b AS (
+              SELECT doc_id,
+                     trim(regexp_replace(substr(text, 1, 300),
+                          '\\s+', ' ', 'g')) AS bt1,
+                     trim(regexp_replace(substr(text, 301, 200) || ' details',
+                          '\\s+', ' ', 'g')) AS bt2
+              FROM documents
+            ), k AS (
+              SELECT doc_id,
+                     list_filter([
+                       CASE WHEN length(bt1) >= 25
+                            THEN 'Section DOC' || doc_id END,
+                       CASE WHEN length(bt1) >= 25 THEN bt1 END,
+                       CASE WHEN length(bt2) >= 25 THEN bt2 END
+                     ], x -> x IS NOT NULL) AS kept
+              FROM b
+            )
+            SELECT doc_id,
+                   array_to_string(kept, chr(10)) AS main_text,
+                   CAST(4 AS INTEGER) AS n_blocks,
+                   CAST(len(kept) AS INTEGER) AS n_content_blocks,
+                   CAST(COALESCE(list_aggregate(
+                          list_transform(kept, x -> length(x)), 'sum'),
+                        0) AS BIGINT) AS content_chars
+            FROM k
         """,
         "q_media_meta": """
             -- regenerate ops/multimodal.synth_media_df(300) exactly: payload

@@ -36,6 +36,12 @@ def main(argv=None):
                     help="also run the v1->v2.1 dictionary migration UDF")
     ap.add_argument("--limit", type=int, default=0, help="dev-mode row cap (S6)")
     ap.add_argument(
+        "--main-content", action="store_true",
+        help="generic-crawl mode: jusText-style boilerplate strip "
+             "(ops/boilerplate.py) instead of dictionary-format parsing — "
+             "emits (url, warc_ts, lang, main_text, block stats) per page",
+    )
+    ap.add_argument(
         "--max-html-bytes", type=int, default=8 * 1024 * 1024,
         help="route pages over this size around the parse as fmt='oversized' "
              "(bounds worst-case task time at crawl scale; 0 disables)",
@@ -73,6 +79,35 @@ def main(argv=None):
         pages = spark.read.parquet(args.pages)
     if args.limit:
         pages = pages.limit(args.limit)
+
+    if args.main_content:
+        from pyspark.sql import functions as F
+
+        from html_parser_spark.ops.boilerplate import extract_main_content
+        from html_parser_spark.spark.pipeline import salted_repartition
+
+        src = pages.select("url", "warc_ts", "html", "lang")
+        if args.partitions:
+            src = salted_repartition(src, args.partitions)
+        out = extract_main_content(src).select(
+            "url", "warc_ts", "lang", "main_text", "n_blocks",
+            "n_content_blocks", "content_chars", "boiler_chars",
+            F.length("html").alias("n_bytes_in"),
+        )
+        out.write.mode("overwrite").parquet(os.path.join(args.output, "data"))
+        out = spark.read.parquet(os.path.join(args.output, "data"))
+        row = out.agg(
+            F.count("*").alias("docs"),
+            F.sum("n_content_blocks").alias("content_blocks"),
+            F.sum("n_bytes_in").alias("bytes_in"),
+            F.sum("content_chars").alias("content_chars"),
+        ).collect()[0]
+        print(json.dumps({
+            "job": "extract-main-content",
+            **{k: int(row[k] or 0) for k in
+               ("docs", "content_blocks", "bytes_in", "content_chars")},
+        }))
+        return
 
     if args.resume:
         from html_parser_spark.spark.checkpoint import (

@@ -198,6 +198,16 @@ def main():
         )
     )
 
+    p = plan_of(entrymod.q_main_content(spark, sf_dir))
+    checks.append(
+        (
+            "q_main_content — boilerplate strip is ONE Arrow UDF stage, zero shuffle",
+            p,
+            ["ArrowEvalPython"],
+            ["Exchange", "Join", "Window"],
+        )
+    )
+
     p = plan_of(entrymod.q_warc_roundtrip(spark, sf_dir))
     checks.append(
         (
