@@ -676,6 +676,91 @@ def q_main_content(spark, sf_dir):
     )
 
 
+def q_html_meta(spark, sf_dir):
+    """Page-identity metadata + outlink extraction (ops/html_meta.py) over
+    synthesized crawl pages: title/description whitespace collapse, relative
+    canonical + hrefs absolutized against the page url, charset sniff,
+    skip-scheme (mailto:) anchors counted but not emitted as edges, Open
+    Graph tags present only on even doc_ids.  The DuckDB oracle rebuilds
+    every field symbolically from ``documents`` — a hash match proves the
+    DOM walk, urljoin semantics, and doc-order outlink dedup are exact."""
+    _ship_package(spark)
+    from html_parser_spark.data.pages import _esc
+    from html_parser_spark.ops.html_meta import extract_page_meta
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<html><head><meta charset="UTF-8"><title>Doc '),
+        did,
+        F.lit(" :: "),
+        _esc(F.substring("text", 1, 40)),
+        F.lit('</title>\n<meta name="description" content="'),
+        _esc(F.substring("text", 1, 80)),
+        F.lit('">\n'),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit('<meta property="og:title" content="OG '), did,
+                     F.lit('">\n')),
+        ).otherwise(F.lit("")),
+        F.lit('<link rel="canonical" href="/d/'),
+        did,
+        F.lit('"></head><body>\n<a href="https://h'),
+        (F.col("doc_id") % 40).cast("string"),
+        F.lit(".example.com/p"),
+        did,
+        F.lit('">x</a>\n<a href="/local/'),
+        ((F.col("doc_id") * 3) % 7).cast("string"),
+        F.lit('">y</a>\n<a href="mailto:a@b.example">m</a>\n</body></html>'),
+    )
+    site = F.concat(
+        F.lit("https://www.site"), (F.col("doc_id") % 10).cast("string"),
+        F.lit(".com"),
+    )
+    pages = docs.select(
+        "doc_id",
+        F.concat(site, F.lit("/pages/"), did, F.lit(".html")).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+    out = extract_page_meta(pages)
+    return out.select(
+        "doc_id", "url", "title", "description", "canonical", "og_title",
+        "charset", "outlinks",
+        F.col("n_anchors").cast("int").alias("n_anchors"),
+    )
+
+
+def q_pagerank(spark, sf_dir, checkpoint=True):
+    """Host-level PageRank in fixed-point integer arithmetic
+    (ops/linkgraph.py): a synthetic 45-host graph derived from doc_id
+    arithmetic (hosts 40-44 are dangling — inlinks only), 3 iterations,
+    damping 85/100, total mass 10^12.  Integer mass units make the
+    iteration bit-exact and shuffle-order-independent, so the DuckDB
+    oracle's unrolled-CTE replica hash-matches EXACTLY — something a
+    float PageRank can never do across engines.  ``checkpoint=False`` is
+    for the plan audit: localCheckpoint truncates lineage, which is the
+    point at scale but hides the per-iteration join shape from explain."""
+    docs = _docs(spark, sf_dir)
+    from html_parser_spark.ops.linkgraph import pagerank_fixed_point
+
+    d = F.col("doc_id")
+    e1 = docs.select((d % 40).alias("s"), ((d * 7 + 3) % 40).alias("t"))
+    e2 = docs.select((d % 40).alias("s"), ((d * 13 + 11) % 45).alias("t"))
+    edges = (
+        e1.union(e2)
+        .filter(F.col("s") != F.col("t"))
+        .select(
+            F.concat(F.lit("h"), F.col("s").cast("string")).alias("src"),
+            F.concat(F.lit("h"), F.col("t").cast("string")).alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("long").alias("weight"))
+    )
+    return pagerank_fixed_point(edges, iterations=3, checkpoint=checkpoint).select(
+        "node", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def q_lang_id(spark, sf_dir):
     """n-gram language-ID (brief §extras): train per-language trigram
     profiles on the corpus, classify every document by weighted-overlap
@@ -1052,6 +1137,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_warc_roundtrip": q_warc_roundtrip,
         "q_warc_index": q_warc_index,
         "q_main_content": q_main_content,
+        "q_html_meta": q_html_meta,
+        "q_pagerank": q_pagerank,
         "q_extract_entries": q_extract_entries,
         "q_migrate_v21": q_migrate_v21,
     }
@@ -1081,6 +1168,48 @@ SELECT doc_id,
        list_min(list_transform(shingles, s -> md5('3|' || s))) AS sig_3
 FROM sh
 """
+
+
+def _pagerank_oracle_sql(iterations: int = 3) -> str:
+    """Unrolled-CTE replica of ops/linkgraph.pagerank_fixed_point over the
+    q_pagerank synthetic graph.  Every step is 64-bit integer arithmetic
+    (``//`` floor division, positive operands), so the chain is bit-exact
+    against Spark regardless of shuffle/aggregation order."""
+    S, num, den = 10**12, 85, 100
+    parts = [f"""e0 AS (
+  SELECT doc_id % 40 AS s, (doc_id * 7 + 3) % 40 AS t FROM documents
+  UNION ALL
+  SELECT doc_id % 40, (doc_id * 13 + 11) % 45 FROM documents
+), edges AS (
+  SELECT 'h' || s AS src, 'h' || t AS dst, CAST(COUNT(*) AS BIGINT) AS weight
+  FROM e0 WHERE s <> t GROUP BY 1, 2
+), nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes
+), outw AS (
+  SELECT src, CAST(SUM(weight) AS BIGINT) AS w_out FROM edges GROUP BY src
+), r0 AS (
+  SELECT node, CAST({S} // n AS BIGINT) AS rank FROM nodes, nn
+)"""]
+    for k in range(iterations):
+        parts.append(f""", d{k} AS (
+  SELECT CAST(COALESCE(SUM(rank), 0) AS BIGINT) AS dang
+  FROM r{k} WHERE node NOT IN (SELECT src FROM outw)
+), c{k} AS (
+  SELECT e.dst AS node,
+         CAST(SUM((r.rank * e.weight) // o.w_out) AS BIGINT) AS in_sum
+  FROM edges e
+  JOIN r{k} r ON r.node = e.src
+  JOIN outw o ON o.src = e.src
+  GROUP BY e.dst
+), r{k + 1} AS (
+  SELECT n.node,
+         CAST(({den - num} * {S}) // ({den} * nn.n)
+              + ({num} * (COALESCE(c.in_sum, 0) + d{k}.dang // nn.n)) // {den}
+              AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN c{k} c ON c.node = n.node, nn, d{k}
+)""")
+    return "WITH " + "".join(parts) + f"\nSELECT node, rank FROM r{iterations}"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2051,6 +2180,32 @@ def oracle_sql() -> dict[str, str]:
                         0) AS BIGINT) AS content_chars
             FROM k
         """,
+        "q_html_meta": """
+            -- rebuild every metadata field symbolically: titles/descriptions
+            -- are whitespace-collapsed substrings of text, canonical and the
+            -- second outlink are root-relative hrefs resolved against the
+            -- page url, og:title exists only for even doc_ids, the mailto:
+            -- anchor counts toward n_anchors but emits no edge
+            SELECT doc_id,
+                   'https://www.site' || (doc_id % 10) || '.com/pages/'
+                       || doc_id || '.html' AS url,
+                   'Doc ' || doc_id || ' :: '
+                       || trim(regexp_replace(substr(text, 1, 40),
+                               '\\s+', ' ', 'g')) AS title,
+                   trim(regexp_replace(substr(text, 1, 80),
+                        '\\s+', ' ', 'g')) AS description,
+                   'https://www.site' || (doc_id % 10) || '.com/d/'
+                       || doc_id AS canonical,
+                   CASE WHEN doc_id % 2 = 0 THEN 'OG ' || doc_id END
+                       AS og_title,
+                   'utf-8' AS charset,
+                   ['https://h' || (doc_id % 40) || '.example.com/p' || doc_id,
+                    'https://www.site' || (doc_id % 10) || '.com/local/'
+                        || ((doc_id * 3) % 7)] AS outlinks,
+                   CAST(3 AS INTEGER) AS n_anchors
+            FROM documents
+        """,
+        "q_pagerank": _pagerank_oracle_sql(3),
         "q_media_meta": """
             -- regenerate ops/multimodal.synth_media_df(300) exactly: payload
             -- is 'MEDIA' || md5(media_id) x8, kind cycles image/audio/video

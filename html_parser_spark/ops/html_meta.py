@@ -1,0 +1,135 @@
+"""Page metadata + outlink extraction for Common-Crawl-style pages.
+
+The reference parses whole pages for dictionary entries; a crawl-scale
+corpus additionally needs the page's *identity* surface — ``<title>``,
+``<meta name=description>``, ``<link rel=canonical>``, Open Graph tags,
+the declared charset — and its *edges*: every ``<a href>`` absolutized
+against the page url.  Outlinks feed the host-level link graph
+(ops/linkgraph.py) and canonical urls feed the url-dedup tier
+(ops/web.py canonicalization / latest-capture).
+
+Scale shape: ONE Arrow-batched pandas UDF over (url, html) — per-page
+pure map, zero shuffle; composes with ``salted_repartition`` exactly like
+the extraction kernel.  Everything downstream of the UDF (host
+aggregation, graph building) is JVM-side.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import urljoin, urlparse
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+PAGE_META_TYPE = T.StructType(
+    [
+        T.StructField("title", T.StringType()),
+        T.StructField("description", T.StringType()),
+        T.StructField("canonical", T.StringType()),
+        T.StructField("og_title", T.StringType()),
+        T.StructField("og_description", T.StringType()),
+        T.StructField("charset", T.StringType()),
+        T.StructField("outlinks", T.ArrayType(T.StringType())),
+        T.StructField("n_anchors", T.IntegerType()),
+    ]
+)
+
+# schemes that are never crawlable edges
+_SKIP_SCHEMES = ("javascript:", "mailto:", "tel:", "data:", "about:")
+
+
+def _collapse(s: str) -> str:
+    return " ".join(s.split())
+
+
+def extract_meta(html_bytes: bytes, base_url: str) -> dict:
+    """One page → metadata dict (the UDF kernel; unit-testable alone)."""
+    from html_parser_spark.dom import decode_html_bytes, parse_html
+
+    root = parse_html(decode_html_bytes(html_bytes if html_bytes else b""))
+    title = description = canonical = og_title = og_desc = charset = None
+    outlinks: list[str] = []
+    seen: set[str] = set()
+    n_anchors = 0
+    for el in root.iter_elements():
+        tag = el.tag
+        if tag == "title" and title is None:
+            title = _collapse(el.text_content)
+        elif tag == "meta":
+            a = el.attrs
+            if charset is None and a.get("charset"):
+                charset = a["charset"].strip().lower()
+            name = (a.get("name") or "").strip().lower()
+            prop = (a.get("property") or "").strip().lower()
+            content = a.get("content")
+            if content is None:
+                continue
+            if description is None and name == "description":
+                description = _collapse(content)
+            elif og_title is None and prop == "og:title":
+                og_title = _collapse(content)
+            elif og_desc is None and prop == "og:description":
+                og_desc = _collapse(content)
+            elif charset is None and (
+                a.get("http-equiv") or ""
+            ).strip().lower() == "content-type":
+                m = content.lower().rsplit("charset=", 1)
+                if len(m) == 2:
+                    charset = m[1].split(";")[0].strip()
+        elif tag == "link":
+            rels = (el.attrs.get("rel") or "").lower().split()
+            if canonical is None and "canonical" in rels and el.attrs.get("href"):
+                canonical = urljoin(base_url or "", el.attrs["href"].strip())
+        elif tag == "a":
+            href = (el.attrs.get("href") or "").strip()
+            if not href:
+                continue
+            n_anchors += 1
+            low = href.lower()
+            if low.startswith(_SKIP_SCHEMES) or href.startswith("#"):
+                continue
+            absu = urljoin(base_url or "", href)
+            absu = absu.split("#", 1)[0]  # fragment is not an edge
+            if not absu or absu in seen:
+                continue
+            p = urlparse(absu)
+            if p.scheme not in ("http", "https"):
+                continue
+            seen.add(absu)
+            outlinks.append(absu)
+    return {
+        "title": title,
+        "description": description,
+        "canonical": canonical,
+        "og_title": og_title,
+        "og_description": og_desc,
+        "charset": charset,
+        "outlinks": outlinks,
+        "n_anchors": n_anchors,
+    }
+
+
+def page_meta_udf():
+    @F.pandas_udf(PAGE_META_TYPE)
+    def _udf(url: pd.Series, html: pd.Series) -> pd.DataFrame:
+        from html_parser_spark.ops.html_meta import extract_meta
+
+        cols: dict[str, list] = {f.name: [] for f in PAGE_META_TYPE.fields}
+        for u, b in zip(url, html):
+            r = extract_meta(b, u if u is not None else "")
+            for k, v in r.items():
+                cols[k].append(v)
+        return pd.DataFrame(cols, copy=False)
+
+    return _udf
+
+
+def extract_page_meta(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """pages → pages + metadata struct columns.  ONE Arrow UDF, no shuffle."""
+    out = pages.withColumn("_pm", page_meta_udf()(F.col(url_col), F.col(html_col)))
+    return out.select(
+        *[c for c in pages.columns],
+        *[F.col(f"_pm.{f.name}").alias(f.name) for f in PAGE_META_TYPE.fields],
+    )

@@ -1,0 +1,117 @@
+"""Host-level link graph + fixed-point PageRank.
+
+``extract_page_meta`` (ops/html_meta.py) gives per-page outlinks; this
+module turns them into a weighted host→host edge list and ranks hosts
+with PageRank — the canonical crawl-frontier / quality prior for a
+web-scale corpus.
+
+Why fixed-point integer arithmetic: floating-point PageRank sums are
+shuffle-order-dependent (fp addition is not associative), so two runs of
+the same job — or the job vs an external oracle — can disagree in the
+last ulps.  Working in integer "mass units" (total mass ``10**12`` split
+over nodes, floor division everywhere) makes every iteration bit-exact,
+partition-count-independent, and expressible in ANSI SQL — the DuckDB
+oracle unrolls the same iterations and hash-matches exactly.
+
+Scale shape per iteration: one equi-join of edges against ranks (edges
+are the big side, rank/out-weight are per-node aggregates), one
+groupBy-sum with map-side partial aggregation, and a 1-row broadcast for
+the dangling mass.  Lineage is truncated per iteration with
+``localCheckpoint`` (on a cluster: checkpoint to reliable storage) so the
+plan does not grow with the iteration count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+TOTAL_MASS = 10**12
+
+
+def host_edges(
+    meta: DataFrame, url_col: str = "url", outlinks_col: str = "outlinks"
+) -> DataFrame:
+    """(url, outlinks) → weighted (src, dst, weight) host-level edges.
+
+    JVM-side end-to-end: explode + ``parse_url(HOST)`` + groupBy count.
+    Self-loops (intra-host navigation) are dropped — they carry no
+    inter-host signal and would dominate the weight mass on real sites."""
+    src = F.parse_url(F.col(url_col), F.lit("HOST"))
+    dst = F.parse_url(F.col("_out"), F.lit("HOST"))
+    return (
+        meta.select(src.alias("src"), F.explode(outlinks_col).alias("_out"))
+        .select("src", dst.alias("dst"))
+        .filter(
+            F.col("src").isNotNull()
+            & F.col("dst").isNotNull()
+            & (F.col("src") != F.col("dst"))
+        )
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("long").alias("weight"))
+    )
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    total_mass: int = TOTAL_MASS,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Weighted PageRank over (src, dst, weight) in integer mass units.
+
+    Per iteration, with ``N`` nodes and total mass ``S``::
+
+        share(u→v) = (rank[u] * weight(u,v)) div w_out[u]
+        dang       = Σ rank[u] over nodes with no outgoing edge
+        rank'[v]   = ((den-num)*S) div (den*N)
+                     + (num * (in_sum[v] + dang div N)) div den
+
+    Every operation is exact 64-bit integer arithmetic (rank ≤ S = 1e12;
+    ``rank*weight`` stays under 2^63 for edge weights below ~9e6 — far
+    above any host-pair count after the groupBy).  Returns (node, rank)."""
+    edges = edges.select("src", "dst", F.col("weight").cast("long").alias("weight"))
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0).cast("long"))
+    base = ((damping_den - damping_num) * total_mass) // (damping_den * n)
+    outw = edges.groupBy("src").agg(F.sum("weight").alias("w_out"))
+    ranks = nodes.withColumn("rank", F.lit(total_mass // n).cast("long"))
+    for _ in range(iterations):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(outw, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                F.sum(
+                    F.expr("(rank * weight) div w_out")
+                ).alias("in_sum")
+            )
+        )
+        dang = (
+            ranks.join(outw, ranks.node == outw.src, "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0)).cast("long").alias("dang"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_num} * (coalesce(in_sum, 0L)"
+                        f" + (dang div {n}))) div {damping_den}"
+                    )
+                ).cast("long").alias("rank"),
+            )
+        )
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks

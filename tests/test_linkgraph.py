@@ -1,0 +1,155 @@
+"""Page metadata / outlinks (ops/html_meta.py) and the host link graph +
+fixed-point PageRank (ops/linkgraph.py)."""
+
+from pyspark.sql import functions as F
+
+from html_parser_spark.ops.html_meta import extract_meta, extract_page_meta
+from html_parser_spark.ops.linkgraph import host_edges, pagerank_fixed_point
+
+PAGE = b"""<!doctype html><html><head>
+<meta charset="UTF-8">
+<title>  A   Fine
+Page </title>
+<meta name="description" content="all  about   things">
+<meta property="og:title" content="OG title">
+<meta property="og:description" content="og desc">
+<link rel="canonical" href="/canon/path">
+</head><body>
+<a href="/rel/one">one</a>
+<a href="https://other.example.org/abs">two</a>
+<a href="javascript:void(0)">js</a>
+<a href="mailto:x@example.com">mail</a>
+<a href="#frag">frag</a>
+<a href="/rel/one#sec">dup-after-defrag</a>
+<a href="ftp://files.example.com/f">ftp</a>
+<a>no-href</a>
+</body></html>"""
+
+
+def test_extract_meta_fields():
+    m = extract_meta(PAGE, "https://www.example.com/dir/page.html")
+    assert m["title"] == "A Fine Page"
+    assert m["description"] == "all about things"
+    assert m["canonical"] == "https://www.example.com/canon/path"
+    assert m["og_title"] == "OG title"
+    assert m["og_description"] == "og desc"
+    assert m["charset"] == "utf-8"
+    # js/mailto/fragment-only/ftp skipped; relative absolutized; defragged
+    # duplicate collapsed; doc order preserved
+    assert m["outlinks"] == [
+        "https://www.example.com/rel/one",
+        "https://other.example.org/abs",
+    ]
+    # anchors with an href count, even non-crawlable ones (frag/js/mailto/ftp)
+    assert m["n_anchors"] == 7
+
+
+def test_extract_meta_http_equiv_charset_and_empty():
+    m = extract_meta(
+        b'<html><head><meta http-equiv="Content-Type" '
+        b'content="text/html; charset=ISO-8859-1"></head><body></body></html>',
+        "http://h/",
+    )
+    assert m["charset"] == "iso-8859-1"
+    e = extract_meta(b"", "http://h/")
+    assert e["title"] is None and e["outlinks"] == [] and e["n_anchors"] == 0
+
+
+def test_extract_page_meta_single_udf_no_shuffle(spark):
+    df = spark.createDataFrame(
+        [("https://www.example.com/p", PAGE)], ["url", "html"]
+    )
+    out = extract_page_meta(df)
+    r = out.collect()[0]
+    assert r["title"] == "A Fine Page"
+    assert r["outlinks"][0] == "https://www.example.com/rel/one"
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert plan.count("ArrowEvalPython") == 1
+
+
+def test_host_edges_weights_and_self_loop_drop(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://a.com/1", ["https://b.com/x", "https://b.com/y",
+                                 "https://a.com/self", "https://c.com/z"]),
+            ("https://a.com/2", ["https://b.com/q"]),
+        ],
+        ["url", "outlinks"],
+    )
+    got = {(r["src"], r["dst"]): r["weight"] for r in host_edges(df).collect()}
+    assert got == {("a.com", "b.com"): 3, ("a.com", "c.com"): 1}
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, ["src", "dst", "weight"])
+
+
+def test_pagerank_ring_is_uniform(spark):
+    e = _edges(spark, [("a", "b", 1), ("b", "c", 1), ("c", "a", 1)])
+    ranks = {r["node"]: r["rank"] for r in pagerank_fixed_point(e).collect()}
+    # perfect symmetry: every node keeps exactly total_mass//3
+    assert len(set(ranks.values())) == 1
+    assert ranks["a"] == 10**12 // 3
+
+
+def test_pagerank_star_hub_wins_and_mass_conserved(spark):
+    e = _edges(
+        spark,
+        [("s1", "hub", 1), ("s2", "hub", 1), ("s3", "hub", 1), ("hub", "s1", 1)],
+    )
+    ranks = {r["node"]: r["rank"] for r in pagerank_fixed_point(e).collect()}
+    assert ranks["hub"] > ranks["s1"] > ranks["s2"] - 1  # s1 gets hub's mass
+    assert ranks["hub"] > ranks["s2"] == ranks["s3"]
+    total = sum(ranks.values())
+    # floor losses only: within iterations * nodes units of the full mass
+    assert 10**12 - 1000 < total <= 10**12
+
+
+def test_pagerank_dangling_mass_redistributed(spark):
+    # d has no outlinks: its mass must come back uniformly, not vanish
+    e = _edges(spark, [("a", "d", 1), ("b", "d", 1), ("c", "d", 1)])
+    ranks = {r["node"]: r["rank"] for r in pagerank_fixed_point(e).collect()}
+    assert ranks["d"] > ranks["a"]
+    total = sum(ranks.values())
+    assert 10**12 - 1000 < total <= 10**12
+
+
+def test_pagerank_partition_count_invariant(spark):
+    rows = [(f"h{i}", f"h{(i * 7 + 3) % 23}", 1 + i % 5) for i in range(200)]
+    rows = [r for r in rows if r[0] != r[1]]
+    base = {
+        (r["node"], r["rank"])
+        for r in pagerank_fixed_point(_edges(spark, rows)).collect()
+    }
+    repart = {
+        (r["node"], r["rank"])
+        for r in pagerank_fixed_point(
+            _edges(spark, rows).repartition(17)
+        ).collect()
+    }
+    assert base == repart  # bit-exact under any shuffle order
+
+
+def test_meta_to_pagerank_chain(spark):
+    """extract_page_meta → host_edges → pagerank end-to-end."""
+    pages = [
+        (
+            "https://a.com/i",
+            b'<html><body><a href="https://b.com/x">b</a>'
+            b'<a href="https://c.com/y">c</a></body></html>',
+        ),
+        (
+            "https://b.com/j",
+            b'<html><body><a href="https://c.com/z">c</a></body></html>',
+        ),
+    ]
+    df = spark.createDataFrame(pages, ["url", "html"])
+    ranks = {
+        r["node"]: r["rank"]
+        for r in pagerank_fixed_point(
+            host_edges(extract_page_meta(df))
+        ).collect()
+    }
+    assert set(ranks) == {"a.com", "b.com", "c.com"}
+    assert ranks["c.com"] > ranks["b.com"] > ranks["a.com"]

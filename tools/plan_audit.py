@@ -208,6 +208,27 @@ def main():
         )
     )
 
+    p = plan_of(entrymod.q_html_meta(spark, sf_dir))
+    checks.append(
+        (
+            "q_html_meta — metadata/outlink extraction is ONE Arrow UDF, zero shuffle",
+            p,
+            ["ArrowEvalPython"],
+            ["Exchange", "Join", "Window"],
+        )
+    )
+
+    p = plan_of(entrymod.q_pagerank(spark, sf_dir, checkpoint=False))
+    checks.append(
+        (
+            "q_pagerank — edge/rank equi-joins + partial-agg sums; dangling mass "
+            "is a 1-row broadcast, never a cross join over nodes",
+            p,
+            ["HashAggregate", "Join"],
+            ["CartesianProduct"],
+        )
+    )
+
     p = plan_of(entrymod.q_warc_roundtrip(spark, sf_dir))
     checks.append(
         (
