@@ -761,6 +761,26 @@ def q_pagerank(spark, sf_dir, checkpoint=True):
     )
 
 
+def q_gopher(spark, sf_dir):
+    """Gopher quality-rule battery (ops/gopher.py) over documents: all seven
+    published rules with INTEGER-arithmetic thresholds (10*symbols <=
+    n_words, never a float ratio), so the flags are bit-exact across
+    engines.  Flags ship as INT 0/1 — pandas renders numpy booleans as
+    'True', which would break the driver's hash canon."""
+    from html_parser_spark.ops.gopher import gopher_rules
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    out = gopher_rules(docs, min_words=30)
+    flag_cols = [c for c in out.columns if c.startswith("keep")]
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("word_chars").cast("long").alias("word_chars"),
+        F.col("n_lines").cast("long").alias("n_lines"),
+        *[F.col(c).cast("int").alias(c) for c in flag_cols],
+    )
+
+
 def q_lang_id(spark, sf_dir):
     """n-gram language-ID (brief §extras): train per-language trigram
     profiles on the corpus, classify every document by weighted-overlap
@@ -1139,6 +1159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_main_content": q_main_content,
         "q_html_meta": q_html_meta,
         "q_pagerank": q_pagerank,
+        "q_gopher": q_gopher,
         "q_extract_entries": q_extract_entries,
         "q_migrate_v21": q_migrate_v21,
     }
@@ -2206,6 +2227,82 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "q_pagerank": _pagerank_oracle_sql(3),
+        "q_gopher": """
+            -- replicate every Gopher rule in the same integer arithmetic:
+            -- occurrence counts via length-difference, line/word filters via
+            -- list_filter + regexp, stop-word hits as 8 list_contains CASEs
+            WITH g AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\\s+') AS toks,
+                     string_split(text, chr(10)) AS lines,
+                     CAST(length(regexp_replace(text, '\\s+', '', 'g'))
+                          AS BIGINT) AS word_chars,
+                     CAST(length(text) - length(replace(text, '#', ''))
+                          AS BIGINT)
+                     + CAST(length(text) - length(replace(text, '…', ''))
+                          AS BIGINT)
+                     + CAST((length(text) - length(replace(text, '...', '')))
+                            // 3 AS BIGINT) AS symbols
+              FROM documents
+            ), m AS (
+              SELECT doc_id, word_chars, symbols,
+                     CAST(len(toks) AS BIGINT) AS n_words,
+                     CAST(len(lines) AS BIGINT) AS n_lines,
+                     CAST(len(list_filter(lines,
+                          x -> regexp_matches(ltrim(x), '^[•*-]')))
+                          AS BIGINT) AS bullet_lines,
+                     CAST(len(list_filter(lines,
+                          x -> regexp_matches(rtrim(x), '(\\.\\.\\.|…)$')))
+                          AS BIGINT) AS ellipsis_lines,
+                     CAST(len(list_filter(toks,
+                          x -> regexp_matches(x, '[A-Za-z]')))
+                          AS BIGINT) AS alpha_words,
+                     (CASE WHEN list_contains(list_transform(toks,
+                           x -> lower(x)), 'the') THEN 1 ELSE 0 END
+                      + CASE WHEN list_contains(list_transform(toks,
+                           x -> lower(x)), 'be') THEN 1 ELSE 0 END
+                      + CASE WHEN list_contains(list_transform(toks,
+                           x -> lower(x)), 'to') THEN 1 ELSE 0 END
+                      + CASE WHEN list_contains(list_transform(toks,
+                           x -> lower(x)), 'of') THEN 1 ELSE 0 END
+                      + CASE WHEN list_contains(list_transform(toks,
+                           x -> lower(x)), 'and') THEN 1 ELSE 0 END
+                      + CASE WHEN list_contains(list_transform(toks,
+                           x -> lower(x)), 'that') THEN 1 ELSE 0 END
+                      + CASE WHEN list_contains(list_transform(toks,
+                           x -> lower(x)), 'have') THEN 1 ELSE 0 END
+                      + CASE WHEN list_contains(list_transform(toks,
+                           x -> lower(x)), 'with') THEN 1 ELSE 0 END
+                     ) AS stop_hits
+              FROM g
+            )
+            SELECT doc_id, n_words, word_chars, n_lines,
+                   CAST(CASE WHEN n_words >= 30 AND n_words <= 100000
+                        THEN 1 ELSE 0 END AS INTEGER) AS keep_word_count,
+                   CAST(CASE WHEN word_chars >= 3 * n_words
+                             AND word_chars <= 10 * n_words
+                        THEN 1 ELSE 0 END AS INTEGER) AS keep_mean_len,
+                   CAST(CASE WHEN 10 * symbols <= n_words
+                        THEN 1 ELSE 0 END AS INTEGER) AS keep_symbol_ratio,
+                   CAST(CASE WHEN 10 * bullet_lines <= 9 * n_lines
+                        THEN 1 ELSE 0 END AS INTEGER) AS keep_bullets,
+                   CAST(CASE WHEN 10 * ellipsis_lines <= 3 * n_lines
+                        THEN 1 ELSE 0 END AS INTEGER) AS keep_ellipsis_lines,
+                   CAST(CASE WHEN 5 * alpha_words >= 4 * n_words
+                        THEN 1 ELSE 0 END AS INTEGER) AS keep_alpha,
+                   CAST(CASE WHEN stop_hits >= 2
+                        THEN 1 ELSE 0 END AS INTEGER) AS keep_stopwords,
+                   CAST(CASE WHEN n_words >= 30 AND n_words <= 100000
+                             AND word_chars >= 3 * n_words
+                             AND word_chars <= 10 * n_words
+                             AND 10 * symbols <= n_words
+                             AND 10 * bullet_lines <= 9 * n_lines
+                             AND 10 * ellipsis_lines <= 3 * n_lines
+                             AND 5 * alpha_words >= 4 * n_words
+                             AND stop_hits >= 2
+                        THEN 1 ELSE 0 END AS INTEGER) AS keep
+            FROM m
+        """,
         "q_media_meta": """
             -- regenerate ops/multimodal.synth_media_df(300) exactly: payload
             -- is 'MEDIA' || md5(media_id) x8, kind cycles image/audio/video

@@ -46,6 +46,9 @@ def main(argv=None):
     ap.add_argument("--max-top-word-frac", type=float, default=0.5)
     ap.add_argument("--max-dup-bigram-frac", type=float, default=0.9)
     ap.add_argument("--scrub-pii", action="store_true")
+    ap.add_argument("--gopher", action="store_true",
+                    help="also apply the full Gopher rule battery "
+                         "(ops/gopher.py) after the repetition gate")
     ap.add_argument("--span-dedup-tokens", type=int, default=0,
                     help="C4-style span dedup window in tokens (0 = skip)")
     ap.add_argument("--blocklist-hosts", default="",
@@ -117,6 +120,17 @@ def main(argv=None):
         & (F.col("dup_bigram_frac") <= args.max_dup_bigram_frac)
     ).select("doc_id")
     docs = docs.join(keep, "doc_id", "left_semi")
+    if args.gopher:
+        # the full published battery (word count, mean length, symbol
+        # ratio, bullets, ellipses, alpha fraction, stop words) — all
+        # integer-exact column expressions riding the same scan
+        from html_parser_spark.ops.gopher import gopher_rules
+
+        docs = (
+            gopher_rules(docs, min_words=args.min_tokens)
+            .where(F.col("keep"))
+            .select("doc_id", "text", "lang")
+        )
     n_filtered = docs.count()
 
     # 1b. C4-style span dedup (optional): strip cross-document boilerplate
@@ -167,7 +181,10 @@ def main(argv=None):
     docs = assign_split(docs)
     out_docs = os.path.join(args.output, "docs")
     docs.write.mode("overwrite").partitionBy("split").parquet(out_docs)
-    final = spark.read.parquet(out_docs)
+    # explicit schema: an aggressive filter chain can legitimately drop
+    # EVERY doc, and a zero-row partitioned write leaves nothing for
+    # schema inference — the funnel metrics must still come out
+    final = spark.read.schema(docs.schema).parquet(out_docs)
     splits = {
         r["split"]: r["n"]
         for r in final.groupBy("split").agg(F.count("*").alias("n")).collect()

@@ -229,6 +229,16 @@ def main():
         )
     )
 
+    p = plan_of(entrymod.q_gopher(spark, sf_dir))
+    checks.append(
+        (
+            "q_gopher — full rule battery is pure JVM codegen, zero shuffle",
+            p,
+            ["Project"],
+            ["Exchange", "ArrowEvalPython", "BatchEvalPython", "Join"],
+        )
+    )
+
     p = plan_of(entrymod.q_warc_roundtrip(spark, sf_dir))
     checks.append(
         (
