@@ -761,6 +761,47 @@ def q_pagerank(spark, sf_dir, checkpoint=True):
     )
 
 
+def q_robots(spark, sf_dir):
+    """robots.txt politeness (ops/robots.py): 20 synthetic hosts, two policy
+    families (low hosts disallow /private with a longer /private/ok allow;
+    high hosts disallow /public), a decoy badbot group in every file, and
+    four path kinds per doc including the no-match root.  The oracle states
+    the EXPECTED verdict in closed form — a hash match checks the line
+    parser, window group-association, longest-prefix precedence, and the
+    allow tie-break all at once."""
+    from html_parser_spark.ops.robots import parse_robots, robots_verdict
+
+    docs = _docs(spark, sf_dir)
+    hostn = F.col("doc_id") % 20
+    host = F.concat(F.lit("h"), hostn.cast("string"), F.lit(".example"))
+    robots = (
+        docs.select(hostn.alias("hn")).distinct().select(
+            F.concat(F.lit("h"), F.col("hn").cast("string"),
+                     F.lit(".example")).alias("host"),
+            F.concat(
+                F.lit("# synthetic policy\nUser-agent: *\n"),
+                F.when(
+                    F.col("hn") < 10,
+                    F.lit("Disallow: /private\nAllow: /private/ok\n"),
+                ).otherwise(F.lit("Disallow: /public\n")),
+                F.lit("\nUser-agent: badbot\nDisallow: /\n"),
+            ).alias("body"),
+        )
+    )
+    kind = F.col("doc_id") % 4
+    path = (
+        F.when(kind == 0, F.concat(F.lit("/public/p"), F.col("doc_id").cast("string")))
+        .when(kind == 1, F.concat(F.lit("/private/p"), F.col("doc_id").cast("string")))
+        .when(kind == 2, F.concat(F.lit("/private/ok/p"), F.col("doc_id").cast("string")))
+        .otherwise(F.lit("/"))
+    )
+    pages = docs.select(
+        "doc_id", F.concat(F.lit("https://"), host, path).alias("url")
+    )
+    out = robots_verdict(pages, parse_robots(robots))
+    return out.select("doc_id", "url", F.col("allowed").cast("int").alias("allowed"))
+
+
 def q_gopher(spark, sf_dir):
     """Gopher quality-rule battery (ops/gopher.py) over documents: all seven
     published rules with INTEGER-arithmetic thresholds (10*symbols <=
@@ -1160,6 +1201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_html_meta": q_html_meta,
         "q_pagerank": q_pagerank,
         "q_gopher": q_gopher,
+        "q_robots": q_robots,
         "q_extract_entries": q_extract_entries,
         "q_migrate_v21": q_migrate_v21,
     }
@@ -2227,6 +2269,27 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "q_pagerank": _pagerank_oracle_sql(3),
+        "q_robots": """
+            -- closed-form EXPECTED verdicts (checks the robots parser +
+            -- precedence engine): low hosts block only the bare /private
+            -- kind (the /private/ok kind is rescued by the longer allow),
+            -- high hosts block only /public, the root path matches nothing,
+            -- and the badbot group must not leak into agent '*'
+            SELECT doc_id,
+                   'https://h' || (doc_id % 20) || '.example' ||
+                   CASE doc_id % 4
+                     WHEN 0 THEN '/public/p' || doc_id
+                     WHEN 1 THEN '/private/p' || doc_id
+                     WHEN 2 THEN '/private/ok/p' || doc_id
+                     ELSE '/'
+                   END AS url,
+                   CAST(CASE
+                     WHEN doc_id % 20 < 10
+                          THEN CASE WHEN doc_id % 4 = 1 THEN 0 ELSE 1 END
+                     ELSE CASE WHEN doc_id % 4 = 0 THEN 0 ELSE 1 END
+                   END AS INTEGER) AS allowed
+            FROM documents
+        """,
         "q_gopher": """
             -- replicate every Gopher rule in the same integer arithmetic:
             -- occurrence counts via length-difference, line/word filters via

@@ -435,6 +435,13 @@ def parse_html(text: str) -> Node:
 def decode_html_bytes(raw: bytes) -> str:
     """Decode page bytes honoring ``<meta charset=...>`` the way a browser
     would (the rus-lez-35k fixtures are windows-1251 — FIXTURES.md §1)."""
+    # WHATWG encoding sniff: a byte-order mark outranks any <meta charset>
+    if raw.startswith(b"\xef\xbb\xbf"):
+        return raw[3:].decode("utf-8", errors="replace")
+    if raw.startswith(b"\xff\xfe"):
+        return raw[2:].decode("utf-16-le", errors="replace")
+    if raw.startswith(b"\xfe\xff"):
+        return raw[2:].decode("utf-16-be", errors="replace")
     head = raw[:4096]
     lower = head.lower()
     enc = "utf-8"

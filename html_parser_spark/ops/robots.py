@@ -1,0 +1,133 @@
+"""robots.txt parsing + crawl-politeness filtering.
+
+A crawl corpus must honor per-host robots rules before pages enter the
+corpus.  Two halves, both JVM-side end-to-end (zero Python):
+
+* ``parse_robots``: robots.txt *bodies* (one row per host, as fetched by
+  the crawler) → normalized rule rows (host, agent, rule, path_prefix).
+  Group association — a rule belongs to the ``User-agent:`` line above
+  it — is a running ``last(..., ignorenulls)`` window over the file's
+  line positions, per host: a per-file stateful scan expressed as a
+  window, not a UDF.  Simplification vs RFC 9309: stacked user-agent
+  lines ("User-agent: a\\nUser-agent: b\\nDisallow: /x" applying to
+  both) attribute to the nearest agent line only, and ``*``/``$``
+  pattern wildcards are treated as literals (the original 1994 prefix
+  semantics); both are documented deviations.
+
+* ``robots_verdict`` / ``robots_filter``: pages × rules → per-url
+  allow/deny with the modern precedence rule: the LONGEST matching
+  prefix wins; on a length tie, Allow beats Disallow.  No matching rule
+  means allowed.
+
+Scale: the rules table is one row per (host, rule) — orders of magnitude
+smaller than the pages table.  The verdict is a host equi-join (AQE
+handles hot-host skew) followed by a per-url max over struct(prefix_len,
+is_allow) — a partial-aggregatable groupBy, never a window over pages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+_DIRECTIVE_RE = r"^([A-Za-z-]+)\s*:"
+_VALUE_RE = r"^[A-Za-z-]+\s*:\s*(.*?)\s*$"
+
+
+def parse_robots(
+    robots: DataFrame, host_col: str = "host", body_col: str = "body"
+) -> DataFrame:
+    """(host, body) → (host, agent, rule, path_prefix) rule rows.
+
+    Comment stripping, case-insensitive directives, empty-Disallow
+    dropped (an empty value means "allow everything" — it is the absence
+    of a rule, not a rule)."""
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(body_col), "\n")).alias("pos", "line"),
+    ).select(
+        "host",
+        "pos",
+        F.trim(F.regexp_replace("line", "#.*$", "")).alias("line"),
+    )
+    parsed = lines.select(
+        "host",
+        "pos",
+        F.lower(F.regexp_extract("line", _DIRECTIVE_RE, 1)).alias("directive"),
+        F.regexp_extract("line", _VALUE_RE, 1).alias("value"),
+    ).filter(F.col("directive").isin("user-agent", "allow", "disallow"))
+    w = (
+        Window.partitionBy("host")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grouped = parsed.withColumn(
+        "agent",
+        F.last(
+            F.when(F.col("directive") == "user-agent", F.lower(F.col("value"))),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return grouped.filter(
+        F.col("directive").isin("allow", "disallow")
+        & F.col("agent").isNotNull()
+        & (F.col("value") != "")
+    ).select(
+        "host",
+        "agent",
+        F.col("directive").alias("rule"),
+        F.col("value").alias("path_prefix"),
+    )
+
+
+def robots_verdict(
+    pages: DataFrame,
+    rules: DataFrame,
+    agent: str = "*",
+    url_col: str = "url",
+) -> DataFrame:
+    """pages + ``allowed`` flag (1/0) for ``agent`` under ``rules``.
+
+    Longest-matching-prefix precedence, Allow wins length ties, absent
+    host or no matching rule → allowed."""
+    host = F.parse_url(F.col(url_col), F.lit("HOST"))
+    path = F.coalesce(F.parse_url(F.col(url_col), F.lit("PATH")), F.lit("/"))
+    keyed = pages.select(
+        F.col(url_col).alias("_rurl"), host.alias("_rhost"), path.alias("_rpath")
+    )
+    rset = rules.filter(F.col("agent") == agent.lower()).select(
+        F.col("host").alias("_rhost"),
+        "rule",
+        "path_prefix",
+        F.length("path_prefix").alias("_plen"),
+    )
+    matched = (
+        keyed.join(rset, "_rhost")
+        .filter(F.col("_rpath").startswith(F.col("path_prefix")))
+        .groupBy("_rurl")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("_plen").alias("l"),
+                    (F.col("rule") == "allow").cast("int").alias("a"),
+                )
+            ).alias("best")
+        )
+        .select("_rurl", F.col("best.a").alias("_allow"))
+    )
+    out = pages.join(
+        matched, pages[url_col] == matched["_rurl"], "left"
+    ).drop("_rurl")
+    return out.withColumn(
+        "allowed", F.coalesce(F.col("_allow"), F.lit(1)).cast("int")
+    ).drop("_allow")
+
+
+def robots_filter(
+    pages: DataFrame, rules: DataFrame, agent: str = "*", url_col: str = "url"
+) -> DataFrame:
+    """Drop pages the rules disallow for ``agent``; schema-preserving."""
+    return (
+        robots_verdict(pages, rules, agent=agent, url_col=url_col)
+        .filter(F.col("allowed") == 1)
+        .drop("allowed")
+    )

@@ -53,6 +53,16 @@ def test_decode_html_bytes_meta_charset():
     assert "Ш" in decode_html_bytes("<meta charset=\"utf-8\">Ш".encode("utf-8"))
 
 
+def test_decode_html_bytes_bom_outranks_meta():
+    # WHATWG: a BOM wins over a (here: wrong) meta charset declaration
+    doc = '<html><head><meta charset=windows-1251></head><body>Ша</body></html>'
+    assert "Ша" in decode_html_bytes(b"\xef\xbb\xbf" + doc.encode("utf-8"))
+    le = decode_html_bytes(b"\xff\xfe" + "Шa".encode("utf-16-le"))
+    assert le == "Шa" and not le.startswith("﻿")
+    be = decode_html_bytes(b"\xfe\xff" + "Шa".encode("utf-16-be"))
+    assert be == "Шa"
+
+
 def test_color_and_weight_normalization():
     assert normalize_color("#C0504D") == "rgb(192, 80, 77)"
     assert normalize_color("#C00") == "rgb(204, 0, 0)"

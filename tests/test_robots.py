@@ -1,0 +1,96 @@
+"""robots.txt parsing + politeness filter (ops/robots.py)."""
+
+from pyspark.sql import functions as F
+
+from html_parser_spark.ops.robots import parse_robots, robots_filter, robots_verdict
+
+ROBOTS = """# corpus crawler policy
+User-agent: *
+Disallow: /private
+Allow: /private/ok
+Crawl-delay: 10
+
+User-agent: badbot
+Disallow: /
+"""
+
+
+def _rules(spark, bodies):
+    df = spark.createDataFrame(bodies, ["host", "body"])
+    return parse_robots(df)
+
+
+def test_parse_groups_and_directives(spark):
+    rows = {
+        (r["agent"], r["rule"], r["path_prefix"])
+        for r in _rules(spark, [("a.com", ROBOTS)]).collect()
+    }
+    assert rows == {
+        ("*", "disallow", "/private"),
+        ("*", "allow", "/private/ok"),
+        ("badbot", "disallow", "/"),
+    }
+
+
+def test_parse_edge_cases(spark):
+    body = (
+        "USER-AGENT: Mixed\n"
+        "DisAllow: /x  # trailing comment\n"
+        "Disallow:\n"          # empty value: not a rule
+        "Allow: /x/y\n"
+        "orphan-line\n"
+        "Sitemap: https://a.com/map.xml\n"
+    )
+    rows = {
+        (r["agent"], r["rule"], r["path_prefix"])
+        for r in _rules(spark, [("a.com", body)]).collect()
+    }
+    assert rows == {("mixed", "disallow", "/x"), ("mixed", "allow", "/x/y")}
+    # rules before any user-agent line are dropped (no group)
+    headless = _rules(spark, [("b.com", "Disallow: /early\nUser-agent: *\nDisallow: /late")])
+    assert {(r["agent"], r["path_prefix"]) for r in headless.collect()} == {("*", "/late")}
+
+
+def _pages(spark, urls):
+    return spark.createDataFrame([(u,) for u in urls], ["url"])
+
+
+def test_verdict_longest_match_and_allow_tiebreak(spark):
+    rules = _rules(spark, [("a.com", ROBOTS)])
+    pages = _pages(
+        spark,
+        [
+            "https://a.com/public/x",       # no match -> allowed
+            "https://a.com/private/x",      # /private disallow
+            "https://a.com/private/ok/x",   # longer allow wins
+            "https://a.com/",               # root, no match
+            "https://other.com/private/x",  # host has no rules
+        ],
+    )
+    got = {r["url"]: r["allowed"] for r in robots_verdict(pages, rules).collect()}
+    assert got == {
+        "https://a.com/public/x": 1,
+        "https://a.com/private/x": 0,
+        "https://a.com/private/ok/x": 1,
+        "https://a.com/": 1,
+        "https://other.com/private/x": 1,
+    }
+
+
+def test_agent_selection(spark):
+    rules = _rules(spark, [("a.com", ROBOTS)])
+    pages = _pages(spark, ["https://a.com/anything"])
+    assert robots_filter(pages, rules, agent="badbot").count() == 0
+    assert robots_filter(pages, rules, agent="*").count() == 1
+
+
+def test_filter_schema_preserving_no_window_over_pages(spark):
+    rules = _rules(spark, [("a.com", ROBOTS)])
+    pages = _pages(spark, ["https://a.com/private/x", "https://a.com/ok"])
+    out = robots_filter(pages, rules)
+    assert out.columns == ["url"]
+    assert [r["url"] for r in out.collect()] == ["https://a.com/ok"]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the only Window is inside rule parsing (per-host robots lines);
+    # the pages side must see joins + partial aggs, never a pages window
+    assert "CartesianProduct" not in plan

@@ -239,6 +239,18 @@ def main():
         )
     )
 
+    p = plan_of(entrymod.q_robots(spark, sf_dir))
+    checks.append(
+        (
+            "q_robots — verdict is host equi-join + partial-agg max; the only "
+            "Window is the per-host rule parse, never over pages",
+            p,
+            ["HashAggregate", "Join"],
+            ["CartesianProduct", "BroadcastNestedLoopJoin",
+             "ArrowEvalPython", "BatchEvalPython"],
+        )
+    )
+
     p = plan_of(entrymod.q_warc_roundtrip(spark, sf_dir))
     checks.append(
         (
