@@ -61,6 +61,40 @@ def stream_extract(
     )
 
 
+def stream_main_content(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 16,
+):
+    """pages parquet drops → streaming boilerplate strip → parquet sink.
+
+    ``extract_main_content`` is a stateless per-page map (one Arrow UDF,
+    no shuffle), so the streaming twin needs no watermark or state — each
+    micro-batch produces exactly the rows the batch op would, and replaying
+    the same files yields byte-identical main_text (asserted in
+    tests/test_streaming_multimodal.py)."""
+    from html_parser_spark.ops.boilerplate import extract_main_content
+
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    out = extract_main_content(stream).select(
+        "url", "warc_ts", "lang", "main_text", "n_blocks",
+        "n_content_blocks", "content_chars", "boiler_chars",
+    )
+    return (
+        out.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
+
+
 def windowed_event_stats(
     events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:

@@ -36,6 +36,11 @@ def main(argv=None):
                     help="also run the v1->v2.1 dictionary migration UDF")
     ap.add_argument("--limit", type=int, default=0, help="dev-mode row cap (S6)")
     ap.add_argument(
+        "--robots", default="",
+        help="parquet of fetched robots.txt bodies (host, body); pages "
+             "disallowed for User-agent: * are dropped before parsing",
+    )
+    ap.add_argument(
         "--main-content", action="store_true",
         help="generic-crawl mode: jusText-style boilerplate strip "
              "(ops/boilerplate.py) instead of dictionary-format parsing — "
@@ -79,6 +84,15 @@ def main(argv=None):
         pages = spark.read.parquet(args.pages)
     if args.limit:
         pages = pages.limit(args.limit)
+
+    if args.robots:
+        from html_parser_spark.ops.robots import parse_robots, robots_filter
+
+        # politeness gate BEFORE the expensive parse: the rules table is
+        # tiny relative to pages, the verdict is a host equi-join
+        pages = robots_filter(
+            pages, parse_robots(spark.read.parquet(args.robots))
+        )
 
     if args.main_content:
         from pyspark.sql import functions as F

@@ -94,3 +94,40 @@ def test_filter_schema_preserving_no_window_over_pages(spark):
     # the only Window is inside rule parsing (per-host robots lines);
     # the pages side must see joins + partial aggs, never a pages window
     assert "CartesianProduct" not in plan
+
+
+def test_extract_job_robots_gate(spark, tmp_path, capsys):
+    """--robots drops disallowed pages before the parse stage."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    import jobs.extract_job as ej
+    from html_parser_spark.data.pages import synthetic_pages_df
+
+    pages = synthetic_pages_df(
+        spark, "/root/testdata/sf0.001", paragraphs=1
+    ).limit(20)
+    # synthetic urls share one host; block half the paths by prefix
+    host = pages.select(
+        F.parse_url("url", F.lit("HOST")).alias("h")
+    ).first()["h"]
+    some_paths = [
+        r["p"] for r in pages.select(
+            F.parse_url("url", F.lit("PATH")).alias("p")
+        ).collect()
+    ]
+    blocked = sorted(set(some_paths))[:10]
+    body = "User-agent: *\n" + "\n".join(f"Disallow: {p}" for p in blocked)
+    robots_dir = str(tmp_path / "robots")
+    spark.createDataFrame([(host, body)], ["host", "body"]).write.parquet(robots_dir)
+
+    src = str(tmp_path / "pages")
+    pages.write.parquet(src)
+    out = str(tmp_path / "results")
+    ej.main([
+        "--pages", src, "--output", out, "--partitions", "4",
+        "--robots", robots_dir,
+    ])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["docs"] == 20 - len(set(blocked) & set(some_paths))

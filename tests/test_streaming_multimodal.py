@@ -225,3 +225,32 @@ def test_dedup_stream(spark, tmp_path):
     finally:
         q.stop()
     assert got == ["u1", "u2", "u3"]
+
+
+def test_stream_main_content_matches_batch(spark, tmp_path):
+    """Streaming boilerplate strip == batch op, byte-identical per url."""
+    from html_parser_spark.data.pages import synthetic_pages_df
+    from html_parser_spark.ops.boilerplate import extract_main_content
+    from html_parser_spark.streaming.stream import stream_main_content
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ck_dir = str(tmp_path / "ck")
+    pages = synthetic_pages_df(spark, SF_DIR, paragraphs=2).limit(25)
+    pages.write.parquet(in_dir)
+
+    q = stream_main_content(spark, in_dir, out_dir, ck_dir, max_files_per_trigger=64)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {
+        r["url"]: (r["main_text"], r["n_blocks"], r["content_chars"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    batch = {
+        r["url"]: (r["main_text"], r["n_blocks"], r["content_chars"])
+        for r in extract_main_content(spark.read.parquet(in_dir)).collect()
+    }
+    assert len(streamed) == 25
+    assert streamed == batch
