@@ -761,6 +761,44 @@ def q_pagerank(spark, sf_dir, checkpoint=True):
     )
 
 
+def q_anchor_stats(spark, sf_dir):
+    """Anchor-text aggregation (ops/html_meta.py): what the web SAYS about
+    each target url.  Every doc links to two rotating targets with a
+    versioned label plus a mailto decoy; the oracle re-derives the exploded
+    (src_host, dst, text) rows symbolically and aggregates them in SQL —
+    hash match proves the anchor kernel (absolutization, text collapse,
+    skip schemes, duplicates kept) AND the partial-agg rollup."""
+    _ship_package(spark)
+    from html_parser_spark.ops.html_meta import anchor_text_stats, extract_anchors
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    t1 = (F.col("doc_id") % 25).cast("string")
+    t2 = ((F.col("doc_id") + 7) % 25).cast("string")
+    v = (F.col("doc_id") % 3).cast("string")
+    html = F.concat(
+        F.lit('<html><body>\n<a href="https://t'), t1,
+        F.lit('.example/">anchor t'), t1, F.lit(" v"), v,
+        F.lit('</a>\n<a href="https://t'), t2,
+        F.lit('.example/">anchor t'), t2, F.lit(" v"), v,
+        F.lit('</a>\n<a href="mailto:skip@x.example">skip</a>\n</body></html>'),
+    )
+    pages = docs.select(
+        F.concat(
+            F.lit("https://www.site"), (F.col("doc_id") % 10).cast("string"),
+            F.lit(".com/pages/"), did, F.lit(".html"),
+        ).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+    out = anchor_text_stats(extract_anchors(pages))
+    return out.select(
+        "dst",
+        F.col("n_anchors").cast("long").alias("n_anchors"),
+        F.col("n_src_hosts").cast("long").alias("n_src_hosts"),
+        "anchor_texts",
+    )
+
+
 def q_robots(spark, sf_dir):
     """robots.txt politeness (ops/robots.py): 20 synthetic hosts, two policy
     families (low hosts disallow /private with a longer /private/ok allow;
@@ -1202,6 +1240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pagerank": q_pagerank,
         "q_gopher": q_gopher,
         "q_robots": q_robots,
+        "q_anchor_stats": q_anchor_stats,
         "q_extract_entries": q_extract_entries,
         "q_migrate_v21": q_migrate_v21,
     }
@@ -2269,6 +2308,27 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "q_pagerank": _pagerank_oracle_sql(3),
+        "q_anchor_stats": """
+            -- re-derive the exploded (src_host, dst, text) anchor rows
+            -- symbolically (the mailto decoy never appears) and aggregate:
+            -- occurrences, distinct source hosts, sorted distinct labels
+            WITH a AS (
+              SELECT 'www.site' || (doc_id % 10) || '.com' AS src_host,
+                     'https://t' || (doc_id % 25) || '.example/' AS dst,
+                     'anchor t' || (doc_id % 25) || ' v' || (doc_id % 3) AS text
+              FROM documents
+              UNION ALL
+              SELECT 'www.site' || (doc_id % 10) || '.com',
+                     'https://t' || ((doc_id + 7) % 25) || '.example/',
+                     'anchor t' || ((doc_id + 7) % 25) || ' v' || (doc_id % 3)
+              FROM documents
+            )
+            SELECT dst,
+                   CAST(COUNT(*) AS BIGINT) AS n_anchors,
+                   CAST(COUNT(DISTINCT src_host) AS BIGINT) AS n_src_hosts,
+                   list_sort(list_distinct(list(text))) AS anchor_texts
+            FROM a GROUP BY dst
+        """,
         "q_robots": """
             -- closed-form EXPECTED verdicts (checks the robots parser +
             -- precedence engine): low hosts block only the bare /private

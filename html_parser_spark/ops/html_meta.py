@@ -133,3 +133,76 @@ def extract_page_meta(
         *[c for c in pages.columns],
         *[F.col(f"_pm.{f.name}").alias(f.name) for f in PAGE_META_TYPE.fields],
     )
+
+
+ANCHORS_TYPE = T.ArrayType(
+    T.StructType(
+        [T.StructField("href", T.StringType()), T.StructField("text", T.StringType())]
+    )
+)
+
+
+def extract_page_anchors(html_bytes: bytes, base_url: str) -> list[dict]:
+    """One page → [(absolutized href, collapsed anchor text)] in doc order
+    (crawlable http(s) edges only; same skip rules as ``extract_meta`` but
+    duplicates kept — each anchor occurrence is one vote of anchor text)."""
+    from html_parser_spark.dom import decode_html_bytes, parse_html
+
+    root = parse_html(decode_html_bytes(html_bytes if html_bytes else b""))
+    out: list[dict] = []
+    for el in root.iter_elements():
+        if el.tag != "a":
+            continue
+        href = (el.attrs.get("href") or "").strip()
+        if not href or href.startswith("#") or href.lower().startswith(_SKIP_SCHEMES):
+            continue
+        absu = urljoin(base_url or "", href).split("#", 1)[0]
+        if not absu or urlparse(absu).scheme not in ("http", "https"):
+            continue
+        out.append({"href": absu, "text": _collapse(el.text_content)})
+    return out
+
+
+def extract_anchors(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """pages → pages + ``anchors`` array<struct<href, text>>.  ONE Arrow
+    UDF, no shuffle; feeds ``anchor_text_stats``."""
+
+    @F.pandas_udf(ANCHORS_TYPE)
+    def _udf(url: pd.Series, html: pd.Series) -> pd.Series:
+        from html_parser_spark.ops.html_meta import extract_page_anchors
+
+        return pd.Series(
+            [
+                extract_page_anchors(b, u if u is not None else "")
+                for u, b in zip(url, html)
+            ]
+        )
+
+    return pages.withColumn("anchors", _udf(F.col(url_col), F.col(html_col)))
+
+
+def anchor_text_stats(
+    pages_with_anchors: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Aggregate what the web SAYS about each target url: per distinct
+    href, the number of anchor occurrences, the number of distinct source
+    hosts, and the sorted distinct anchor texts.
+
+    Scale shape: explode (narrow) → ONE groupBy(dst) with map-side
+    partial aggregation; anchor-text sets are per-target and small
+    (dedup + sort happens on the aggregated set, never via a window)."""
+    src_host = F.parse_url(F.col(url_col), F.lit("HOST"))
+    ex = pages_with_anchors.select(
+        src_host.alias("src_host"), F.explode("anchors").alias("a")
+    ).select(
+        "src_host",
+        F.col("a.href").alias("dst"),
+        F.col("a.text").alias("text"),
+    )
+    return ex.groupBy("dst").agg(
+        F.count("*").cast("long").alias("n_anchors"),
+        F.countDistinct("src_host").cast("long").alias("n_src_hosts"),
+        F.sort_array(F.collect_set("text")).alias("anchor_texts"),
+    )

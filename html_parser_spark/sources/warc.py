@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import gzip
 import os
+import re
 import zlib
 from collections.abc import Iterator
 from datetime import datetime
@@ -250,16 +251,27 @@ def iter_warc_records(blob: bytes) -> Iterator[tuple[dict, bytes]]:
         yield headers, payload
 
 
+_HTTP_REQUEST_LINE = re.compile(rb"^[A-Z]+ \S+ HTTP/\d")
+
+
 def _split_http(payload: bytes) -> tuple[int | None, str | None, bytes]:
-    """(status, content_type, body) from an application/http payload."""
+    """(status, content_type, body) from an application/http payload.
+
+    Handles both message kinds: responses (``HTTP/1.1 200 OK``, status
+    parsed) and requests (``GET /x HTTP/1.1``, status stays NULL but the
+    header block is still stripped so the body column is the entity body,
+    not raw protocol bytes)."""
     sep = payload.find(b"\r\n\r\n")
-    if sep < 0 or not payload.startswith(b"HTTP/"):
+    is_response = payload.startswith(b"HTTP/")
+    if sep < 0 or not (is_response or _HTTP_REQUEST_LINE.match(payload)):
         return None, None, payload
     head = payload[:sep].decode("utf-8", "replace").split("\r\n")
-    try:
-        status = int(head[0].split(" ", 2)[1])
-    except (IndexError, ValueError):
-        status = None
+    status = None
+    if is_response:
+        try:
+            status = int(head[0].split(" ", 2)[1])
+        except (IndexError, ValueError):
+            status = None
     ctype = None
     for line in head[1:]:
         k, _, v = line.partition(":")
@@ -281,9 +293,9 @@ WARC_INDEXED_SCHEMA = T.StructType(
 def _record_rows(path: str, blob: bytes, rows: dict, with_offsets: bool) -> None:
     for headers, payload, off, length in iter_warc_records_extents(blob):
         wtype = headers.get("warc-type", "")
-        if wtype == "response":
+        if wtype in ("response", "request"):
             status, ctype, body = _split_http(payload)
-        else:  # resource / conversion / … records carry raw bodies
+        else:  # resource / conversion / warcinfo / … carry raw bodies
             status, ctype, body = None, headers.get("content-type"), payload
         ts = headers.get("warc-date")
         rows["url"].append(headers.get("warc-target-uri"))

@@ -153,3 +153,37 @@ def test_meta_to_pagerank_chain(spark):
     }
     assert set(ranks) == {"a.com", "b.com", "c.com"}
     assert ranks["c.com"] > ranks["b.com"] > ranks["a.com"]
+
+
+def test_extract_anchors_keeps_duplicates_and_text(spark):
+    from html_parser_spark.ops.html_meta import extract_anchors
+
+    html = (
+        b'<html><body><a href="/x">first  label</a>'
+        b'<a href="/x">second</a><a href="mailto:a@b">m</a>'
+        b'<a href="https://e.com/y">other <b>bold</b></a></body></html>'
+    )
+    df = spark.createDataFrame([("https://s.com/p", html)], ["url", "html"])
+    anchors = extract_anchors(df).collect()[0]["anchors"]
+    assert [(a["href"], a["text"]) for a in anchors] == [
+        ("https://s.com/x", "first label"),
+        ("https://s.com/x", "second"),
+        ("https://e.com/y", "other bold"),
+    ]
+
+
+def test_anchor_text_stats_aggregation(spark):
+    from html_parser_spark.ops.html_meta import anchor_text_stats
+
+    rows = [
+        ("https://a.com/1", [{"href": "https://t.com/", "text": "zz"},
+                             {"href": "https://t.com/", "text": "aa"}]),
+        ("https://b.com/2", [{"href": "https://t.com/", "text": "aa"}]),
+        ("https://a.com/3", [{"href": "https://u.com/", "text": "uu"}]),
+    ]
+    df = spark.createDataFrame(rows, "url string, anchors array<struct<href:string,text:string>>")
+    got = {r["dst"]: r for r in anchor_text_stats(df).collect()}
+    t = got["https://t.com/"]
+    assert t["n_anchors"] == 3 and t["n_src_hosts"] == 2
+    assert t["anchor_texts"] == ["aa", "zz"]  # distinct + sorted
+    assert got["https://u.com/"]["n_anchors"] == 1

@@ -235,3 +235,22 @@ def test_fetch_warc_records_by_index(spark, tmp_path):
     # the archive files themselves are never rescanned
     plan = fetch_warc_records(wanted)._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan
+
+
+def test_request_record_http_split():
+    """request records get their HTTP header block stripped (status NULL);
+    warcinfo payloads pass through untouched."""
+    from html_parser_spark.sources.warc import _split_http
+
+    req = (
+        b"GET /index.html HTTP/1.1\r\nHost: a.com\r\n"
+        b"Content-Type: text/plain\r\n\r\nreq-body"
+    )
+    status, ctype, body = _split_http(req)
+    assert status is None and ctype == "text/plain" and body == b"req-body"
+
+    resp = b"HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\n\r\n<x>"
+    assert _split_http(resp) == (404, "text/html", b"<x>")
+
+    info = b"software: test-crawler 1.0\r\nformat: WARC File Format 1.0"
+    assert _split_http(info) == (None, None, info)

@@ -239,6 +239,16 @@ def main():
         )
     )
 
+    p = plan_of(entrymod.q_anchor_stats(spark, sf_dir))
+    checks.append(
+        (
+            "q_anchor_stats — one Arrow kernel, explode, ONE partial-agg groupBy",
+            p,
+            ["ArrowEvalPython", "Generate", "HashAggregate"],
+            ["Window", "CartesianProduct", "BroadcastNestedLoopJoin"],
+        )
+    )
+
     p = plan_of(entrymod.q_robots(spark, sf_dir))
     checks.append(
         (
