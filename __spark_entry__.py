@@ -761,6 +761,59 @@ def q_pagerank(spark, sf_dir, checkpoint=True):
     )
 
 
+def q_sitemap(spark, sf_dir):
+    """Sitemap parsing (ops/web.sitemap_urls): most hosts publish a urlset
+    with two page entries (one whitespace-padded), every 20th doc publishes
+    a sitemapindex instead; the oracle re-derives the exploded (host, kind,
+    loc) rows symbolically."""
+    from html_parser_spark.ops.web import sitemap_urls
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    h = (F.col("doc_id") % 10).cast("string")
+    urlset = F.concat(
+        F.lit('<?xml version="1.0"?><urlset><url><loc>https://s'), h,
+        F.lit(".com/p"), did,
+        F.lit("</loc></url><url><loc>  https://s"), h,
+        F.lit(".com/q"), did, F.lit(" </loc></url></urlset>"),
+    )
+    index = F.concat(
+        F.lit("<sitemapindex><sitemap><loc>https://s"), h,
+        F.lit(".com/child"), did,
+        F.lit(".xml</loc></sitemap></sitemapindex>"),
+    )
+    maps = docs.select(
+        F.concat(F.lit("s"), h).alias("host"),
+        F.when(F.col("doc_id") % 20 == 0, index).otherwise(urlset).alias("body"),
+    )
+    return sitemap_urls(maps).select("host", "kind", "loc")
+
+
+def q_crawl_diff(spark, sf_dir):
+    """Incremental-crawl diff (ops/web.crawl_diff): synthetic old/new
+    snapshots with disjoint url tails (every 10th doc is new-only, every
+    10th+1 old-only) and edited bodies (every 5th+2 changed).  The oracle
+    states the EXPECTED per-url status + digests in closed form; md5 is
+    computed below the join so the shuffle carries hashes, not bodies."""
+    from html_parser_spark.ops.web import crawl_diff
+
+    docs = _docs(spark, sf_dir)
+    url = F.concat(F.lit("https://c"), (F.col("doc_id") % 10).cast("string"),
+                   F.lit(".com/d"), F.col("doc_id").cast("string"))
+    old = docs.filter(F.col("doc_id") % 10 != 0).select(
+        url.alias("url"), F.encode("text", "UTF-8").alias("html")
+    )
+    new = docs.filter(F.col("doc_id") % 10 != 1).select(
+        url.alias("url"),
+        F.encode(
+            F.when(F.col("doc_id") % 5 == 2,
+                   F.concat(F.col("text"), F.lit(" v2"))).otherwise(F.col("text")),
+            "UTF-8",
+        ).alias("html"),
+    )
+    return crawl_diff(old, new)
+
+
 def q_anchor_stats(spark, sf_dir):
     """Anchor-text aggregation (ops/html_meta.py): what the web SAYS about
     each target url.  Every doc links to two rotating targets with a
@@ -1241,6 +1294,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_gopher": q_gopher,
         "q_robots": q_robots,
         "q_anchor_stats": q_anchor_stats,
+        "q_sitemap": q_sitemap,
+        "q_crawl_diff": q_crawl_diff,
         "q_extract_entries": q_extract_entries,
         "q_migrate_v21": q_migrate_v21,
     }
@@ -2308,6 +2363,38 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "q_pagerank": _pagerank_oracle_sql(3),
+        "q_sitemap": """
+            -- re-derive the exploded sitemap rows: index hosts emit one
+            -- child-sitemap loc, urlset hosts two page locs (whitespace
+            -- around the second loc must be trimmed by the parser)
+            SELECT 's' || (doc_id % 10) AS host, 'sitemap' AS kind,
+                   'https://s' || (doc_id % 10) || '.com/child' || doc_id
+                       || '.xml' AS loc
+            FROM documents WHERE doc_id % 20 = 0
+            UNION ALL
+            SELECT 's' || (doc_id % 10), 'url',
+                   'https://s' || (doc_id % 10) || '.com/p' || doc_id
+            FROM documents WHERE doc_id % 20 <> 0
+            UNION ALL
+            SELECT 's' || (doc_id % 10), 'url',
+                   'https://s' || (doc_id % 10) || '.com/q' || doc_id
+            FROM documents WHERE doc_id % 20 <> 0
+        """,
+        "q_crawl_diff": """
+            -- closed-form EXPECTED diff: %10==0 added, %10==1 removed,
+            -- %5==2 changed (body edited), everything else unchanged
+            SELECT 'https://c' || (doc_id % 10) || '.com/d' || doc_id AS url,
+                   CASE WHEN doc_id % 10 = 0 THEN 'added'
+                        WHEN doc_id % 10 = 1 THEN 'removed'
+                        WHEN doc_id % 5 = 2 THEN 'changed'
+                        ELSE 'unchanged' END AS status,
+                   CASE WHEN doc_id % 10 = 0 THEN NULL
+                        ELSE md5(text) END AS old_md5,
+                   CASE WHEN doc_id % 10 = 1 THEN NULL
+                        WHEN doc_id % 5 = 2 THEN md5(text || ' v2')
+                        ELSE md5(text) END AS new_md5
+            FROM documents
+        """,
         "q_anchor_stats": """
             -- re-derive the exploded (src_host, dst, text) anchor rows
             -- symbolically (the mailto decoy never appears) and aggregate:

@@ -193,3 +193,55 @@ def registered_domain_psl(host, psl: "list[str] | None" = None) -> "F.Column":
         .when(has, u)  # the host IS a public suffix: no registrable part
         .otherwise(fallback)
     )
+
+
+def sitemap_urls(sitemaps: DataFrame, body_col: str = "body") -> DataFrame:
+    """(host, sitemap xml body) → one row per ``<loc>`` entry.
+
+    Handles both document kinds with one pattern: ``<urlset>`` entries
+    (page urls) and ``<sitemapindex>`` entries (child sitemap urls) both
+    carry their target inside ``<loc>…</loc>``; ``kind`` tells them apart
+    via the enclosing tag.  Pure ``regexp_extract_all`` + explode —
+    JVM-side, codegen, zero Python; the explode is narrow (no shuffle).
+    XML namespaces/attributes need no handling: ``<loc>`` never carries
+    attributes in the sitemap schema."""
+    locs = F.regexp_extract_all(
+        F.col(body_col), F.lit(r"<loc>\s*([^<]*?)\s*</loc>"), F.lit(1)
+    )
+    kind = F.when(
+        F.col(body_col).contains("<sitemapindex"), F.lit("sitemap")
+    ).otherwise(F.lit("url"))
+    other = [c for c in sitemaps.columns if c != body_col]
+    return sitemaps.select(
+        *other, kind.alias("kind"), F.explode(locs).alias("loc")
+    )
+
+
+def crawl_diff(
+    old: DataFrame,
+    new: DataFrame,
+    url_col: str = "url",
+    content_col: str = "html",
+) -> DataFrame:
+    """Two crawl snapshots → per-url (status, old_md5, new_md5) where
+    status ∈ added | removed | changed | unchanged.
+
+    The incremental-crawl primitive: ONE full-outer equi-join on url over
+    md5 digests (computed map-side, so the shuffle carries 32-byte hashes
+    instead of page bodies — at crawl scale that is the difference between
+    shuffling 100 TB and shuffling ~3 TB).  Feed the 'added'+'changed'
+    subset to the extraction pipeline to process only what moved."""
+    o = old.select(
+        F.col(url_col).alias("url"), F.md5(F.col(content_col)).alias("old_md5")
+    )
+    n = new.select(
+        F.col(url_col).alias("url"), F.md5(F.col(content_col)).alias("new_md5")
+    )
+    j = o.join(n, "url", "full_outer")
+    status = (
+        F.when(F.col("old_md5").isNull(), F.lit("added"))
+        .when(F.col("new_md5").isNull(), F.lit("removed"))
+        .when(F.col("old_md5") == F.col("new_md5"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select("url", status.alias("status"), "old_md5", "new_md5")

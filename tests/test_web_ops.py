@@ -156,3 +156,46 @@ def test_registered_domain_psl(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_sitemap_urls_urlset_and_index(spark):
+    from html_parser_spark.ops.web import sitemap_urls
+
+    urlset = (
+        '<?xml version="1.0"?><urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<url><loc>https://a.com/1</loc><lastmod>2024-01-01</lastmod></url>"
+        "<url><loc>  https://a.com/2 </loc></url></urlset>"
+    )
+    index = (
+        '<sitemapindex><sitemap><loc>https://a.com/sitemap1.xml</loc></sitemap>'
+        "</sitemapindex>"
+    )
+    df = spark.createDataFrame(
+        [("a.com", urlset), ("a.com", index)], ["host", "body"]
+    )
+    got = {(r["kind"], r["loc"]) for r in sitemap_urls(df).collect()}
+    assert got == {
+        ("url", "https://a.com/1"),
+        ("url", "https://a.com/2"),
+        ("sitemap", "https://a.com/sitemap1.xml"),
+    }
+    plan = sitemap_urls(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_crawl_diff_statuses(spark):
+    from html_parser_spark.ops.web import crawl_diff
+
+    old = spark.createDataFrame(
+        [("u1", b"same"), ("u2", b"old-body"), ("u3", b"gone")], ["url", "html"]
+    )
+    new = spark.createDataFrame(
+        [("u1", b"same"), ("u2", b"new-body"), ("u4", b"fresh")], ["url", "html"]
+    )
+    got = {r["url"]: r["status"] for r in crawl_diff(old, new).collect()}
+    assert got == {
+        "u1": "unchanged", "u2": "changed", "u3": "removed", "u4": "added",
+    }
+    # md5 computed below the join: the exchange must not carry html bytes
+    plan = crawl_diff(old, new)._jdf.queryExecution().executedPlan().toString()
+    assert "html" not in plan.split("SortMergeJoin")[-1][:400] or "md5" in plan

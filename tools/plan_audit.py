@@ -239,6 +239,27 @@ def main():
         )
     )
 
+    p = plan_of(entrymod.q_crawl_diff(spark, sf_dir))
+    checks.append(
+        (
+            "q_crawl_diff — md5 below the join: the exchange carries digests, "
+            "not page bodies",
+            p,
+            ["md5", "Join"],
+            ["CartesianProduct", "BroadcastNestedLoopJoin", "Window"],
+        )
+    )
+
+    p = plan_of(entrymod.q_sitemap(spark, sf_dir))
+    checks.append(
+        (
+            "q_sitemap — regexp_extract_all + narrow explode, zero Python/shuffle",
+            p,
+            ["Generate"],
+            ["Exchange", "ArrowEvalPython", "BatchEvalPython", "Join"],
+        )
+    )
+
     p = plan_of(entrymod.q_anchor_stats(spark, sf_dir))
     checks.append(
         (
