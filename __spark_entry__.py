@@ -761,6 +761,33 @@ def q_pagerank(spark, sf_dir, checkpoint=True):
     )
 
 
+def q_text_clean(spark, sf_dir):
+    """Unicode web-text cleanup (ops/text.py): plant a zero-width space,
+    a soft hyphen, and a DECOMPOSED e+combining-acute after each document's
+    text; the op must count+strip the invisibles and NFC-compose the rest.
+    The oracle computes the expected output with DuckDB's own
+    ``nfc_normalize`` (utf8proc) against Python's unicodedata — a hash
+    match is a cross-engine Unicode-normalization equality proof, not just
+    a regex check."""
+    _ship_package(spark)
+    from html_parser_spark.ops.text import clean_web_text
+
+    docs = _docs(spark, sf_dir)
+    dirty = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\u200b e\u0301tude\u00ad fin"),
+        ).alias("text"),
+    )
+    out = clean_web_text(dirty)
+    return out.select(
+        "doc_id",
+        F.col("n_invisibles").cast("long").alias("n_invisibles"),
+        "clean_text",
+    )
+
+
 def q_sitemap(spark, sf_dir):
     """Sitemap parsing (ops/web.sitemap_urls): most hosts publish a urlset
     with two page entries (one whitespace-padded), every 20th doc publishes
@@ -1296,6 +1323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_anchor_stats": q_anchor_stats,
         "q_sitemap": q_sitemap,
         "q_crawl_diff": q_crawl_diff,
+        "q_text_clean": q_text_clean,
         "q_extract_entries": q_extract_entries,
         "q_migrate_v21": q_migrate_v21,
     }
@@ -2363,6 +2391,17 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "q_pagerank": _pagerank_oracle_sql(3),
+        "q_text_clean": """
+            -- expected = DuckDB's OWN nfc_normalize (utf8proc) over the
+            -- invisible-stripped text: ZWSP + soft hyphen vanish (2
+            -- invisibles), the decomposed e+U+0301 must compose to é —
+            -- cross-engine Unicode-normalization equality, not regex echo
+            SELECT doc_id,
+                   CAST(2 AS BIGINT) AS n_invisibles,
+                   nfc_normalize(text || ' e' || chr(769) || 'tude fin')
+                       AS clean_text
+            FROM documents
+        """,
         "q_sitemap": """
             -- re-derive the exploded sitemap rows: index hosts emit one
             -- child-sitemap loc, urlset hosts two page locs (whitespace

@@ -9,7 +9,8 @@ deliberately restricted to the portable subset (ASCII classes, md5).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window, functions as F, types as T
 
 # deliberately tiny, portable stopword list (the synthetic corpus vocabulary)
 STOPWORDS = ["the", "a", "of", "and", "to", "in"]
@@ -309,3 +310,51 @@ def pii_scrub(col: Column) -> Column:
     for name, pat in PII_PATTERNS.items():
         out = F.regexp_replace(out, pat, f"<{name.upper()}>")
     return out
+
+
+# Zero-width and other invisible code points that litter scraped web text
+# (copy-paste artifacts, SEO spam, PDF ligature leftovers).  Soft hyphen,
+# zero-width space/joiner/non-joiner, word-joiner, BOM/ZWNBSP,
+# directional marks.  Kept as an explicit list so the class is auditable.
+INVISIBLES_PATTERN = (
+    "[\u00ad\u200b\u200c\u200d\u2060\ufeff\u200e\u200f]"
+)
+
+
+def count_invisibles(col: Column) -> Column:
+    """How many invisible code points a string carries (JVM, codegen)."""
+    return (
+        F.length(col) - F.length(F.regexp_replace(col, INVISIBLES_PATTERN, ""))
+    ).cast("long")
+
+
+def strip_invisibles(col: Column) -> Column:
+    """Drop invisible code points — ONE regexp_replace, JVM-side."""
+    return F.regexp_replace(col, INVISIBLES_PATTERN, "")
+
+
+def nfc_normalize_udf() -> Column:
+    """Unicode NFC normalization as a vectorized pandas UDF.
+
+    Spark has no built-in normalizer, so this is the one text-cleaning
+    step that leaves the JVM — Arrow-batched, `pd.Series.str.normalize`
+    (C-accelerated ICU-equivalent via Python's unicodedata), never
+    per-row Python.  DuckDB's `nfc_normalize` is the oracle twin
+    (q_text_clean): both engines implement Unicode's canonical
+    composition, so outputs are byte-identical."""
+
+    @F.pandas_udf(T.StringType())
+    def _nfc(s: pd.Series) -> pd.Series:
+        return s.str.normalize("NFC")
+
+    return _nfc
+
+
+def clean_web_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The standard crawl-text cleanup: count + strip invisibles, then
+    NFC-normalize.  One narrow projection + one Arrow stage, no shuffle."""
+    stripped = strip_invisibles(F.col(text_col))
+    return docs.select(
+        "*",
+        count_invisibles(F.col(text_col)).alias("n_invisibles"),
+    ).withColumn("clean_text", nfc_normalize_udf()(stripped))

@@ -175,3 +175,33 @@ def test_span_dedup_plan_has_no_window_sort(spark):
     plan = span_dedup(docs, span_tokens=3)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "HashAggregate" in plan
+
+
+def test_invisibles_strip_and_count(spark):
+    from html_parser_spark.ops.text import (
+        count_invisibles,
+        strip_invisibles,
+    )
+
+    dirty = "soft­hyphen zero​width joi‍ner bom﻿ end"
+    df = spark.createDataFrame([(dirty,)], ["text"])
+    r = df.select(
+        count_invisibles(F.col("text")).alias("n"),
+        strip_invisibles(F.col("text")).alias("t"),
+    ).collect()[0]
+    assert r["n"] == 4
+    assert r["t"] == "softhyphen zerowidth joiner bom end"
+
+
+def test_clean_web_text_nfc(spark):
+    from html_parser_spark.ops.text import clean_web_text
+
+    # decomposed e + combining acute, plus a zero-width space
+    df = spark.createDataFrame(
+        [(1, "café zero​width")], ["doc_id", "text"]
+    )
+    r = clean_web_text(df).collect()[0]
+    assert r["n_invisibles"] == 1
+    assert r["clean_text"] == "café zerowidth"  # composed é, ZWSP gone
+    plan = clean_web_text(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and plan.count("ArrowEvalPython") == 1

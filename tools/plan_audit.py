@@ -239,6 +239,16 @@ def main():
         )
     )
 
+    p = plan_of(entrymod.q_text_clean(spark, sf_dir))
+    checks.append(
+        (
+            "q_text_clean — invisible strip JVM-side, ONE Arrow NFC stage, zero shuffle",
+            p,
+            ["ArrowEvalPython"],
+            ["Exchange", "Join", "Window"],
+        )
+    )
+
     p = plan_of(entrymod.q_crawl_diff(spark, sf_dir))
     checks.append(
         (
