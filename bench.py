@@ -142,6 +142,8 @@ def run_queries(spark) -> dict[str, float]:
         "q_near_dup_pairs",
         "q_cosine_topk",
         "q_quality_score",
+        "q_main_content",
+        "q_pagerank",
     ]
     qs = entrymod.queries()
     # untimed warm-up: JVM JIT + parquet footer cache + Python worker spawn

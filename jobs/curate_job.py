@@ -88,13 +88,16 @@ def main(argv=None):
             url_parts,
         )
 
+        raw = spark.read.parquet(os.path.join(args.from_extract, "data"))
+        # accept both extract_job outputs: dictionary extraction
+        # (extracted_text) and --main-content boilerplate strip (main_text)
+        text_src = "main_text" if "main_text" in raw.columns else "extracted_text"
         res = (
-            spark.read.parquet(os.path.join(args.from_extract, "data"))
-            .where(F.col("extracted_text").isNotNull())
+            raw.where(F.col(text_src).isNotNull())
             .select(
                 canonicalize_url("url").alias("url"),
                 "warc_ts",
-                "extracted_text",
+                F.col(text_src).alias("extracted_text"),
                 "lang",
             )
         )

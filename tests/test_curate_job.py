@@ -78,3 +78,26 @@ def test_curate_job_from_extract_with_span_dedup(spark, tmp_path, capsys):
     assert stats["after_dedup"] > 0
     docs = spark.read.parquet(os.path.join(cur_out, "docs"))
     assert docs.count() == stats["after_dedup"]
+
+
+def test_curate_from_main_content_output(spark, tmp_path, capsys):
+    """WARC-style chain: extract_job --main-content output curates directly
+    (text column is main_text, not extracted_text)."""
+    import json
+
+    import jobs.curate_job as cj
+    import jobs.extract_job as ej
+
+    mc = str(tmp_path / "mc")
+    ej.main([
+        "--pages", "synth:/root/testdata/sf0.001",
+        "--output", mc, "--partitions", "4", "--limit", "40",
+        "--main-content",
+    ])
+    capsys.readouterr()
+    out = str(tmp_path / "curated")
+    cj.main(["--from-extract", mc, "--output", out, "--min-tokens", "3"])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["captures_in"] == 40
+    assert stats["docs_in"] > 0
+    assert sum(stats["splits"].values()) == stats["after_dedup"]

@@ -150,3 +150,64 @@ def test_format_d_entries_total(lines):
     html = f'<html><body><div id="page-container"><div id="pf1">{body}</div></div></body></html>'
     entries = parse_format_d_entries(parse_html(html))
     assert all(e["src"] and e["trl"] for e in entries)
+
+
+html_ish = st.lists(
+    st.sampled_from(
+        list(string.ascii_letters) + list(" <>/=\"'&;#-\n\t.") +
+        ["<p>", "</p>", "<div ", "<a href=", "<nav>", "</nav>", "…"]
+    ),
+    max_size=120,
+).map("".join)
+
+
+@given(html_ish)
+@settings(max_examples=150, deadline=None)
+def test_extract_main_total_and_consistent(s):
+    """Boilerplate kernel is total on arbitrary tag soup, and its counters
+    are internally consistent."""
+    from html_parser_spark.ops.boilerplate import extract_main
+
+    r = extract_main(s.encode("utf-8", "surrogatepass"))
+    assert r["n_content_blocks"] <= r["n_blocks"]
+    assert r["content_chars"] >= 0 and r["boiler_chars"] >= 0
+    # joined main_text length == content_chars + newline separators
+    joins = max(0, r["n_content_blocks"] - 1)
+    assert len(r["main_text"]) == r["content_chars"] + joins
+
+
+@given(html_ish, st.sampled_from(
+    ["https://h.example/dir/page.html", "http://a.b/x", ""]
+))
+@settings(max_examples=150, deadline=None)
+def test_extract_meta_total(s, base):
+    """Metadata kernel is total; outlinks are absolute http(s), deduped."""
+    from html_parser_spark.ops.html_meta import extract_meta
+
+    m = extract_meta(s.encode("utf-8", "surrogatepass"), base)
+    assert len(m["outlinks"]) == len(set(m["outlinks"]))
+    for u in m["outlinks"]:
+        assert u.startswith(("http://", "https://")) and "#" not in u
+    assert m["n_anchors"] >= len(m["outlinks"]) - (1 if base == "" else 0) - 1
+
+
+def test_parse_robots_total_on_fuzz_corpus(spark):
+    """robots parser never crashes on adversarial bodies and only ever
+    emits allow/disallow rows with nonempty prefixes (one Spark job over
+    a generated fuzz corpus rather than per-example jobs)."""
+    import random
+
+    from html_parser_spark.ops.robots import parse_robots
+
+    rng = random.Random(7)
+    atoms = ["User-agent", "Disallow", "Allow", ":", "/", "#", "\n", " ",
+             "*", "a", "b", "::", "\t", "Crawl-delay", "sitemap"]
+    bodies = [
+        ("h%d" % i, "".join(rng.choice(atoms) for _ in range(rng.randrange(0, 60))))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(bodies, ["host", "body"])
+    rows = parse_robots(df).collect()
+    assert all(r["rule"] in ("allow", "disallow") for r in rows)
+    assert all(r["path_prefix"] != "" for r in rows)
+    assert all(r["agent"] is not None for r in rows)
