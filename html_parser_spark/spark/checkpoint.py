@@ -58,33 +58,52 @@ class CheckpointedExtraction:
         pages: DataFrame,
         num_partitions: int = 64,
         max_html_bytes: int | None = None,
+        transform=None,
     ) -> dict:
-        """Parse every page not yet in the results table; returns metrics.
-        Idempotent: re-running after a kill completes the remainder."""
+        """Process every page not yet in the results table; returns metrics.
+        Idempotent: re-running after a kill completes the remainder.
+
+        ``transform`` (pages → results, must keep ``url`` and emit
+        ``n_bytes_in``) swaps the dictionary-extraction kernel for another
+        per-page map — the --main-content boilerplate strip uses this, so
+        BOTH extraction modes share one checkpoint/lineage contract.
+        Lineage error/entry counters degrade gracefully when the transform
+        has no such columns."""
         from html_parser_spark.spark.pipeline import extract_pages
 
         done = self.done_urls()
         todo = pages
         if done is not None:
             todo = pages.join(done, on="url", how="left_anti")
-        results = extract_pages(
-            todo, num_partitions=num_partitions, max_html_bytes=max_html_bytes
-        )
+        if transform is None:
+            results = extract_pages(
+                todo, num_partitions=num_partitions, max_html_bytes=max_html_bytes
+            )
+        else:
+            results = transform(todo)
         chunk = self._next_chunk()
         out = results.withColumn("part_id", F.spark_partition_id())
         chunk_path = os.path.join(self.data_dir, f"chunk={chunk}")
         out.write.mode("overwrite").parquet(chunk_path)
 
         written = self.spark.read.parquet(chunk_path)
+        has_err = "error" in written.columns
         lineage = written.groupBy("part_id").agg(
             F.lit(chunk).alias("chunk"),
             F.count("*").alias("url_count"),
             F.sum("n_bytes_in").alias("byte_count"),
-            F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("error_count"),
+            (
+                F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0))
+                if has_err else F.lit(0).cast("long")
+            ).alias("error_count"),
         )
         lineage.write.mode("append").parquet(self.lineage_dir)
+        n_entries = (
+            F.sum("n_entries") if "n_entries" in written.columns
+            else F.lit(0).cast("long")
+        )
         row = written.agg(
-            F.count("*").alias("docs"), F.sum("n_entries").alias("entries")
+            F.count("*").alias("docs"), n_entries.alias("entries")
         ).collect()[0]
         return {"chunk": chunk, "docs": row["docs"], "entries": row["entries"] or 0}
 

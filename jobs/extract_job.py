@@ -100,16 +100,28 @@ def main(argv=None):
         from html_parser_spark.ops.boilerplate import extract_main_content
         from html_parser_spark.spark.pipeline import salted_repartition
 
-        src = pages.select("url", "warc_ts", "html", "lang")
-        if args.partitions:
-            src = salted_repartition(src, args.partitions)
-        out = extract_main_content(src).select(
-            "url", "warc_ts", "lang", "main_text", "n_blocks",
-            "n_content_blocks", "content_chars", "boiler_chars",
-            F.length("html").alias("n_bytes_in"),
-        )
-        out.write.mode("overwrite").parquet(os.path.join(args.output, "data"))
-        out = spark.read.parquet(os.path.join(args.output, "data"))
+        def _mc_transform(src):
+            src = src.select("url", "warc_ts", "html", "lang")
+            if args.partitions:
+                src = salted_repartition(src, args.partitions)
+            return extract_main_content(src).select(
+                "url", "warc_ts", "lang", "main_text", "n_blocks",
+                "n_content_blocks", "content_chars", "boiler_chars",
+                F.length("html").alias("n_bytes_in"),
+            )
+
+        if args.resume:
+            from html_parser_spark.spark.checkpoint import CheckpointedExtraction
+
+            # same chunked checkpoint + per-partition lineage contract as
+            # the dictionary path, with the boilerplate kernel swapped in
+            ck = CheckpointedExtraction(spark, args.output)
+            ck.run(pages, transform=_mc_transform)
+            out = ck.results()
+        else:
+            out = _mc_transform(pages)
+            out.write.mode("overwrite").parquet(os.path.join(args.output, "data"))
+            out = spark.read.parquet(os.path.join(args.output, "data"))
         row = out.agg(
             F.count("*").alias("docs"),
             F.sum("n_content_blocks").alias("content_blocks"),

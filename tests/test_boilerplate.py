@@ -141,3 +141,32 @@ def test_extract_job_main_content_mode(spark, tmp_path, capsys):
     res = spark.read.parquet(f"{out}/data")
     assert res.columns[:4] == ["url", "warc_ts", "lang", "main_text"]
     assert res.where("main_text IS NOT NULL AND length(main_text) > 0").count() > 0
+
+
+def test_main_content_resume_idempotent(spark, tmp_path, capsys):
+    """--main-content --resume: second run parses only the remainder, and
+    re-running on a complete table is a no-op (MERGE-analog semantics)."""
+    import json
+
+    import jobs.extract_job as ej
+
+    out = str(tmp_path / "mc")
+    ej.main([
+        "--pages", "synth:/root/testdata/sf0.001", "--output", out,
+        "--partitions", "4", "--limit", "20", "--main-content", "--resume",
+    ])
+    first = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert first["docs"] == 20
+    # same input again: anti-join leaves nothing to do
+    ej.main([
+        "--pages", "synth:/root/testdata/sf0.001", "--output", out,
+        "--partitions", "4", "--limit", "20", "--main-content", "--resume",
+    ])
+    second = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert second["docs"] == 20  # total rows in the table, not re-parsed
+    res = spark.read.parquet(f"{out}/data")
+    assert res.count() == 20
+    assert res.select("url").distinct().count() == 20
+    # lineage recorded per partition per chunk
+    lin = spark.read.parquet(f"{out}/_lineage")
+    assert lin.where("chunk = 0").agg({"url_count": "sum"}).collect()[0][0] == 20
