@@ -920,6 +920,20 @@ def q_robots(spark, sf_dir):
     return out.select("doc_id", "url", F.col("allowed").cast("int").alias("allowed"))
 
 
+def q_crawl_budget(spark, sf_dir, checkpoint=True):
+    """Frontier prioritization (ops/linkgraph.crawl_budget): a 1M-page
+    crawl budget split proportionally to the fixed-point PageRank of the
+    q_pagerank graph — quota = (B * rank) div Σrank, integer-exact, so the
+    oracle (the unrolled PageRank CTE plus one budget projection)
+    hash-matches exactly."""
+    from html_parser_spark.ops.linkgraph import crawl_budget
+
+    ranks = q_pagerank(spark, sf_dir, checkpoint=checkpoint)
+    return crawl_budget(ranks, 1_000_000).select(
+        "node", "rank", F.col("quota").cast("long").alias("quota")
+    )
+
+
 def q_gopher(spark, sf_dir):
     """Gopher quality-rule battery (ops/gopher.py) over documents: all seven
     published rules with INTEGER-arithmetic thresholds (10*symbols <=
@@ -1324,6 +1338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sitemap": q_sitemap,
         "q_crawl_diff": q_crawl_diff,
         "q_text_clean": q_text_clean,
+        "q_crawl_budget": q_crawl_budget,
         "q_extract_entries": q_extract_entries,
         "q_migrate_v21": q_migrate_v21,
     }
@@ -2391,6 +2406,14 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "q_pagerank": _pagerank_oracle_sql(3),
+        "q_crawl_budget": (
+            "SELECT node, rank,\n"
+            "       CAST((1000000 * rank) // (SELECT SUM(rank) FROM (\n"
+            + _pagerank_oracle_sql(3)
+            + "\n) t) AS BIGINT) AS quota\nFROM (\n"
+            + _pagerank_oracle_sql(3)
+            + "\n) pr"
+        ),
         "q_text_clean": """
             -- expected = DuckDB's OWN nfc_normalize (utf8proc) over the
             -- invisible-stripped text: ZWSP + soft hyphen vanish (2

@@ -160,9 +160,29 @@ def extract_main_content(
     html_col: str = "html",
     min_text_len: int = 25,
     max_link_density: float = 0.35,
+    max_html_bytes: int | None = None,
 ) -> DataFrame:
     """pages → pages + (main_text, n_blocks, n_content_blocks,
-    content_chars, boiler_chars).  ONE Arrow-batched UDF stage, no shuffle."""
+    content_chars, boiler_chars).  ONE Arrow-batched UDF stage, no shuffle.
+
+    ``max_html_bytes``: same crawl-scale guard as the extraction kernel —
+    oversized pages route AROUND the UDF via filter+union (``when()``
+    would still evaluate the UDF for every row in the Arrow batch) and
+    come back with NULL main_text and zeroed counters."""
+    if max_html_bytes:
+        small = extract_main_content(
+            pages.filter(F.length(html_col) <= max_html_bytes),
+            html_col, min_text_len, max_link_density,
+        )
+        big = pages.filter(F.length(html_col) > max_html_bytes).select(
+            *[c for c in pages.columns],
+            F.lit(None).cast("string").alias("main_text"),
+            F.lit(0).alias("n_blocks"),
+            F.lit(0).alias("n_content_blocks"),
+            F.lit(0).cast("long").alias("content_chars"),
+            F.lit(0).cast("long").alias("boiler_chars"),
+        )
+        return small.unionByName(big)
     udf = main_content_udf(min_text_len, max_link_density)
     out = pages.withColumn("_mc", udf(F.col(html_col)))
     return out.select(

@@ -115,3 +115,24 @@ def pagerank_fixed_point(
         if checkpoint:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks
+
+
+def crawl_budget(
+    ranks: DataFrame, budget_pages: int, rank_col: str = "rank"
+) -> DataFrame:
+    """Allocate a crawl budget proportionally to PageRank — the frontier
+    prioritization step of the crawl loop.
+
+    ``quota = (budget * rank) div total_rank`` in pure integer arithmetic
+    (same fixed-point discipline as the rank itself: exact, order-free,
+    oracle-matchable).  Total rank rides a 1-row broadcast; quotas sum to
+    at most ``budget_pages`` (floor losses stay with the crawler)."""
+    total = ranks.agg(
+        F.sum(rank_col).cast("long").alias("_total_rank")
+    )
+    return ranks.crossJoin(F.broadcast(total)).select(
+        *[c for c in ranks.columns],
+        F.expr(f"({budget_pages} * {rank_col}) div _total_rank")
+        .cast("long")
+        .alias("quota"),
+    )

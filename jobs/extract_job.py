@@ -104,7 +104,9 @@ def main(argv=None):
             src = src.select("url", "warc_ts", "html", "lang")
             if args.partitions:
                 src = salted_repartition(src, args.partitions)
-            return extract_main_content(src).select(
+            return extract_main_content(
+                src, max_html_bytes=args.max_html_bytes or None
+            ).select(
                 "url", "warc_ts", "lang", "main_text", "n_blocks",
                 "n_content_blocks", "content_chars", "boiler_chars",
                 F.length("html").alias("n_bytes_in"),

@@ -170,3 +170,15 @@ def test_main_content_resume_idempotent(spark, tmp_path, capsys):
     # lineage recorded per partition per chunk
     lin = spark.read.parquet(f"{out}/_lineage")
     assert lin.where("chunk = 0").agg({"url_count": "sum"}).collect()[0][0] == 20
+
+
+def test_oversized_guard_routes_around_udf(spark):
+    from html_parser_spark.ops.boilerplate import extract_main_content
+
+    big = b"<p>" + b"x" * 5000 + b"</p>"
+    rows = [(1, _page(f"<p>{LONG}</p>").decode().encode()), (2, big)]
+    df = spark.createDataFrame(rows, ["doc_id", "html"])
+    out = extract_main_content(df, max_html_bytes=1000)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert got[1]["main_text"] == LONG.strip()
+    assert got[2]["main_text"] is None and got[2]["n_blocks"] == 0

@@ -187,3 +187,19 @@ def test_anchor_text_stats_aggregation(spark):
     assert t["n_anchors"] == 3 and t["n_src_hosts"] == 2
     assert t["anchor_texts"] == ["aa", "zz"]  # distinct + sorted
     assert got["https://u.com/"]["n_anchors"] == 1
+
+
+def test_crawl_budget_allocation(spark):
+    from html_parser_spark.ops.linkgraph import crawl_budget
+
+    ranks = spark.createDataFrame(
+        [("a", 600), ("b", 300), ("c", 100)], ["node", "rank"]
+    )
+    got = {r["node"]: r["quota"] for r in crawl_budget(ranks, 1000).collect()}
+    assert got == {"a": 600, "b": 300, "c": 100}
+    # floor losses: quotas never exceed the budget
+    ranks2 = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("c", 1)], ["node", "rank"]
+    )
+    got2 = {r["node"]: r["quota"] for r in crawl_budget(ranks2, 100).collect()}
+    assert sum(got2.values()) <= 100 and set(got2.values()) == {33}
