@@ -920,6 +920,29 @@ def q_robots(spark, sf_dir):
     return out.select("doc_id", "url", F.col("allowed").cast("int").alias("allowed"))
 
 
+def q_graph_stats(spark, sf_dir):
+    """Link-farm signals (ops/linkgraph.host_graph_stats) over the
+    q_pagerank synthetic graph: degrees, weights, and reciprocity per
+    host — all integer aggregates, replicated exactly in the oracle."""
+    from html_parser_spark.ops.linkgraph import host_graph_stats
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    e1 = docs.select((d % 40).alias("s"), ((d * 7 + 3) % 40).alias("t"))
+    e2 = docs.select((d % 40).alias("s"), ((d * 13 + 11) % 45).alias("t"))
+    edges = (
+        e1.union(e2)
+        .filter(F.col("s") != F.col("t"))
+        .select(
+            F.concat(F.lit("h"), F.col("s").cast("string")).alias("src"),
+            F.concat(F.lit("h"), F.col("t").cast("string")).alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("long").alias("weight"))
+    )
+    return host_graph_stats(edges)
+
+
 def q_crawl_budget(spark, sf_dir, checkpoint=True):
     """Frontier prioritization (ops/linkgraph.crawl_budget): a 1M-page
     crawl budget split proportionally to the fixed-point PageRank of the
@@ -1339,6 +1362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_crawl_diff": q_crawl_diff,
         "q_text_clean": q_text_clean,
         "q_crawl_budget": q_crawl_budget,
+        "q_graph_stats": q_graph_stats,
         "q_extract_entries": q_extract_entries,
         "q_migrate_v21": q_migrate_v21,
     }
@@ -2406,6 +2430,41 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "q_pagerank": _pagerank_oracle_sql(3),
+        "q_graph_stats": """
+            -- same synthetic edges as q_pagerank; degrees/weights are
+            -- integer aggregates, reciprocity is a self-join on the
+            -- reversed pair — replicated verbatim
+            WITH e0 AS (
+              SELECT doc_id % 40 AS s, (doc_id * 7 + 3) % 40 AS t
+              FROM documents
+              UNION ALL
+              SELECT doc_id % 40, (doc_id * 13 + 11) % 45 FROM documents
+            ), edges AS (
+              SELECT 'h' || s AS src, 'h' || t AS dst,
+                     CAST(COUNT(*) AS BIGINT) AS weight
+              FROM e0 WHERE s <> t GROUP BY 1, 2
+            ), o AS (
+              SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS out_degree,
+                     CAST(SUM(weight) AS BIGINT) AS out_weight
+              FROM edges GROUP BY src
+            ), i AS (
+              SELECT dst AS node, CAST(COUNT(*) AS BIGINT) AS in_degree,
+                     CAST(SUM(weight) AS BIGINT) AS in_weight
+              FROM edges GROUP BY dst
+            ), r AS (
+              SELECT e.src AS node, CAST(COUNT(*) AS BIGINT) AS reciprocal_edges
+              FROM edges e JOIN edges x ON x.src = e.dst AND x.dst = e.src
+              GROUP BY e.src
+            )
+            SELECT COALESCE(o.node, i.node) AS node,
+                   COALESCE(out_degree, 0) AS out_degree,
+                   COALESCE(in_degree, 0) AS in_degree,
+                   COALESCE(out_weight, 0) AS out_weight,
+                   COALESCE(in_weight, 0) AS in_weight,
+                   COALESCE(reciprocal_edges, 0) AS reciprocal_edges
+            FROM o FULL OUTER JOIN i ON o.node = i.node
+            LEFT JOIN r ON r.node = COALESCE(o.node, i.node)
+        """,
         "q_crawl_budget": (
             "SELECT node, rank,\n"
             "       CAST((1000000 * rank) // (SELECT SUM(rank) FROM (\n"

@@ -136,3 +136,44 @@ def crawl_budget(
         .cast("long")
         .alias("quota"),
     )
+
+
+def host_graph_stats(edges: DataFrame) -> DataFrame:
+    """Per-host degree/weight profile + reciprocity — the cheap link-farm
+    signals: farms show high out-degree with near-zero in-degree, rings
+    show reciprocity ≈ out-degree.
+
+    Scale shape: two partial-agg groupBys over the (small) edge table plus
+    ONE self equi-join on the reversed key pair for reciprocity; nothing
+    touches the pages table.  Returns (node, out_degree, in_degree,
+    out_weight, in_weight, reciprocal_edges)."""
+    out_stats = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("long").alias("out_degree"),
+        F.sum("weight").cast("long").alias("out_weight"),
+    )
+    in_stats = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.count("*").cast("long").alias("in_degree"),
+        F.sum("weight").cast("long").alias("in_weight"),
+    )
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    recip = (
+        edges.select("src", "dst")
+        .join(rev, ["src", "dst"])
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").cast("long").alias("reciprocal_edges"))
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        out_stats.join(in_stats, "node", "full_outer")
+        .join(recip, "node", "left")
+        .select(
+            "node",
+            F.coalesce("out_degree", zero).alias("out_degree"),
+            F.coalesce("in_degree", zero).alias("in_degree"),
+            F.coalesce("out_weight", zero).alias("out_weight"),
+            F.coalesce("in_weight", zero).alias("in_weight"),
+            F.coalesce("reciprocal_edges", zero).alias("reciprocal_edges"),
+        )
+    )

@@ -203,3 +203,21 @@ def test_crawl_budget_allocation(spark):
     )
     got2 = {r["node"]: r["quota"] for r in crawl_budget(ranks2, 100).collect()}
     assert sum(got2.values()) <= 100 and set(got2.values()) == {33}
+
+
+def test_host_graph_stats(spark):
+    from html_parser_spark.ops.linkgraph import host_graph_stats
+
+    e = _edges(spark, [
+        ("a", "b", 3), ("b", "a", 1),      # reciprocal pair
+        ("a", "c", 2),                      # one-way
+        ("d", "a", 5),                      # c has no outlinks; d no inlinks
+    ])
+    got = {r["node"]: r for r in host_graph_stats(e).collect()}
+    a = got["a"]
+    assert (a["out_degree"], a["in_degree"]) == (2, 2)
+    assert (a["out_weight"], a["in_weight"]) == (5, 6)
+    assert a["reciprocal_edges"] == 1
+    assert got["c"]["out_degree"] == 0 and got["c"]["in_degree"] == 1
+    assert got["d"]["reciprocal_edges"] == 0
+    assert got["b"]["reciprocal_edges"] == 1

@@ -239,6 +239,16 @@ def main():
         )
     )
 
+    p = plan_of(entrymod.q_graph_stats(spark, sf_dir))
+    checks.append(
+        (
+            "q_graph_stats — partial-agg degree rollups + reversed-pair equi-join",
+            p,
+            ["HashAggregate", "Join"],
+            ["CartesianProduct", "BroadcastNestedLoopJoin", "Window"],
+        )
+    )
+
     p = plan_of(entrymod.q_text_clean(spark, sf_dir))
     checks.append(
         (
