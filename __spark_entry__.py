@@ -816,6 +816,40 @@ def q_sitemap(spark, sf_dir):
     return sitemap_urls(maps).select("host", "kind", "loc")
 
 
+def q_feed(spark, sf_dir):
+    """RSS/Atom feed parsing (ops/web.feed_entries): even doc_ids publish a
+    two-item RSS feed (second item missing pubDate), odd ones a one-entry
+    Atom feed (href-attribute link).  Closed-form EXPECTED rows in the
+    oracle — checks block cutting, field extraction, both link styles, and
+    NULL for absent fields."""
+    from html_parser_spark.ops.web import feed_entries
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    rss = F.concat(
+        F.lit("<rss><channel><title>chan</title><item><title>Item "), did,
+        F.lit(" a</title><link>https://f"), did,
+        F.lit(".example/1</link><pubDate>D"), did,
+        F.lit("</pubDate></item>\n<item><title>Item "), did,
+        F.lit(" b</title><link>https://f"), did,
+        F.lit(".example/2</link></item></channel></rss>"),
+    )
+    atom = F.concat(
+        F.lit('<feed><title>t</title><entry><title>Entry '), did,
+        F.lit('</title><link rel="alternate" href="https://f'), did,
+        F.lit('.example/e"/><published>P'), did,
+        F.lit("</published></entry></feed>"),
+    )
+    feeds = docs.select(
+        "doc_id",
+        F.concat(F.lit("f"), did, F.lit(".example")).alias("host"),
+        F.when(F.col("doc_id") % 2 == 0, rss).otherwise(atom).alias("body"),
+    )
+    return feed_entries(feeds).select(
+        "doc_id", "host", "kind", "title", "link", "published"
+    )
+
+
 def q_crawl_diff(spark, sf_dir):
     """Incremental-crawl diff (ops/web.crawl_diff): synthetic old/new
     snapshots with disjoint url tails (every 10th doc is new-only, every
@@ -1363,6 +1397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_clean": q_text_clean,
         "q_crawl_budget": q_crawl_budget,
         "q_graph_stats": q_graph_stats,
+        "q_feed": q_feed,
         "q_extract_entries": q_extract_entries,
         "q_migrate_v21": q_migrate_v21,
     }
@@ -2500,6 +2535,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT 's' || (doc_id % 10), 'url',
                    'https://s' || (doc_id % 10) || '.com/q' || doc_id
             FROM documents WHERE doc_id % 20 <> 0
+        """,
+        "q_feed": """
+            -- closed-form expected feed entries: two RSS items for even
+            -- doc_ids (second lacks pubDate -> NULL), one Atom entry for
+            -- odd; channel/feed titles never leak
+            SELECT doc_id, 'f' || doc_id || '.example' AS host,
+                   'rss' AS kind, 'Item ' || doc_id || ' a' AS title,
+                   'https://f' || doc_id || '.example/1' AS link,
+                   'D' || doc_id AS published
+            FROM documents WHERE doc_id % 2 = 0
+            UNION ALL
+            SELECT doc_id, 'f' || doc_id || '.example', 'rss',
+                   'Item ' || doc_id || ' b',
+                   'https://f' || doc_id || '.example/2', NULL
+            FROM documents WHERE doc_id % 2 = 0
+            UNION ALL
+            SELECT doc_id, 'f' || doc_id || '.example', 'atom',
+                   'Entry ' || doc_id,
+                   'https://f' || doc_id || '.example/e', 'P' || doc_id
+            FROM documents WHERE doc_id % 2 = 1
         """,
         "q_crawl_diff": """
             -- closed-form EXPECTED diff: %10==0 added, %10==1 removed,

@@ -245,3 +245,52 @@ def crawl_diff(
         .otherwise(F.lit("changed"))
     )
     return j.select("url", status.alias("status"), "old_md5", "new_md5")
+
+
+def feed_entries(feeds: DataFrame, body_col: str = "body") -> DataFrame:
+    """(host, RSS/Atom xml body) → one row per feed entry with (kind,
+    title, link, published).
+
+    RSS ``<item>`` blocks and Atom ``<entry>`` blocks are cut with one
+    dotall regexp each, then fields come out of the block: RSS links are
+    element text, Atom links are ``<link href="...">`` attributes — both
+    handled.  Pure ``regexp_extract_all`` + ``transform`` + narrow
+    explode; JVM-side end-to-end, zero shuffle, same scale shape as
+    ``sitemap_urls``.  Empty fields surface as NULL, not ''."""
+    body = F.col(body_col)
+
+    def _fields(block, kind: str):
+        link = (
+            F.regexp_extract(block, r"<link[^>]*href=\"([^\"]*)\"", 1)
+            if kind == "atom"
+            else F.regexp_extract(block, r"<link>\s*([^<]*?)\s*</link>", 1)
+        )
+        return F.struct(
+            F.lit(kind).alias("kind"),
+            F.nullif(
+                F.regexp_extract(block, r"<title>\s*([^<]*?)\s*</title>", 1),
+                F.lit(""),
+            ).alias("title"),
+            F.nullif(link, F.lit("")).alias("link"),
+            F.nullif(
+                F.regexp_extract(
+                    block,
+                    r"<(?:pubDate|published)>\s*([^<]*?)\s*</(?:pubDate|published)>",
+                    1,
+                ),
+                F.lit(""),
+            ).alias("published"),
+        )
+
+    rss = F.transform(
+        F.regexp_extract_all(body, F.lit(r"(?s)<item>(.*?)</item>"), F.lit(1)),
+        lambda b: _fields(b, "rss"),
+    )
+    atom = F.transform(
+        F.regexp_extract_all(body, F.lit(r"(?s)<entry>(.*?)</entry>"), F.lit(1)),
+        lambda b: _fields(b, "atom"),
+    )
+    other = [c for c in feeds.columns if c != body_col]
+    return feeds.select(
+        *other, F.explode(F.concat(rss, atom)).alias("_e")
+    ).select(*other, "_e.kind", "_e.title", "_e.link", "_e.published")

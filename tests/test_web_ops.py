@@ -199,3 +199,36 @@ def test_crawl_diff_statuses(spark):
     # md5 computed below the join: the exchange must not carry html bytes
     plan = crawl_diff(old, new)._jdf.queryExecution().executedPlan().toString()
     assert "html" not in plan.split("SortMergeJoin")[-1][:400] or "md5" in plan
+
+
+def test_feed_entries_rss_and_atom(spark):
+    from html_parser_spark.ops.web import feed_entries
+
+    rss = (
+        "<rss><channel><title>chan</title>"
+        "<item><title>First</title><link>https://a.com/1</link>"
+        "<pubDate>Mon, 01 Jan 2024 00:00:00 GMT</pubDate></item>"
+        "<item><title>Second</title><link> https://a.com/2 </link></item>"
+        "</channel></rss>"
+    )
+    atom = (
+        '<feed xmlns="http://www.w3.org/2005/Atom">'
+        "<title>feedtitle</title>"
+        '<entry><title>Entry</title><link rel="alternate" href="https://b.com/e"/>'
+        "<published>2024-01-02T00:00:00Z</published></entry>"
+        "<entry><title></title></entry>"
+        "</feed>"
+    )
+    df = spark.createDataFrame([("a.com", rss), ("b.com", atom)], ["host", "body"])
+    rows = feed_entries(df).collect()
+    got = {(r["host"], r["kind"], r["title"]): (r["link"], r["published"]) for r in rows}
+    assert got[("a.com", "rss", "First")] == (
+        "https://a.com/1", "Mon, 01 Jan 2024 00:00:00 GMT")
+    assert got[("a.com", "rss", "Second")] == ("https://a.com/2", None)
+    assert got[("b.com", "atom", "Entry")] == (
+        "https://b.com/e", "2024-01-02T00:00:00Z")
+    assert got[("b.com", "atom", None)] == (None, None)
+    # channel/feed-level <title> must NOT leak into entries
+    assert ("a.com", "rss", "chan") not in got
+    plan = feed_entries(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan

@@ -270,6 +270,16 @@ def main():
         )
     )
 
+    p = plan_of(entrymod.q_feed(spark, sf_dir))
+    checks.append(
+        (
+            "q_feed — RSS/Atom block-cut + field extraction, zero Python/shuffle",
+            p,
+            ["Generate"],
+            ["Exchange", "ArrowEvalPython", "BatchEvalPython", "Join"],
+        )
+    )
+
     p = plan_of(entrymod.q_sitemap(spark, sf_dir))
     checks.append(
         (
