@@ -816,6 +816,41 @@ def q_sitemap(spark, sf_dir):
     return sitemap_urls(maps).select("host", "kind", "loc")
 
 
+def q_jsonld(spark, sf_dir):
+    """schema.org JSON-LD extraction (ops/html_meta.jsonld_blocks): every
+    doc carries one valid block (@type cycling Article/Product/Event), odd
+    docs also a malformed second block whose fields must come back NULL
+    while the raw text still surfaces."""
+    from html_parser_spark.ops.html_meta import jsonld_blocks
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    stype = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("Article"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("Product"))
+        .otherwise(F.lit("Event"))
+    )
+    html = F.concat(
+        F.lit('<html><head><script type="application/ld+json">'
+              '{"@context": "https://schema.org", "@type": "'),
+        stype,
+        F.lit('", "name": "doc '), did, F.lit('"}</script></head><body>'),
+        F.when(
+            F.col("doc_id") % 2 == 1,
+            F.lit('<script type="application/ld+json">{broken</script>'),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    pages = docs.select(
+        "doc_id", F.encode(html, "UTF-8").alias("html")
+    )
+    return jsonld_blocks(pages).select(
+        "doc_id",
+        F.col("block_idx").cast("int").alias("block_idx"),
+        "raw_json", "schema_type", "schema_context",
+    )
+
+
 def q_feed(spark, sf_dir):
     """RSS/Atom feed parsing (ops/web.feed_entries): even doc_ids publish a
     two-item RSS feed (second item missing pubDate), odd ones a one-entry
@@ -1398,6 +1433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_crawl_budget": q_crawl_budget,
         "q_graph_stats": q_graph_stats,
         "q_feed": q_feed,
+        "q_jsonld": q_jsonld,
         "q_extract_entries": q_extract_entries,
         "q_migrate_v21": q_migrate_v21,
     }
@@ -2535,6 +2571,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT 's' || (doc_id % 10), 'url',
                    'https://s' || (doc_id % 10) || '.com/q' || doc_id
             FROM documents WHERE doc_id % 20 <> 0
+        """,
+        "q_jsonld": """
+            -- closed-form expected blocks: block 0 is the valid object
+            -- with the cycling @type, block 1 (odd docs) is the malformed
+            -- '{broken' whose parsed fields are NULL
+            SELECT doc_id, CAST(0 AS INTEGER) AS block_idx,
+                   '{"@context": "https://schema.org", "@type": "'
+                     || CASE doc_id % 3 WHEN 0 THEN 'Article'
+                        WHEN 1 THEN 'Product' ELSE 'Event' END
+                     || '", "name": "doc ' || doc_id || '"}' AS raw_json,
+                   CASE doc_id % 3 WHEN 0 THEN 'Article'
+                        WHEN 1 THEN 'Product' ELSE 'Event' END AS schema_type,
+                   'https://schema.org' AS schema_context
+            FROM documents
+            UNION ALL
+            SELECT doc_id, CAST(1 AS INTEGER), '{broken', NULL, NULL
+            FROM documents WHERE doc_id % 2 = 1
         """,
         "q_feed": """
             -- closed-form expected feed entries: two RSS items for even

@@ -206,3 +206,34 @@ def anchor_text_stats(
         F.countDistinct("src_host").cast("long").alias("n_src_hosts"),
         F.sort_array(F.collect_set("text")).alias("anchor_texts"),
     )
+
+
+def jsonld_blocks(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Extract schema.org JSON-LD: one row per
+    ``<script type="application/ld+json">`` block with the raw JSON plus
+    the parsed @type and @context.
+
+    JVM-side end-to-end: the block cut is one dotall regexp over the
+    decoded html, @type/@context come out with ``get_json_object`` (Spark's
+    built-in JSON path engine — no Python, malformed JSON yields NULL
+    fields but the raw block still surfaces for downstream repair)."""
+    body = F.decode(F.col(html_col), "UTF-8")
+    blocks = F.regexp_extract_all(
+        body,
+        F.lit(
+            r'(?is)<script[^>]*type="application/ld\+json"[^>]*>(.*?)</script>'
+        ),
+        F.lit(1),
+    )
+    other = [c for c in pages.columns if c != html_col]
+    ex = pages.select(*other, F.posexplode(blocks).alias("block_idx", "raw_json"))
+    raw = F.trim(F.col("raw_json"))
+    return ex.select(
+        *other,
+        "block_idx",
+        raw.alias("raw_json"),
+        F.get_json_object(raw, "$['@type']").alias("schema_type"),
+        F.get_json_object(raw, "$['@context']").alias("schema_context"),
+    )

@@ -242,3 +242,50 @@ def dedup_stream(
     return pages.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
         [key]
     )
+
+
+def crawl_diff_stream(
+    spark: SparkSession,
+    new_dir: str,
+    old_snapshot,
+    output_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 16,
+):
+    """Incremental crawl diff as a STREAM-STATIC join: new captures arrive
+    as a file stream, the previous snapshot is a static DataFrame, and each
+    micro-batch emits (url, status, old_md5, new_md5) for the arriving urls
+    — status ∈ added | changed | unchanged, matching the batch
+    ``ops/web.crawl_diff`` row-for-row on those urls.
+
+    'removed' is structurally absent: a stream can observe an arriving url,
+    never a missing one — compute removals batch-side once the crawl window
+    closes.  Digests are computed below the join on both sides, so the
+    stream-static hash join moves 32-byte md5s, not page bodies."""
+    from pyspark.sql import functions as F
+
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(new_dir)
+    )
+    new_side = stream.select(
+        "url", F.md5(F.col("html")).alias("new_md5")
+    )
+    old_side = old_snapshot.select(
+        F.col("url"), F.md5(F.col("html")).alias("old_md5")
+    )
+    j = new_side.join(old_side, "url", "left")
+    status = (
+        F.when(F.col("old_md5").isNull(), F.lit("added"))
+        .when(F.col("old_md5") == F.col("new_md5"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    out = j.select("url", status.alias("status"), "old_md5", "new_md5")
+    return (
+        out.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )

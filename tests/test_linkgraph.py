@@ -221,3 +221,25 @@ def test_host_graph_stats(spark):
     assert got["c"]["out_degree"] == 0 and got["c"]["in_degree"] == 1
     assert got["d"]["reciprocal_edges"] == 0
     assert got["b"]["reciprocal_edges"] == 1
+
+
+def test_jsonld_blocks(spark):
+    from html_parser_spark.ops.html_meta import jsonld_blocks
+
+    html = (
+        b'<html><head><script type="application/ld+json">'
+        b'{"@context": "https://schema.org", "@type": "Article", "name": "x"}'
+        b'</script></head><body>'
+        b'<SCRIPT TYPE="application/ld+json"> not json at all </SCRIPT>'
+        b'<script>var notLd = 1;</script></body></html>'
+    )
+    df = spark.createDataFrame([("https://a.com/p", html)], ["url", "html"])
+    rows = jsonld_blocks(df).collect()
+    assert len(rows) == 2  # the plain <script> is not ld+json
+    first, second = sorted(rows, key=lambda r: r["block_idx"])
+    assert first["schema_type"] == "Article"
+    assert first["schema_context"] == "https://schema.org"
+    assert second["schema_type"] is None  # malformed json -> NULL fields
+    assert "not json" in second["raw_json"]
+    plan = jsonld_blocks(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Exchange" not in plan

@@ -254,3 +254,49 @@ def test_stream_main_content_matches_batch(spark, tmp_path):
     }
     assert len(streamed) == 25
     assert streamed == batch
+
+
+def test_crawl_diff_stream_matches_batch(spark, tmp_path):
+    """Stream-static diff == batch crawl_diff on the arriving urls."""
+    from html_parser_spark.data.pages import synthetic_pages_df
+    from html_parser_spark.ops.web import crawl_diff
+    from html_parser_spark.streaming.stream import crawl_diff_stream
+
+    base = synthetic_pages_df(spark, SF_DIR, paragraphs=1).limit(30)
+    old_dir = str(tmp_path / "old")
+    new_dir = str(tmp_path / "new")
+    # old: first 20 pages; new: pages 10-29 with 5 bodies edited
+    rows = base.select("url", "warc_ts", "html", "text", "lang").collect()
+    rows = sorted(rows, key=lambda r: r["url"])
+    old_rows = rows[:20]
+    new_rows = []
+    for i, r in enumerate(rows[10:30]):
+        body = bytes(r["html"])
+        if i % 4 == 0:
+            body = body + b"<!-- edited -->"
+        new_rows.append((r["url"], r["warc_ts"], body, r["text"], r["lang"]))
+    spark.createDataFrame(old_rows, base.schema).write.parquet(old_dir)
+    spark.createDataFrame(new_rows, base.schema).write.parquet(new_dir)
+
+    old_df = spark.read.parquet(old_dir)
+    q = crawl_diff_stream(
+        spark, new_dir, old_df,
+        str(tmp_path / "out"), str(tmp_path / "ck"), max_files_per_trigger=64,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {
+        r["url"]: (r["status"], r["old_md5"], r["new_md5"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    batch = {
+        r["url"]: (r["status"], r["old_md5"], r["new_md5"])
+        for r in crawl_diff(old_df, spark.read.parquet(new_dir)).collect()
+        if r["status"] != "removed"
+    }
+    assert len(streamed) == 20
+    assert streamed == batch
+    assert sum(1 for s in streamed.values() if s[0] == "added") == 10
+    assert sum(1 for s in streamed.values() if s[0] == "changed") >= 2
