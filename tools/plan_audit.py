@@ -270,6 +270,16 @@ def main():
         )
     )
 
+    p = plan_of(entrymod.q_jsonld(spark, sf_dir))
+    checks.append(
+        (
+            "q_jsonld — ld+json block cut + get_json_object, zero Python/shuffle",
+            p,
+            ["Generate"],
+            ["Exchange", "ArrowEvalPython", "BatchEvalPython", "Join"],
+        )
+    )
+
     p = plan_of(entrymod.q_feed(spark, sf_dir))
     checks.append(
         (
