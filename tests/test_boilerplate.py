@@ -182,3 +182,28 @@ def test_oversized_guard_routes_around_udf(spark):
     got = {r["doc_id"]: r for r in out.collect()}
     assert got[1]["main_text"] == LONG.strip()
     assert got[2]["main_text"] is None and got[2]["n_blocks"] == 0
+
+
+def test_fixture_corpus_golden_aggregate():
+    """Pin the extractor's behavior on all 372 REAL reference pages: any
+    change to kill rules, block segmentation, or classification moves
+    these exact totals (the per-page DOM parse is already golden-pinned;
+    this pins the boilerplate layer on top of it)."""
+    import json
+    import os
+
+    from tests.conftest import REFERENCE
+
+    idx = json.load(
+        open(os.path.join(os.path.dirname(__file__), "golden", "fixture_index.json"))
+    )
+    tot_blocks = tot_content = tot_chars = 0
+    for rel in sorted(idx):
+        with open(os.path.join(REFERENCE, rel), "rb") as f:
+            r = extract_main(f.read())
+        tot_blocks += r["n_blocks"]
+        tot_content += r["n_content_blocks"]
+        tot_chars += r["content_chars"]
+    assert (len(idx), tot_blocks, tot_content, tot_chars) == (
+        372, 71655, 65391, 6116698
+    )
