@@ -816,6 +816,25 @@ def q_sitemap(spark, sf_dir):
     return sitemap_urls(maps).select("host", "kind", "loc")
 
 
+def q_familiarity(spark, sf_dir):
+    """Trigram-familiarity perplexity proxy (ops/text.trigram_familiarity):
+    per doc, how many of its distinct trigrams its own language profile
+    knows — integer counts, the profile CTE shared verbatim with the
+    q_lang_id oracle."""
+    from html_parser_spark.ops.text import (
+        train_lang_profiles,
+        trigram_familiarity,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+    prof = train_lang_profiles(docs, top_n=50)
+    return trigram_familiarity(docs, prof).select(
+        "doc_id", "lang",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_known").cast("long").alias("n_known"),
+    )
+
+
 def q_jsonld(spark, sf_dir):
     """schema.org JSON-LD extraction (ops/html_meta.jsonld_blocks): every
     doc carries one valid block (@type cycling Article/Product/Event), odd
@@ -1434,6 +1453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_graph_stats": q_graph_stats,
         "q_feed": q_feed,
         "q_jsonld": q_jsonld,
+        "q_familiarity": q_familiarity,
         "q_extract_entries": q_extract_entries,
         "q_migrate_v21": q_migrate_v21,
     }
@@ -2571,6 +2591,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT 's' || (doc_id % 10), 'url',
                    'https://s' || (doc_id % 10) || '.com/q' || doc_id
             FROM documents WHERE doc_id % 20 <> 0
+        """,
+        "q_familiarity": """
+            -- same trigram + top-50 profile CTEs as q_lang_id, then two
+            -- integer rollups: distinct grams per doc, grams the doc's OWN
+            -- language profile knows
+            WITH t AS (
+              SELECT doc_id, lang,
+                     lower(regexp_replace(text, '\\s+', ' ', 'g')) AS tx
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id, lang,
+                     unnest(list_distinct(list_transform(
+                       range(1, greatest(len(tx) - 2, 0) + 1),
+                       i -> substr(tx, CAST(i AS INT), 3)))) AS gram
+              FROM t
+            ),
+            counts AS (SELECT lang, gram, count(*) AS c FROM g GROUP BY 1, 2),
+            prof AS (
+              SELECT lang, gram FROM (
+                SELECT lang, gram,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY c DESC, gram) AS rank
+                FROM counts)
+              WHERE rank <= 50
+            ),
+            tot AS (
+              SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_grams
+              FROM g GROUP BY 1, 2
+            ),
+            kn AS (
+              SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_known
+              FROM g JOIN prof p ON p.lang = g.lang AND p.gram = g.gram
+              GROUP BY 1
+            )
+            SELECT tot.doc_id, tot.lang, tot.n_grams,
+                   CAST(COALESCE(kn.n_known, 0) AS BIGINT) AS n_known
+            FROM tot LEFT JOIN kn ON kn.doc_id = tot.doc_id
         """,
         "q_jsonld": """
             -- closed-form expected blocks: block 0 is the valid object

@@ -358,3 +358,41 @@ def clean_web_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "*",
         count_invisibles(F.col(text_col)).alias("n_invisibles"),
     ).withColumn("clean_text", nfc_normalize_udf()(stripped))
+
+
+def trigram_familiarity(
+    docs: DataFrame,
+    profiles: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    n: int = 3,
+) -> DataFrame:
+    """Perplexity proxy without a language model: how much of a document's
+    distinct character-n-gram set appears in its OWN language's profile
+    (``train_lang_profiles`` output).  Low familiarity flags domain shift,
+    encoding mojibake, or wrong-language tags — the docs a KenLM filter
+    would catch, in pure integer counts (exact, oracle-matchable).
+
+    Scale shape: explode bounded by text length; the profile is tiny
+    (languages × top_n) and BROADCAST into the semi-join; one map-side
+    partial-agg groupBy per side.  Returns (doc_id, lang, n_grams,
+    n_known)."""
+    dg = docs.select(
+        "doc_id",
+        F.col(lang_col).alias("lang"),
+        F.explode(char_ngrams(F.col(text_col), n)).alias("gram"),
+    )
+    totals = dg.groupBy("doc_id", "lang").agg(
+        F.count("*").cast("long").alias("n_grams")
+    )
+    known = (
+        dg.join(F.broadcast(profiles.select("lang", "gram")), ["lang", "gram"])
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_known"))
+    )
+    return totals.join(known, "doc_id", "left").select(
+        "doc_id",
+        "lang",
+        "n_grams",
+        F.coalesce("n_known", F.lit(0)).cast("long").alias("n_known"),
+    )

@@ -205,3 +205,25 @@ def test_clean_web_text_nfc(spark):
     assert r["clean_text"] == "café zerowidth"  # composed é, ZWSP gone
     plan = clean_web_text(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and plan.count("ArrowEvalPython") == 1
+
+
+def test_trigram_familiarity(spark):
+    from html_parser_spark.ops.text import (
+        train_lang_profiles,
+        trigram_familiarity,
+    )
+
+    rows = [
+        (1, "the cat sat on the mat with the hat", "en"),
+        (2, "the cat sat on the mat", "en"),
+        (3, "zzqx vvkw jjpy qqrr zzqx", "en"),  # alien trigrams, same tag
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    prof = train_lang_profiles(docs, top_n=30)
+    fam = {r["doc_id"]: r for r in trigram_familiarity(docs, prof).collect()}
+    # in-distribution docs: most grams known; the alien doc: far fewer
+    r1, r3 = fam[1], fam[3]
+    assert r1["n_known"] > 0 and r1["n_grams"] >= r1["n_known"]
+    assert r3["n_known"] / r3["n_grams"] < r1["n_known"] / r1["n_grams"]
+    plan = trigram_familiarity(docs, prof)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

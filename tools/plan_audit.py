@@ -270,6 +270,16 @@ def main():
         )
     )
 
+    p = plan_of(entrymod.q_familiarity(spark, sf_dir))
+    checks.append(
+        (
+            "q_familiarity — tiny profile BROADCAST into the gram join",
+            p,
+            ["BroadcastHashJoin", "HashAggregate"],
+            ["CartesianProduct", "ArrowEvalPython", "BatchEvalPython"],
+        )
+    )
+
     p = plan_of(entrymod.q_jsonld(spark, sf_dir))
     checks.append(
         (
