@@ -730,6 +730,25 @@ def q_html_meta(spark, sf_dir):
     )
 
 
+def _synth_host_edges(docs):
+    """The shared synthetic 45-host graph for q_pagerank / q_crawl_budget /
+    q_graph_stats — ONE builder so the three queries and their oracles
+    (which replicate the same e0/edges CTEs) can never desynchronize."""
+    d = F.col("doc_id")
+    e1 = docs.select((d % 40).alias("s"), ((d * 7 + 3) % 40).alias("t"))
+    e2 = docs.select((d % 40).alias("s"), ((d * 13 + 11) % 45).alias("t"))
+    return (
+        e1.union(e2)
+        .filter(F.col("s") != F.col("t"))
+        .select(
+            F.concat(F.lit("h"), F.col("s").cast("string")).alias("src"),
+            F.concat(F.lit("h"), F.col("t").cast("string")).alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("long").alias("weight"))
+    )
+
+
 def q_pagerank(spark, sf_dir, checkpoint=True):
     """Host-level PageRank in fixed-point integer arithmetic
     (ops/linkgraph.py): a synthetic 45-host graph derived from doc_id
@@ -743,19 +762,7 @@ def q_pagerank(spark, sf_dir, checkpoint=True):
     docs = _docs(spark, sf_dir)
     from html_parser_spark.ops.linkgraph import pagerank_fixed_point
 
-    d = F.col("doc_id")
-    e1 = docs.select((d % 40).alias("s"), ((d * 7 + 3) % 40).alias("t"))
-    e2 = docs.select((d % 40).alias("s"), ((d * 13 + 11) % 45).alias("t"))
-    edges = (
-        e1.union(e2)
-        .filter(F.col("s") != F.col("t"))
-        .select(
-            F.concat(F.lit("h"), F.col("s").cast("string")).alias("src"),
-            F.concat(F.lit("h"), F.col("t").cast("string")).alias("dst"),
-        )
-        .groupBy("src", "dst")
-        .agg(F.count("*").cast("long").alias("weight"))
-    )
+    edges = _synth_host_edges(docs)
     return pagerank_fixed_point(edges, iterations=3, checkpoint=checkpoint).select(
         "node", F.col("rank").cast("long").alias("rank")
     )
@@ -1015,19 +1022,7 @@ def q_graph_stats(spark, sf_dir):
     from html_parser_spark.ops.linkgraph import host_graph_stats
 
     docs = _docs(spark, sf_dir)
-    d = F.col("doc_id")
-    e1 = docs.select((d % 40).alias("s"), ((d * 7 + 3) % 40).alias("t"))
-    e2 = docs.select((d % 40).alias("s"), ((d * 13 + 11) % 45).alias("t"))
-    edges = (
-        e1.union(e2)
-        .filter(F.col("s") != F.col("t"))
-        .select(
-            F.concat(F.lit("h"), F.col("s").cast("string")).alias("src"),
-            F.concat(F.lit("h"), F.col("t").cast("string")).alias("dst"),
-        )
-        .groupBy("src", "dst")
-        .agg(F.count("*").cast("long").alias("weight"))
-    )
+    edges = _synth_host_edges(docs)
     return host_graph_stats(edges)
 
 

@@ -64,15 +64,42 @@ MAIN_CONTENT_TYPE = T.StructType(
 def _is_killed(node) -> bool:
     if node.tag in KILL_TAGS:
         return True
-    name = node.attrs.get("class", "") + " " + node.attrs.get("id", "")
+    # valueless attributes ('<div class>') parse as None — never concat raw
+    name = (node.attrs.get("class") or "") + " " + (node.attrs.get("id") or "")
     return bool(name.strip()) and KILL_NAME_RE.search(name) is not None
 
 
-def _has_block_descendant(node) -> bool:
-    for el in node.iter_elements():
-        if el.tag in BLOCK_TAGS or el.tag == "div":
-            return True
-    return False
+def _div_has_block(node, memo: dict) -> bool:
+    """Does any element DESCENDANT of ``node`` have a block/div tag?
+
+    Memoized bottom-up over the whole subtree in one pass: the naive
+    per-div rescan is quadratic in div-nesting depth, and a deeply-nested
+    divitis page (well under the byte guard, which bounds size but not
+    nesting) would stall a task for hours."""
+    hit = memo.get(id(node))
+    if hit is not None:
+        return hit
+    order = []
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        if id(n) in memo:
+            continue
+        order.append(n)
+        for c in n.children:
+            if c.kind == "element":
+                stack.append(c)
+    # reversed preorder processes children before parents
+    for n in reversed(order):
+        v = False
+        for c in n.children:
+            if c.kind == "element" and (
+                c.tag in BLOCK_TAGS or c.tag == "div" or memo[id(c)]
+            ):
+                v = True
+                break
+        memo[id(n)] = v
+    return memo[id(node)]
 
 
 def _link_chars(node) -> int:
@@ -91,6 +118,7 @@ def _collect_blocks(root) -> list[tuple[str, str, int]]:
     """Doc-order (tag, collapsed_text, link_chars) leaf blocks, with killed
     subtrees removed and container elements descended through."""
     blocks: list[tuple[str, str, int]] = []
+    memo: dict = {}
     stack = list(reversed(root.children))
     while stack:
         n = stack.pop()
@@ -98,7 +126,7 @@ def _collect_blocks(root) -> list[tuple[str, str, int]]:
             continue
         if _is_killed(n):
             continue
-        if n.tag in BLOCK_TAGS or (n.tag == "div" and not _has_block_descendant(n)):
+        if n.tag in BLOCK_TAGS or (n.tag == "div" and not _div_has_block(n, memo)):
             text = _WS_RE.sub(" ", n.text_content).strip()
             if text:
                 blocks.append((n.tag, text, _link_chars(n)))
@@ -170,8 +198,14 @@ def extract_main_content(
     would still evaluate the UDF for every row in the Arrow batch) and
     come back with NULL main_text and zeroed counters."""
     if max_html_bytes:
+        # NULL-html rows belong on the kernel side (it maps them to empty
+        # pages) — a bare length<=max predicate would drop them from BOTH
+        # branches (NULL comparison), silently losing rows
         small = extract_main_content(
-            pages.filter(F.length(html_col) <= max_html_bytes),
+            pages.filter(
+                F.col(html_col).isNull()
+                | (F.length(html_col) <= max_html_bytes)
+            ),
             html_col, min_text_len, max_link_density,
         )
         big = pages.filter(F.length(html_col) > max_html_bytes).select(

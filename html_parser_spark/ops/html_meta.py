@@ -42,6 +42,21 @@ def _collapse(s: str) -> str:
     return " ".join(s.split())
 
 
+def _crawlable_href(href: str | None, base_url: str) -> str | None:
+    """Shared anchor edge rule for BOTH kernels (extract_meta and
+    extract_page_anchors): strip, skip non-crawlable schemes and
+    fragment-only links, absolutize, cut the fragment, require http(s).
+    One implementation so the link graph and anchor stats can never
+    drift apart on what counts as an edge."""
+    href = (href or "").strip()
+    if not href or href.startswith("#") or href.lower().startswith(_SKIP_SCHEMES):
+        return None
+    absu = urljoin(base_url or "", href).split("#", 1)[0]
+    if not absu or urlparse(absu).scheme not in ("http", "https"):
+        return None
+    return absu
+
+
 def extract_meta(html_bytes: bytes, base_url: str) -> dict:
     """One page → metadata dict (the UDF kernel; unit-testable alone)."""
     from html_parser_spark.dom import decode_html_bytes, parse_html
@@ -85,15 +100,8 @@ def extract_meta(html_bytes: bytes, base_url: str) -> dict:
             if not href:
                 continue
             n_anchors += 1
-            low = href.lower()
-            if low.startswith(_SKIP_SCHEMES) or href.startswith("#"):
-                continue
-            absu = urljoin(base_url or "", href)
-            absu = absu.split("#", 1)[0]  # fragment is not an edge
-            if not absu or absu in seen:
-                continue
-            p = urlparse(absu)
-            if p.scheme not in ("http", "https"):
+            absu = _crawlable_href(href, base_url)
+            if absu is None or absu in seen:
                 continue
             seen.add(absu)
             outlinks.append(absu)
@@ -153,11 +161,8 @@ def extract_page_anchors(html_bytes: bytes, base_url: str) -> list[dict]:
     for el in root.iter_elements():
         if el.tag != "a":
             continue
-        href = (el.attrs.get("href") or "").strip()
-        if not href or href.startswith("#") or href.lower().startswith(_SKIP_SCHEMES):
-            continue
-        absu = urljoin(base_url or "", href).split("#", 1)[0]
-        if not absu or urlparse(absu).scheme not in ("http", "https"):
+        absu = _crawlable_href(el.attrs.get("href"), base_url)
+        if absu is None:
             continue
         out.append({"href": absu, "text": _collapse(el.text_content)})
     return out
@@ -218,8 +223,14 @@ def jsonld_blocks(
     JVM-side end-to-end: the block cut is one dotall regexp over the
     decoded html, @type/@context come out with ``get_json_object`` (Spark's
     built-in JSON path engine — no Python, malformed JSON yields NULL
-    fields but the raw block still surfaces for downstream repair)."""
-    body = F.decode(F.col(html_col), "UTF-8")
+    fields but the raw block still surfaces for downstream repair).
+
+    Decode is ``cast(binary as string)``, NOT ``decode(..., 'UTF-8')``:
+    under Spark 4's default ANSI mode ``decode`` throws
+    MALFORMED_CHARACTER_CODING on the first non-UTF-8 page (e.g. a
+    windows-1251 crawl page) and kills the whole job; the cast wraps the
+    bytes leniently and the regexp still finds ASCII script tags."""
+    body = F.col(html_col).cast("string")
     blocks = F.regexp_extract_all(
         body,
         F.lit(

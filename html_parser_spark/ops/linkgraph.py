@@ -123,18 +123,23 @@ def crawl_budget(
     """Allocate a crawl budget proportionally to PageRank — the frontier
     prioritization step of the crawl loop.
 
-    ``quota = (budget * rank) div total_rank`` in pure integer arithmetic
+    ``quota = (budget * rank) div total_rank`` in exact integer arithmetic
     (same fixed-point discipline as the rank itself: exact, order-free,
-    oracle-matchable).  Total rank rides a 1-row broadcast; quotas sum to
-    at most ``budget_pages`` (floor losses stay with the crawler)."""
+    oracle-matchable).  The product runs in DECIMAL(38,0): rank is bounded
+    only by total mass 10^12, so an int64 product overflows — and under
+    Spark 4's default ANSI mode ABORTS the job — once the page budget
+    reaches ~10^7, an ordinary crawl size.  Total rank rides a 1-row
+    broadcast; quotas sum to at most ``budget_pages`` (floor losses stay
+    with the crawler)."""
     total = ranks.agg(
         F.sum(rank_col).cast("long").alias("_total_rank")
     )
     return ranks.crossJoin(F.broadcast(total)).select(
         *[c for c in ranks.columns],
-        F.expr(f"({budget_pages} * {rank_col}) div _total_rank")
-        .cast("long")
-        .alias("quota"),
+        F.expr(
+            f"CAST((CAST({budget_pages} AS DECIMAL(38,0)) * {rank_col})"
+            f" div _total_rank AS BIGINT)"
+        ).alias("quota"),
     )
 
 

@@ -238,13 +238,24 @@ def crawl_diff(
         F.col(url_col).alias("url"), F.md5(F.col(content_col)).alias("new_md5")
     )
     j = o.join(n, "url", "full_outer")
-    status = (
-        F.when(F.col("old_md5").isNull(), F.lit("added"))
-        .when(F.col("new_md5").isNull(), F.lit("removed"))
-        .when(F.col("old_md5") == F.col("new_md5"), F.lit("unchanged"))
+    return j.select(
+        "url", diff_status("old_md5", "new_md5").alias("status"),
+        "old_md5", "new_md5",
+    )
+
+
+def diff_status(old_md5="old_md5", new_md5="new_md5"):
+    """The crawl-diff status expression, shared by the batch full-outer
+    join and the stream-static twin (where the 'removed' branch can never
+    fire — a stream observes arrivals, not absences): one definition so
+    batch and stream can't drift."""
+    o, nw = F.col(old_md5), F.col(new_md5)
+    return (
+        F.when(o.isNull(), F.lit("added"))
+        .when(nw.isNull(), F.lit("removed"))
+        .when(o == nw, F.lit("unchanged"))
         .otherwise(F.lit("changed"))
     )
-    return j.select("url", status.alias("status"), "old_md5", "new_md5")
 
 
 def feed_entries(feeds: DataFrame, body_col: str = "body") -> DataFrame:

@@ -275,13 +275,12 @@ def crawl_diff_stream(
     old_side = old_snapshot.select(
         F.col("url"), F.md5(F.col("html")).alias("old_md5")
     )
+    from html_parser_spark.ops.web import diff_status
+
     j = new_side.join(old_side, "url", "left")
-    status = (
-        F.when(F.col("old_md5").isNull(), F.lit("added"))
-        .when(F.col("old_md5") == F.col("new_md5"), F.lit("unchanged"))
-        .otherwise(F.lit("changed"))
+    out = j.select(
+        "url", diff_status().alias("status"), "old_md5", "new_md5"
     )
-    out = j.select("url", status.alias("status"), "old_md5", "new_md5")
     return (
         out.writeStream.format("parquet")
         .option("path", output_dir)

@@ -243,3 +243,29 @@ def test_jsonld_blocks(spark):
     assert "not json" in second["raw_json"]
     plan = jsonld_blocks(df)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "Exchange" not in plan
+
+
+def test_crawl_budget_large_budget_no_overflow(spark):
+    """budget*rank exceeds int64 — the decimal product must stay exact
+    (ANSI mode would otherwise abort with ARITHMETIC_OVERFLOW)."""
+    from html_parser_spark.ops.linkgraph import crawl_budget
+
+    ranks = spark.createDataFrame(
+        [("big", 900_000_000_000), ("small", 100_000_000_000)],
+        ["node", "rank"],
+    )
+    got = {r["node"]: r["quota"]
+           for r in crawl_budget(ranks, 100_000_000).collect()}
+    assert got == {"big": 90_000_000, "small": 10_000_000}
+
+
+def test_jsonld_survives_non_utf8_page(spark):
+    """A windows-1251-ish page must not abort the job (ANSI decode would)."""
+    from html_parser_spark.ops.html_meta import jsonld_blocks
+
+    bad = bytes([0xCF, 0xE0, 0xE1, 0xEE]) + (
+        b'<script type="application/ld+json">{"@type": "Article"}</script>'
+    )
+    df = spark.createDataFrame([("u", bad)], ["url", "html"])
+    rows = jsonld_blocks(df).collect()
+    assert len(rows) == 1 and rows[0]["schema_type"] == "Article"
