@@ -259,7 +259,9 @@ def q_dedup_survivors(spark, sf_dir):
     keep every doc that was never in a dup cluster."""
     from html_parser_spark.ops.corpus import dedup_survivors
 
-    return dedup_survivors(_docs(spark, sf_dir), num_hashes=4, bands=2)
+    return dedup_survivors(_docs(spark, sf_dir), num_hashes=4, bands=2).select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )
 
 
 def q_chunk_plan(spark, sf_dir):

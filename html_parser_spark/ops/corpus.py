@@ -195,10 +195,13 @@ def chunk_plan(
     d = docs.select(
         "doc_id", F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks")
     )
-    n = F.size("_toks").cast("long")
+    # size(NULL) = -1, and sequence(0, -1) is a DESCENDING range in Spark
+    # (the 1..0 trap registered_domain_psl also guards) — a NULL-text doc
+    # must yield ZERO chunks, not two phantom rows
+    n = F.greatest(F.size("_toks").cast("long"), F.lit(0).cast("long"))
     nchunks = F.ceil(n / F.lit(chunk_tokens))
     ct = F.lit(chunk_tokens)
-    chunks = F.transform(
+    chunks = F.when(nchunks <= 0, F.array()).otherwise(F.transform(
         F.sequence(F.lit(0).cast("long"), nchunks - 1),
         lambda i: F.struct(
             F.least(ct.cast("long"), n - i * ct).alias("n_chunk_tokens"),
@@ -206,7 +209,7 @@ def chunk_plan(
                 " ", F.slice(F.col("_toks"), (i * ct + 1).cast("int"), chunk_tokens)
             ).alias("chunk_text"),
         ),
-    )
+    ))
     d = d.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "ch"))
     return d.select(
         "doc_id",
@@ -229,9 +232,9 @@ def dedup_survivors(
     pair/cluster queries are the audit trail, this is the output table."""
     comp = near_dup_components(docs, text_col, num_hashes, bands, shingle_k)
     losers = comp.where(F.col("is_canonical") == 0).select("doc_id")
-    return docs.join(losers, "doc_id", "left_anti").select(
-        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
-    )
+    # schema-preserving: every input column survives (text included — this
+    # IS the shipped corpus); callers project if they want a slim audit view
+    return docs.join(losers, "doc_id", "left_anti")
 
 
 def span_dedup(

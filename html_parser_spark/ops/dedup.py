@@ -295,6 +295,7 @@ def components_from_pairs(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     labels = (
         sym.select("v").distinct().withColumn("lbl", F.col("v")).localCheckpoint()
     )
+    converged = False
     for _ in range(max_iters):
         nbr = (
             sym.join(labels.select(F.col("v").alias("u"), "lbl"), "u")
@@ -306,6 +307,7 @@ def components_from_pairs(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             nbr.join(labels, "v").filter(F.col("nlbl") < F.col("lbl")).count()
         )
         if improved == 0:
+            converged = True
             nbr.unpersist()
             break
         labels = (
@@ -320,6 +322,15 @@ def components_from_pairs(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         )
         nbr.unpersist()
     sym.unpersist()
+    if not converged:
+        # a partially-propagated labeling silently splits one real cluster
+        # into several — dedup would then keep near-duplicate "canonicals".
+        # Wrong-but-plausible output is worse than failing loudly.
+        raise RuntimeError(
+            f"components_from_pairs did not converge in {max_iters} "
+            f"iterations (component diameter exceeds max_iters); "
+            f"re-run with a larger max_iters"
+        )
     w = Window.partitionBy("cluster_id")
     return labels.select(
         F.col("v").alias("doc_id"), F.col("lbl").alias("cluster_id")

@@ -82,9 +82,13 @@ def host_blocklist_filter(
     if isinstance(blocked_hosts, DataFrame):
         bl = blocked_hosts.select(F.col("host").alias("_blocked_host"))
     else:
+        hosts = list(blocked_hosts)
+        if not hosts:
+            return df  # empty blocklist blocks nothing (and createDataFrame
+            #            cannot infer a schema from an empty dataset)
         spark = df.sparkSession
         bl = spark.createDataFrame(
-            [(h,) for h in blocked_hosts], ["_blocked_host"]
+            [(h,) for h in hosts], "_blocked_host string"
         )
     return df.join(
         F.broadcast(bl),

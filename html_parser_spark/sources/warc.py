@@ -136,9 +136,18 @@ def write_warc_files(pages: DataFrame, out_dir: str, compress: bool = True) -> i
     on POSIX; on an object store use the committer-staged path instead).
     Returns the number of part files written.  Concatenating the parts in
     any order is itself a valid WARC archive.
+
+    The rename+count run driver-side: ``out_dir`` must be storage the
+    driver and executors share (local mode, NFS, FUSE-mounted object
+    store); on executor-local disks use a distributed committer instead.
     """
     os.makedirs(out_dir, exist_ok=True)
     suffix = ".warc.gz" if compress else ".warc"
+    # clear stale parts: a re-run with fewer partitions would otherwise
+    # leave old part files mixed into the archive (and inflate the count)
+    for name in os.listdir(out_dir):
+        if name.endswith((suffix, f"{suffix}.tmp")) or ".tmp-" in name:
+            os.remove(os.path.join(out_dir, name))
     records = to_warc_records(pages, compress=compress)
 
     def _write(rows) -> None:
@@ -251,6 +260,22 @@ def iter_warc_records(blob: bytes) -> Iterator[tuple[dict, bytes]]:
         yield headers, payload
 
 
+def _parse_warc_date(ts: str | None):
+    """WARC-Date → datetime, lenient: second precision (WARC 1.0), then
+    fractional seconds (legal in WARC 1.1 and present in wild archives),
+    then None — ONE unparseable record must not kill a 100k-file ingest
+    task (the url/body still land; only the timestamp is lost)."""
+    if not ts:
+        return None
+    try:
+        return datetime.strptime(ts, _PY_DATE_FMT)
+    except ValueError:
+        try:
+            return datetime.strptime(ts, "%Y-%m-%dT%H:%M:%S.%fZ")
+        except ValueError:
+            return None
+
+
 _HTTP_REQUEST_LINE = re.compile(rb"^[A-Z]+ \S+ HTTP/\d")
 
 
@@ -299,7 +324,7 @@ def _record_rows(path: str, blob: bytes, rows: dict, with_offsets: bool) -> None
             status, ctype, body = None, headers.get("content-type"), payload
         ts = headers.get("warc-date")
         rows["url"].append(headers.get("warc-target-uri"))
-        rows["warc_ts"].append(datetime.strptime(ts, _PY_DATE_FMT) if ts else None)
+        rows["warc_ts"].append(_parse_warc_date(ts))
         rows["html"].append(body)
         rows["content_type"].append(ctype)
         rows["http_status"].append(status)

@@ -140,6 +140,9 @@ _SESSION_STATE = T.StructType(
 )
 
 _SESSION_GAP_S = 1800
+# dormant (idx-preserving) state rows are removed this long after their
+# session closed, bounding the state store on high user cardinality
+_DORMANT_TTL_S = 7 * 24 * 3600
 
 
 def _dec_round2(acc) -> float:
@@ -150,21 +153,39 @@ def _dec_round2(acc) -> float:
 
 def _session_fn(key, pdfs, state: GroupState):
     """Event-time sessionization, replay-equivalent to the batch twin
-    (``__spark_entry__.q_sessionize``): per user, events ordered by
-    (ts, event_id); a gap > 1800s (whole-second epochs) closes the session.
-    Values accumulate through DECIMAL(18,6) with HALF_UP rounding — the
-    batch query's exact arithmetic, so stream and batch agree bit-for-bit
-    on the same events."""
+    (``__spark_entry__.q_sessionize``) for IN-ORDER delivery: per user,
+    events ordered by (ts, event_id); a gap > 1800s (whole-second epochs)
+    closes the session.  Values accumulate through DECIMAL(18,6) with
+    HALF_UP rounding — the batch query's exact arithmetic, so stream and
+    batch agree bit-for-bit on the same events replayed in order.
+
+    Out-of-order events WITHIN the watermark are accepted but cannot be
+    re-sorted into already-processed history (no incremental operator
+    can); they join the current session and last_sec never regresses, so
+    boundaries only ever differ from batch around genuinely late data."""
     from decimal import ROUND_HALF_UP, Decimal
 
     (user_id,) = key
     if state.hasTimedOut:
         idx, last_sec, n, vdec = state.get
+        if n == 0:
+            # dormant row hit its TTL: drop it.  Without this the state
+            # store grows monotonically with user cardinality (one inert
+            # row per user forever).  Trade-off: a user returning after
+            # the TTL restarts session numbering — bounded state wins.
+            state.remove()
+            return
         # close the open session but keep a DORMANT state row (n=0): the
         # session_idx counter must survive, or the user's next session would
-        # restart numbering at 1 and collide with earlier session keys.  No
-        # new timeout is set — the row is inert until the next event.
+        # restart numbering at 1 and collide with earlier session keys.  A
+        # TTL timeout schedules the dormant row's own removal (above).
         state.update((idx, last_sec, 0, "0"))
+        state.setTimeoutTimestamp(
+            max(
+                (last_sec + _DORMANT_TTL_S) * 1000,
+                state.getCurrentWatermarkMs() + 1,
+            )
+        )
         if n > 0:
             yield pd.DataFrame(
                 [{"user_id": user_id, "session_idx": idx, "n_events": n,
@@ -192,7 +213,10 @@ def _session_fn(key, pdfs, state: GroupState):
             # repr() == shortest round-trip == the JVM's Double.toString,
             # which is what Spark's double→decimal cast parses
             acc += Decimal(repr(float(val))).quantize(q6, rounding=ROUND_HALF_UP)
-            last_sec = sec
+            # never let the horizon REGRESS: a legitimately-late event
+            # (within watermark, earlier ts than state) must not pull
+            # last_sec backwards or the next gap check over-splits
+            last_sec = sec if last_sec is None else max(last_sec, sec)
     if last_sec is not None and n > 0:
         state.update((idx, int(last_sec), n, str(acc)))
         # close when the WATERMARK passes the gap horizon; never set a

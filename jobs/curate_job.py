@@ -134,6 +134,12 @@ def main(argv=None):
             .where(F.col("keep"))
             .select("doc_id", "text", "lang")
         )
+    # materialize the filter output BEFORE counting: the count is an
+    # action, and without the persist every later stage recomputes the
+    # full repetition/rule chain over the corpus a second time
+    from pyspark import StorageLevel as _SL0
+
+    docs = docs.persist(_SL0.MEMORY_AND_DISK)
     n_filtered = docs.count()
 
     # 1b. C4-style span dedup (optional): strip cross-document boilerplate
@@ -176,7 +182,7 @@ def main(argv=None):
         docs.select("doc_id", "text", "lang", "n_chars"),
         num_hashes=args.num_hashes,
         bands=args.bands,
-    ).join(docs.select("doc_id", "text"), "doc_id")
+    )
     n_dedup = docs.count()
 
     # 4. deterministic split + write, partitioned by split so training reads

@@ -145,9 +145,15 @@ def main(argv=None):
         )
 
         # prefer the transactional MERGE INTO path when an Iceberg runtime is
-        # on the classpath AND --output names a catalog table (cat.db.tbl);
-        # the parquet analog (same semantics, tested here) otherwise
-        if iceberg_available(spark) and "/" not in args.output:
+        # on the classpath AND --output names a DOT-QUALIFIED catalog table
+        # (cat.db.tbl / db.tbl) — a bare relative dir like "results" has no
+        # slash either and must stay on the parquet path even with jars
+        # present; the parquet analog (same semantics, tested here) otherwise
+        if (
+            iceberg_available(spark)
+            and "/" not in args.output
+            and "." in args.output
+        ):
             ck = IcebergCheckpointedExtraction(spark, args.output)
             metrics = ck.run(
                 pages,

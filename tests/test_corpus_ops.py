@@ -227,3 +227,39 @@ def test_trigram_familiarity(spark):
     assert r3["n_known"] / r3["n_grams"] < r1["n_known"] / r1["n_grams"]
     plan = trigram_familiarity(docs, prof)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_chunk_plan_null_text_yields_no_rows(spark):
+    """size(NULL)=-1 + sequence(0,-1) is a DESCENDING range: NULL-text docs
+    must produce zero chunks, not phantom rows."""
+    from html_parser_spark.ops.corpus import chunk_plan
+
+    df = spark.createDataFrame(
+        [(1, "one two three four"), (2, None)], "doc_id int, text string"
+    )
+    rows = chunk_plan(df, chunk_tokens=2).collect()
+    assert {r["doc_id"] for r in rows} == {1}
+    assert all(r["n_chunk_tokens"] > 0 for r in rows)
+
+
+def test_blocklist_empty_is_noop(spark):
+    from html_parser_spark.ops.web import host_blocklist_filter
+
+    df = spark.createDataFrame([("a.com",), ("b.com",)], ["host"])
+    assert host_blocklist_filter(df, []).count() == 2
+
+
+def test_components_raise_on_nonconvergence(spark):
+    """A chain longer than max_iters must fail loudly, not return split
+    clusters as if they were real."""
+    import pytest
+
+    from html_parser_spark.ops.dedup import components_from_pairs
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], ["doc_a", "doc_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        components_from_pairs(chain, max_iters=2)
+    ok = components_from_pairs(chain, max_iters=10)
+    assert ok.where("cluster_id = 0").count() == 7

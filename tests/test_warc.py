@@ -254,3 +254,27 @@ def test_request_record_http_split():
 
     info = b"software: test-crawler 1.0\r\nformat: WARC File Format 1.0"
     assert _split_http(info) == (None, None, info)
+
+
+def test_warc_date_fractional_seconds_and_garbage():
+    from datetime import datetime
+
+    from html_parser_spark.sources.warc import _parse_warc_date
+
+    assert _parse_warc_date("2023-06-01T12:00:00Z") == datetime(2023, 6, 1, 12)
+    frac = _parse_warc_date("2023-06-01T12:00:00.123Z")
+    assert frac is not None and frac.microsecond == 123000
+    assert _parse_warc_date("not-a-date") is None
+    assert _parse_warc_date(None) is None
+
+
+def test_write_warc_files_clears_stale_parts(spark, tmp_path):
+    from html_parser_spark.data.pages import synthetic_pages_df
+    from html_parser_spark.sources.warc import read_warc, write_warc_files
+
+    pages = synthetic_pages_df(spark, "/root/testdata/sf0.001", paragraphs=1).limit(12)
+    out = str(tmp_path / "w")
+    n1 = write_warc_files(pages.repartition(6), out)
+    n2 = write_warc_files(pages.limit(4).repartition(2), out)
+    assert n1 == 6 and n2 == 2  # stale parts from run 1 are gone
+    assert read_warc(spark, f"{out}/*.warc.gz").count() == 4
