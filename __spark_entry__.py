@@ -825,6 +825,39 @@ def q_sitemap(spark, sf_dir):
     return sitemap_urls(maps).select("host", "kind", "loc")
 
 
+def q_soft404(spark, sf_dir):
+    """Soft-404 detection (ops/web.soft_404_flags): five page families —
+    classic not-found, normal, parked-domain (short + phrase), a 404 title
+    on a full body, normal again.  Titles avoid doc_id digits so '404'
+    can't leak in; the corpus vocabulary contains no error phrase
+    (verified), so the oracle states every flag in closed form."""
+    from html_parser_spark.ops.web import soft_404_flags
+
+    docs = _docs(spark, sf_dir)
+    k = F.col("doc_id") % 5
+    title = (
+        F.when(k == 0, F.lit("Page not found"))
+        .when(k == 3, F.concat(F.lit("Error 404 - doc v"),
+                               (F.col("doc_id") % 7).cast("string")))
+        .otherwise(F.concat(F.lit("Doc v"), (F.col("doc_id") % 7).cast("string")))
+    )
+    body = (
+        F.when(k == 0, F.lit("The page was not found."))
+        .when(k == 2, F.concat(F.lit("domain for sale "),
+                               F.substring("text", 1, 100)))
+        .otherwise(F.col("text"))
+    )
+    pages = docs.select("doc_id", title.alias("title"), body.alias("main_text"))
+    out = soft_404_flags(pages)
+    return out.select(
+        "doc_id", "title",
+        F.col("title_404").cast("int").alias("title_404"),
+        F.col("body_404").cast("int").alias("body_404"),
+        F.col("short_body").cast("int").alias("short_body"),
+        F.col("soft404").cast("int").alias("soft404"),
+    )
+
+
 def q_familiarity(spark, sf_dir):
     """Trigram-familiarity perplexity proxy (ops/text.trigram_familiarity):
     per doc, how many of its distinct trigrams its own language profile
@@ -1451,6 +1484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_feed": q_feed,
         "q_jsonld": q_jsonld,
         "q_familiarity": q_familiarity,
+        "q_soft404": q_soft404,
         "q_extract_entries": q_extract_entries,
         "q_migrate_v21": q_migrate_v21,
     }
@@ -2588,6 +2622,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT 's' || (doc_id % 10), 'url',
                    'https://s' || (doc_id % 10) || '.com/q' || doc_id
             FROM documents WHERE doc_id % 20 <> 0
+        """,
+        "q_soft404": """
+            -- closed-form flags: k=0 not-found (title+body+short), k=3
+            -- title-404 on a full body (short only if the doc itself is),
+            -- k=2 parked phrase + short, k in (1,4) clean (corpus text
+            -- contains no error phrase — verified offline)
+            WITH f AS (
+              SELECT doc_id, doc_id % 5 AS k,
+                     CASE doc_id % 5
+                       WHEN 0 THEN 'Page not found'
+                       WHEN 3 THEN 'Error 404 - doc v' || (doc_id % 7)
+                       ELSE 'Doc v' || (doc_id % 7)
+                     END AS title,
+                     CASE WHEN doc_id % 5 = 0 THEN 23
+                          WHEN doc_id % 5 = 2
+                               THEN 16 + least(100, length(text))
+                          ELSE length(text) END AS blen
+              FROM documents
+            )
+            SELECT doc_id, title,
+                   CAST(CASE WHEN k IN (0, 3) THEN 1 ELSE 0 END
+                        AS INTEGER) AS title_404,
+                   CAST(CASE WHEN k IN (0, 2) THEN 1 ELSE 0 END
+                        AS INTEGER) AS body_404,
+                   CAST(CASE WHEN blen < 512 THEN 1 ELSE 0 END
+                        AS INTEGER) AS short_body,
+                   CAST(CASE WHEN k IN (0, 3) THEN 1
+                             WHEN k = 2 AND blen < 512 THEN 1
+                             ELSE 0 END AS INTEGER) AS soft404
+            FROM f
         """,
         "q_familiarity": """
             -- same trigram + top-50 profile CTEs as q_lang_id, then two

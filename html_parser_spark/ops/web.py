@@ -309,3 +309,46 @@ def feed_entries(feeds: DataFrame, body_col: str = "body") -> DataFrame:
     return feeds.select(
         *other, F.explode(F.concat(rss, atom)).alias("_e")
     ).select(*other, "_e.kind", "_e.title", "_e.link", "_e.published")
+
+
+# phrases that mark error/placeholder pages served with HTTP 200 — the
+# "soft 404" class a crawl must drop before training (match on the
+# lowercased title/text head; explicit list so the rule set is auditable)
+SOFT_404_PHRASES = (
+    "404", "page not found", "not found", "no longer available",
+    "does not exist", "access denied", "forbidden",
+    "under construction", "coming soon", "domain for sale",
+    "this domain is parked",
+)
+
+
+def soft_404_flags(
+    df: DataFrame,
+    title_col: str = "title",
+    text_col: str = "main_text",
+    short_chars: int = 512,
+) -> DataFrame:
+    """Flag error/placeholder pages served as HTTP 200.
+
+    Signals (all codegen, integer/boolean-exact): an error phrase in the
+    title, an error phrase in the first 2 KB of body text, and a
+    short-body marker (< ``short_chars``).  ``soft404`` = title hit, or
+    (body-head hit AND short) — a long article merely MENTIONING a 404
+    stays.  Pure per-row map, zero shuffle."""
+    title = F.lower(F.coalesce(F.col(title_col), F.lit("")))
+    head = F.lower(F.substring(F.coalesce(F.col(text_col), F.lit("")), 1, 2048))
+    t_hit = None
+    h_hit = None
+    for p in SOFT_404_PHRASES:
+        tc = title.contains(p)
+        hc = head.contains(p)
+        t_hit = tc if t_hit is None else (t_hit | tc)
+        h_hit = hc if h_hit is None else (h_hit | hc)
+    short = F.length(F.coalesce(F.col(text_col), F.lit(""))) < short_chars
+    return df.select(
+        "*",
+        t_hit.cast("int").alias("title_404"),
+        h_hit.cast("int").alias("body_404"),
+        short.cast("int").alias("short_body"),
+        (t_hit | (h_hit & short)).cast("int").alias("soft404"),
+    )

@@ -232,3 +232,25 @@ def test_feed_entries_rss_and_atom(spark):
     assert ("a.com", "rss", "chan") not in got
     plan = feed_entries(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_soft_404_flags(spark):
+    from html_parser_spark.ops.web import soft_404_flags
+
+    rows = [
+        (1, "404 Not Found", "The page you requested was not found."),
+        (2, "Great Article", "word " * 300 + " a 404 was mentioned here"),
+        (3, "Great Article", "short text that says page not found"),
+        (4, "Normal", "perfectly fine long content " * 40),
+        (5, None, None),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "title", "main_text"])
+    got = {r["doc_id"]: r for r in soft_404_flags(df).collect()}
+    assert got[1]["soft404"] == 1          # title hit
+    assert got[2]["soft404"] == 0          # long body mentioning 404: kept
+    assert got[2]["body_404"] == 1         # phrase IS in the head — length saves it
+    assert got[3]["soft404"] == 1          # short body + phrase
+    assert got[4]["soft404"] == 0
+    assert got[5]["soft404"] == 0 and got[5]["short_body"] == 1
+    plan = soft_404_flags(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan

@@ -270,6 +270,16 @@ def main():
         )
     )
 
+    p = plan_of(entrymod.q_soft404(spark, sf_dir))
+    checks.append(
+        (
+            "q_soft404 — pure codegen phrase flags, zero shuffle",
+            p,
+            ["Project"],
+            ["Exchange", "ArrowEvalPython", "BatchEvalPython", "Join"],
+        )
+    )
+
     p = plan_of(entrymod.q_familiarity(spark, sf_dir))
     checks.append(
         (
