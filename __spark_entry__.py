@@ -2624,10 +2624,12 @@ def oracle_sql() -> dict[str, str]:
             FROM documents WHERE doc_id % 20 <> 0
         """,
         "q_soft404": """
-            -- closed-form flags: k=0 not-found (title+body+short), k=3
-            -- title-404 on a full body (short only if the doc itself is),
-            -- k=2 parked phrase + short, k in (1,4) clean (corpus text
-            -- contains no error phrase — verified offline)
+            -- closed-form flags: k=0 not-found title+body, k=3 standalone
+            -- 404 in the title, k=2 parked phrase; soft404 requires the
+            -- SHORT body in every case (real soft-404s are short); k in
+            -- (1,4) clean (corpus text has no error phrase or digit —
+            -- verified offline); blen COALESCEd so a future NULL-text doc
+            -- matches the Spark-side coalesce('') instead of NULL-compare
             WITH f AS (
               SELECT doc_id, doc_id % 5 AS k,
                      CASE doc_id % 5
@@ -2637,8 +2639,8 @@ def oracle_sql() -> dict[str, str]:
                      END AS title,
                      CASE WHEN doc_id % 5 = 0 THEN 23
                           WHEN doc_id % 5 = 2
-                               THEN 16 + least(100, length(text))
-                          ELSE length(text) END AS blen
+                               THEN 16 + least(100, COALESCE(length(text), 0))
+                          ELSE COALESCE(length(text), 0) END AS blen
               FROM documents
             )
             SELECT doc_id, title,
@@ -2648,8 +2650,7 @@ def oracle_sql() -> dict[str, str]:
                         AS INTEGER) AS body_404,
                    CAST(CASE WHEN blen < 512 THEN 1 ELSE 0 END
                         AS INTEGER) AS short_body,
-                   CAST(CASE WHEN k IN (0, 3) THEN 1
-                             WHEN k = 2 AND blen < 512 THEN 1
+                   CAST(CASE WHEN k IN (0, 2, 3) AND blen < 512 THEN 1
                              ELSE 0 END AS INTEGER) AS soft404
             FROM f
         """,

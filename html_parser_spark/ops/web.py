@@ -315,11 +315,15 @@ def feed_entries(feeds: DataFrame, body_col: str = "body") -> DataFrame:
 # "soft 404" class a crawl must drop before training (match on the
 # lowercased title/text head; explicit list so the rule set is auditable)
 SOFT_404_PHRASES = (
-    "404", "page not found", "not found", "no longer available",
+    "not found", "no longer available",
     "does not exist", "access denied", "forbidden",
     "under construction", "coming soon", "domain for sale",
     "this domain is parked",
 )
+# '404' as a standalone number (not inside '1-404 of 900' or a phone
+# number); 'page not found' is subsumed by 'not found' and deliberately
+# NOT listed — the list claims to be auditable, so no dead entries
+_SOFT_404_NUM_RE = "(^|[^0-9])404([^0-9]|$)"
 
 
 def soft_404_flags(
@@ -330,25 +334,25 @@ def soft_404_flags(
 ) -> DataFrame:
     """Flag error/placeholder pages served as HTTP 200.
 
-    Signals (all codegen, integer/boolean-exact): an error phrase in the
-    title, an error phrase in the first 2 KB of body text, and a
-    short-body marker (< ``short_chars``).  ``soft404`` = title hit, or
-    (body-head hit AND short) — a long article merely MENTIONING a 404
-    stays.  Pure per-row map, zero shuffle."""
+    Signals (all codegen, integer/boolean-exact): an error phrase (or a
+    digit-bounded standalone 404) in the title, the same in the first
+    2 KB of body text, and a short-body marker (< ``short_chars``).
+    ``soft404`` = (title hit OR body-head hit) AND short — real soft-404
+    pages are short, so a long 'Forbidden City travel guide' article or a
+    long page merely MENTIONING a 404 both stay.  Pure per-row map, zero
+    shuffle."""
     title = F.lower(F.coalesce(F.col(title_col), F.lit("")))
     head = F.lower(F.substring(F.coalesce(F.col(text_col), F.lit("")), 1, 2048))
-    t_hit = None
-    h_hit = None
+    t_hit = title.rlike(_SOFT_404_NUM_RE)
+    h_hit = head.rlike(_SOFT_404_NUM_RE)
     for p in SOFT_404_PHRASES:
-        tc = title.contains(p)
-        hc = head.contains(p)
-        t_hit = tc if t_hit is None else (t_hit | tc)
-        h_hit = hc if h_hit is None else (h_hit | hc)
+        t_hit = t_hit | title.contains(p)
+        h_hit = h_hit | head.contains(p)
     short = F.length(F.coalesce(F.col(text_col), F.lit(""))) < short_chars
     return df.select(
         "*",
         t_hit.cast("int").alias("title_404"),
         h_hit.cast("int").alias("body_404"),
         short.cast("int").alias("short_body"),
-        (t_hit | (h_hit & short)).cast("int").alias("soft404"),
+        ((t_hit | h_hit) & short).cast("int").alias("soft404"),
     )

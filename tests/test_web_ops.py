@@ -243,14 +243,23 @@ def test_soft_404_flags(spark):
         (3, "Great Article", "short text that says page not found"),
         (4, "Normal", "perfectly fine long content " * 40),
         (5, None, None),
+        (6, "Forbidden City travel guide", "long travel content " * 60),
+        (7, "Results 1-4040 of 9000", "short listing page"),
+        (8, "Error 404", "word " * 300),  # 404 title on a FULL page: kept
     ]
     df = spark.createDataFrame(rows, ["doc_id", "title", "main_text"])
     got = {r["doc_id"]: r for r in soft_404_flags(df).collect()}
-    assert got[1]["soft404"] == 1          # title hit
+    assert got[1]["soft404"] == 1          # title hit + short
     assert got[2]["soft404"] == 0          # long body mentioning 404: kept
     assert got[2]["body_404"] == 1         # phrase IS in the head — length saves it
     assert got[3]["soft404"] == 1          # short body + phrase
     assert got[4]["soft404"] == 0
-    assert got[5]["soft404"] == 0 and got[5]["short_body"] == 1
+    # doc 5: both NULL -> short but no phrase hit -> kept
+    assert got[5]["short_body"] == 1
+    assert got[5]["title_404"] == 0 and got[5]["body_404"] == 0
+    assert got[5]["soft404"] == 0
+    assert got[6]["title_404"] == 1 and got[6]["soft404"] == 0  # long guide kept
+    assert got[7]["title_404"] == 0        # 4040 is not a standalone 404
+    assert got[8]["title_404"] == 1 and got[8]["soft404"] == 0  # full body kept
     plan = soft_404_flags(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
