@@ -269,3 +269,34 @@ def test_jsonld_survives_non_utf8_page(spark):
     df = spark.createDataFrame([("u", bad)], ["url", "html"])
     rows = jsonld_blocks(df).collect()
     assert len(rows) == 1 and rows[0]["schema_type"] == "Article"
+
+
+def test_graph_job_end_to_end(spark, tmp_path, capsys):
+    """jobs/graph_job.py: pages → edges → ranks(+stats, +quota) parquet."""
+    import json
+
+    import jobs.graph_job as gj
+
+    pages = [
+        ("https://a.com/1",
+         b'<html><body><a href="https://b.com/x">b</a>'
+         b'<a href="https://c.com/y">c</a></body></html>'),
+        ("https://b.com/2",
+         b'<html><body><a href="https://c.com/z">c</a></body></html>'),
+        ("https://c.com/3",
+         b'<html><body><a href="https://c.com/self">self</a></body></html>'),
+    ]
+    src = str(tmp_path / "pages")
+    spark.createDataFrame(pages, ["url", "html"]).write.parquet(src)
+    out = str(tmp_path / "graph")
+    gj.main(["--pages", src, "--output", out, "--partitions", "2",
+             "--budget-pages", "1000"])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["pages"] == 3 and stats["hosts"] == 3
+    assert stats["edges"] == 3 and stats["top_host"] == "c.com"
+    ranks = spark.read.parquet(f"{out}/ranks")
+    assert set(ranks.columns) >= {
+        "node", "rank", "out_degree", "in_degree", "quota"}
+    got = {r["node"]: r for r in ranks.collect()}
+    assert got["c.com"]["in_degree"] == 2 and got["c.com"]["out_degree"] == 0
+    assert sum(r["quota"] for r in got.values()) <= 1000
