@@ -825,6 +825,41 @@ def q_sitemap(spark, sf_dir):
     return sitemap_urls(maps).select("host", "kind", "loc")
 
 
+def q_image_headers(spark, sf_dir):
+    """Real media-identity parsing (ops/multimodal.parse_image_header):
+    three quarters of docs carry a PPM/PGM payload (ASCII header —
+    constructible identically in SQL), one quarter a non-image blob whose
+    fields must come back NULL.  PNG/GIF/BMP binary branches are
+    unit-tested; the oracle pins the PNM parser + the miss path."""
+    _ship_package(spark)
+    from html_parser_spark.ops.multimodal import image_headers
+
+    docs = _docs(spark, sf_dir)
+    k = F.col("doc_id") % 4
+    w = (F.col("doc_id") % 300 + 1).cast("string")
+    h = (F.col("doc_id") % 200 + 1).cast("string")
+    payload = (
+        F.when(k == 3, F.concat(F.lit("NOTIMG "), F.substring("text", 1, 40)))
+        .when(k == 2, F.concat(F.lit("P5\n# c\n"), w, F.lit(" "), h,
+                               F.lit("\n255\nGRAY")))
+        .otherwise(F.concat(F.lit("P6\n"), w, F.lit(" "), h,
+                            F.lit("\n255\nRGBDATA")))
+    )
+    media = docs.select(
+        "doc_id", F.encode(payload, "UTF-8").alias("payload")
+    )
+    out = image_headers(media)
+    # numeric fields coalesce to 0 for non-images: a NULL in an INTEGER
+    # oracle column makes pandas upcast the whole column to float64
+    # ('8.0' vs '8' under the driver's strict hash); format stays NULL
+    return out.select(
+        "doc_id", "format",
+        F.coalesce(F.col("width"), F.lit(0)).cast("int").alias("width"),
+        F.coalesce(F.col("height"), F.lit(0)).cast("int").alias("height"),
+        F.coalesce(F.col("bit_depth"), F.lit(0)).cast("int").alias("bit_depth"),
+    )
+
+
 def q_soft404(spark, sf_dir):
     """Soft-404 detection (ops/web.soft_404_flags): five page families —
     classic not-found, normal, parked-domain (short + phrase), a 404 title
@@ -1485,6 +1520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_jsonld": q_jsonld,
         "q_familiarity": q_familiarity,
         "q_soft404": q_soft404,
+        "q_image_headers": q_image_headers,
         "q_extract_entries": q_extract_entries,
         "q_migrate_v21": q_migrate_v21,
     }
@@ -2622,6 +2658,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT 's' || (doc_id % 10), 'url',
                    'https://s' || (doc_id % 10) || '.com/q' || doc_id
             FROM documents WHERE doc_id % 20 <> 0
+        """,
+        "q_image_headers": """
+            -- closed-form expected identity: P6 -> ppm, P5 -> pgm (both
+            -- 8-bit with the synthesized dims), the NOTIMG quarter -> NULLs
+            SELECT doc_id,
+                   CASE doc_id % 4 WHEN 3 THEN NULL
+                        WHEN 2 THEN 'pgm' ELSE 'ppm' END AS format,
+                   CAST(CASE WHEN doc_id % 4 = 3 THEN 0
+                        ELSE doc_id % 300 + 1 END AS INTEGER) AS width,
+                   CAST(CASE WHEN doc_id % 4 = 3 THEN 0
+                        ELSE doc_id % 200 + 1 END AS INTEGER) AS height,
+                   CAST(CASE WHEN doc_id % 4 = 3 THEN 0
+                        ELSE 8 END AS INTEGER) AS bit_depth
+            FROM documents
         """,
         "q_soft404": """
             -- closed-form flags: k=0 not-found title+body, k=3 standalone

@@ -300,3 +300,42 @@ def test_crawl_diff_stream_matches_batch(spark, tmp_path):
     assert streamed == batch
     assert sum(1 for s in streamed.values() if s[0] == "added") == 10
     assert sum(1 for s in streamed.values() if s[0] == "changed") >= 2
+
+
+def test_parse_image_header_formats():
+    import struct
+
+    from html_parser_spark.ops.multimodal import parse_image_header
+
+    png = (b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR"
+           + struct.pack(">II", 640, 480) + bytes([16, 6, 0, 0, 0]))
+    assert parse_image_header(png) == {
+        "format": "png", "width": 640, "height": 480, "bit_depth": 16}
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 320, -200) + b"\x01\x00" + struct.pack("<H", 24)
+    assert parse_image_header(bmp) == {
+        "format": "bmp", "width": 320, "height": 200, "bit_depth": 24}
+    gif = b"GIF89a" + struct.pack("<HH", 12, 34)
+    assert parse_image_header(gif)["width"] == 12
+    ppm = b"P6\n# a comment\n 800  600\n255\n..."
+    assert parse_image_header(ppm) == {
+        "format": "ppm", "width": 800, "height": 600, "bit_depth": 8}
+    assert parse_image_header(b"") is None
+    assert parse_image_header(b"BM\x00") is None       # truncated
+    assert parse_image_header(b"\x89PNG\r\n\x1a\n") is None
+    assert parse_image_header(b"P6 notanumber x") is None
+
+
+def test_image_headers_udf(spark):
+    import struct
+
+    from html_parser_spark.ops.multimodal import image_headers
+
+    gif = b"GIF87a" + struct.pack("<HH", 5, 7) + b"rest"
+    rows = [(1, gif), (2, b"not an image"), (3, None)]
+    df = spark.createDataFrame(rows, "media_id int, payload binary")
+    got = {r["media_id"]: r for r in image_headers(df).collect()}
+    assert got[1]["format"] == "gif" and got[1]["width"] == 5
+    assert got[2]["format"] is None
+    assert got[3]["format"] is None
+    plan = image_headers(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and plan.count("ArrowEvalPython") == 1

@@ -270,6 +270,16 @@ def main():
         )
     )
 
+    p = plan_of(entrymod.q_image_headers(spark, sf_dir))
+    checks.append(
+        (
+            "q_image_headers — ONE Arrow header-sniff stage, zero shuffle",
+            p,
+            ["ArrowEvalPython"],
+            ["Exchange", "Join", "Window"],
+        )
+    )
+
     p = plan_of(entrymod.q_soft404(spark, sf_dir))
     checks.append(
         (
