@@ -80,7 +80,8 @@ class Node:
         """JS ``className``: class attr ('' if absent) for elements, None
         (undefined) for text/comment nodes."""
         if self.kind == "element":
-            return self.attrs.get("class", "")
+            # a valueless class attr parses as None; className is "" then
+            return self.attrs.get("class", "") or ""
         return None
 
     @class_name.setter

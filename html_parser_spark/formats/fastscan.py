@@ -110,7 +110,7 @@ class Run:
     @property
     def class_name(self):
         if self.kind == "element":
-            return self.attrs.get("class", "")
+            return self.attrs.get("class", "") or ""
         return None
 
     @class_name.setter

@@ -104,7 +104,7 @@ def _line_runs(div: Node, base_ff: str | None, base_fc: str | None) -> list[tupl
 
 def _div_tokens(div: Node) -> tuple[str | None, str | None]:
     ff = fc = None
-    cls = div.attrs.get("class", "")
+    cls = div.attrs.get("class") or ""  # valueless class attr -> None
     for c in cls.split():
         if c.startswith("ff"):
             ff = c

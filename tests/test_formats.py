@@ -396,3 +396,20 @@ def test_d_entry_pairing_font_only_fixture():
     # single-face watermark/URL lines produce no entries
     assert not any("WMZ-PURSE" in s or "blogspot" in s for s in by_src)
     assert all(e["spelling"] and e["definitions"][0] for e in res["entries"])
+
+
+def test_valueless_class_attr_total():
+    """'<div class>' parses class=None; kernels must treat it as ''."""
+    from html_parser_spark.dom import parse_html
+    from html_parser_spark.kernel import parse_document
+
+    root = parse_html("<html><body><div class><p class>x</p></div></body></html>")
+    div = next(root.iter_elements())
+    body_div = [e for e in root.iter_elements() if e.tag == "div"][0]
+    assert body_div.class_name == ""
+    assert body_div.class_list == []
+    # the full kernel survives every format's dispatch on such a page
+    r = parse_document(
+        b'<html><body><div class id><span class>text</span></div></body></html>'
+    )
+    assert r["error"] is None
