@@ -861,25 +861,35 @@ def q_image_headers(spark, sf_dir):
 
 
 def q_soft404(spark, sf_dir):
-    """Soft-404 detection (ops/web.soft_404_flags): five page families —
+    """Soft-404 detection (ops/web.soft_404_flags): eight page families —
     classic not-found, normal, parked-domain (short + phrase), a 404 title
-    on a full body, normal again.  Titles avoid doc_id digits so '404'
-    can't leak in; the corpus vocabulary contains no error phrase
-    (verified), so the oracle states every flag in closed form."""
+    on a full body, normal, then three ADVERSARIAL families pinning the
+    title rule's precision: short hard negatives whose titles merely
+    start with error words ('Forbidden City', 'Coming Soon Movies 2026')
+    must NOT flag, while a decorated true positive ('Oops! Page not
+    found | site') must.  Titles avoid doc_id digits so '404' can't leak
+    in; the corpus vocabulary contains no error phrase (verified), so the
+    oracle states every flag in closed form."""
     from html_parser_spark.ops.web import soft_404_flags
 
     docs = _docs(spark, sf_dir)
-    k = F.col("doc_id") % 5
+    k = F.col("doc_id") % 8
     title = (
         F.when(k == 0, F.lit("Page not found"))
         .when(k == 3, F.concat(F.lit("Error 404 - doc v"),
                                (F.col("doc_id") % 7).cast("string")))
+        .when(k == 5, F.lit("Forbidden City"))
+        .when(k == 6, F.lit("Coming Soon Movies 2026"))
+        .when(k == 7, F.lit("Oops! Page not found | site"))
         .otherwise(F.concat(F.lit("Doc v"), (F.col("doc_id") % 7).cast("string")))
     )
     body = (
         F.when(k == 0, F.lit("The page was not found."))
         .when(k == 2, F.concat(F.lit("domain for sale "),
                                F.substring("text", 1, 100)))
+        .when(k == 5, F.lit("A guide to the palace complex."))
+        .when(k == 6, F.lit("Trailer listing."))
+        .when(k == 7, F.lit("It may have been moved."))
         .otherwise(F.col("text"))
     )
     pages = docs.select("doc_id", title.alias("title"), body.alias("main_text"))
@@ -1247,22 +1257,31 @@ def q_blocklist(spark, sf_dir):
 
 
 def q_psl_domain(spark, sf_dir):
-    """Registered domain via longest public-suffix match (codegen literal
-    array probe, zero shuffle/join): multi-label suffixes (co.uk, com.au)
-    must beat the last-2-labels heuristic; unknown TLDs fall back to it."""
+    """Registered domain via longest public-suffix match against the
+    bundled ~1.9k-entry PSL snapshot (codegen literal array probe, zero
+    shuffle/join): multi-label suffixes (co.uk, com.au, com.br, gob.mx)
+    must beat the last-2-labels heuristic; unknown TLDs fall back to it;
+    a bare-suffix host passes through; a private-section suffix
+    (github.io) registers the user site."""
     from html_parser_spark.ops.web import registered_domain_psl
 
     docs = _docs(spark, sf_dir)
+    k = F.pmod("doc_id", F.lit(8))
     suffix = F.element_at(
         F.array(
             F.lit(".blogs.example.com"),
             F.lit(".example.co.uk"),
             F.lit(".shop.example.com.au"),
             F.lit(".example.unknowntld"),
+            F.lit(".www.example.com.br"),
+            F.lit(".portal.example.gob.mx"),
+            F.lit(".github.io"),
         ),
-        (F.pmod("doc_id", F.lit(4)) + 1).cast("int"),
+        F.least(k, F.lit(6)).cast("int") + 1,
     )
-    host = F.concat(F.lit("h"), F.col("doc_id").cast("string"), suffix)
+    host = F.when(k == 7, F.lit("co.uk")).otherwise(
+        F.concat(F.lit("h"), F.col("doc_id").cast("string"), suffix)
+    )
     return docs.select(
         "doc_id",
         host.alias("host"),
@@ -1451,66 +1470,30 @@ def q_migrate_v21(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Ordered so the driver's 50-query CORRECTNESS window rotates coverage.
+
+    The driver checks the FIRST 50 entries of this dict each round
+    (verified in round 3: CORRECTNESS keys == first 50 names in order).
+    Round-3 checked positions 1-50 of the old order; this round leads with
+    the 21 queries that had never had a driver row (survey-core
+    q_extract_entries / q_migrate_v21 first, then the web-ingest tier),
+    followed by queries new this round, then 29 round-3-green veterans.
+    The 21 veterans past position 50 all carry green rows in
+    CORRECTNESS_r03.json; rotate again next round.
+    """
     return {
-        "q_filter_project": q_filter_project,
-        "q_agg_pricing": q_agg_pricing,
-        "q_dim_broadcast_join": q_dim_broadcast_join,
-        "q_window_order_check": q_window_order_check,
-        "q_merge_by_key": q_merge_by_key,
-        "q_topk": q_topk,
-        "q_exact_dedup": q_exact_dedup,
-        "q_fingerprint": q_fingerprint,
-        "q_winnow_fingerprint": q_winnow_fingerprint,
-        "q_token_stats": q_token_stats,
-        "q_quality_score": q_quality_score,
-        "q_lang_profile": q_lang_profile,
-        "q_tfidf": q_tfidf,
-        "q_data_split": q_data_split,
-        "q_contamination": q_contamination,
-        "q_repetition": q_repetition,
-        "q_dedup_survivors": q_dedup_survivors,
-        "q_chunk_plan": q_chunk_plan,
-        "q_pii_scan": q_pii_scan,
-        "q_percentiles": q_percentiles,
-        "q_minhash_sig": q_minhash_sig,
-        "q_near_dup_pairs": q_near_dup_pairs,
-        "q_dup_clusters": q_dup_clusters,
-        "q_cosine_topk": q_cosine_topk,
-        "q_ivf_topk": q_ivf_topk,
-        "q_embedding_near_dup": q_embedding_near_dup,
-        "q_embedding_near_dup_lsh": q_embedding_near_dup_lsh,
-        "q_ngram_jaccard": q_ngram_jaccard,
-        "q_jaccard_verify": q_jaccard_verify,
-        "q_simhash": q_simhash,
-        "q_lsh_buckets": q_lsh_buckets,
-        "q_event_windows": q_event_windows,
-        "q_sessionize": q_sessionize,
-        "q_set_ops": q_set_ops,
-        "q_asof_join": q_asof_join,
-        "q_range_join": q_range_join,
-        "q_hypertable_rollup": q_hypertable_rollup,
-        "q_rollup": q_rollup,
-        "q_string_battery": q_string_battery,
-        "q_date_battery": q_date_battery,
-        "q_extract_text": q_extract_text,
-        "q_extract_text_rich": q_extract_text_rich,
-        "q_media_meta": q_media_meta,
-        "q_lang_id": q_lang_id,
-        "q_span_dedup": q_span_dedup,
-        "q_url_parts": q_url_parts,
-        "q_domain_stats": q_domain_stats,
-        "q_blocklist": q_blocklist,
-        "q_psl_domain": q_psl_domain,
-        "q_url_canon": q_url_canon,
-        "q_latest_capture": q_latest_capture,
-        "q_warc_roundtrip": q_warc_roundtrip,
-        "q_warc_index": q_warc_index,
+        # -- never driver-checked before round 4 (survey-core first) --
+        "q_extract_entries": q_extract_entries,
+        "q_migrate_v21": q_migrate_v21,
         "q_main_content": q_main_content,
-        "q_html_meta": q_html_meta,
         "q_pagerank": q_pagerank,
         "q_gopher": q_gopher,
         "q_robots": q_robots,
+        "q_warc_roundtrip": q_warc_roundtrip,
+        "q_warc_index": q_warc_index,
+        "q_html_meta": q_html_meta,
         "q_anchor_stats": q_anchor_stats,
+        "q_latest_capture": q_latest_capture,
         "q_sitemap": q_sitemap,
         "q_crawl_diff": q_crawl_diff,
         "q_text_clean": q_text_clean,
@@ -1521,8 +1504,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_familiarity": q_familiarity,
         "q_soft404": q_soft404,
         "q_image_headers": q_image_headers,
-        "q_extract_entries": q_extract_entries,
-        "q_migrate_v21": q_migrate_v21,
+        # -- new in round 4 --
+        # (insert new queries here so they land inside the driver window)
+        # -- round-3-green veterans kept inside the window --
+        "q_filter_project": q_filter_project,
+        "q_agg_pricing": q_agg_pricing,
+        "q_window_order_check": q_window_order_check,
+        "q_merge_by_key": q_merge_by_key,
+        "q_exact_dedup": q_exact_dedup,
+        "q_token_stats": q_token_stats,
+        "q_quality_score": q_quality_score,
+        "q_tfidf": q_tfidf,
+        "q_data_split": q_data_split,
+        "q_contamination": q_contamination,
+        "q_chunk_plan": q_chunk_plan,
+        "q_pii_scan": q_pii_scan,
+        "q_minhash_sig": q_minhash_sig,
+        "q_near_dup_pairs": q_near_dup_pairs,
+        "q_dup_clusters": q_dup_clusters,
+        "q_cosine_topk": q_cosine_topk,
+        "q_ivf_topk": q_ivf_topk,
+        "q_simhash": q_simhash,
+        "q_lsh_buckets": q_lsh_buckets,
+        "q_event_windows": q_event_windows,
+        "q_sessionize": q_sessionize,
+        "q_asof_join": q_asof_join,
+        "q_range_join": q_range_join,
+        "q_extract_text": q_extract_text,
+        "q_lang_id": q_lang_id,
+        "q_span_dedup": q_span_dedup,
+        "q_url_parts": q_url_parts,
+        "q_psl_domain": q_psl_domain,
+        "q_url_canon": q_url_canon,
+        # -- round-3-green veterans rotated past the 50-query window --
+        "q_dim_broadcast_join": q_dim_broadcast_join,
+        "q_topk": q_topk,
+        "q_fingerprint": q_fingerprint,
+        "q_winnow_fingerprint": q_winnow_fingerprint,
+        "q_lang_profile": q_lang_profile,
+        "q_repetition": q_repetition,
+        "q_dedup_survivors": q_dedup_survivors,
+        "q_percentiles": q_percentiles,
+        "q_embedding_near_dup": q_embedding_near_dup,
+        "q_embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+        "q_ngram_jaccard": q_ngram_jaccard,
+        "q_jaccard_verify": q_jaccard_verify,
+        "q_set_ops": q_set_ops,
+        "q_hypertable_rollup": q_hypertable_rollup,
+        "q_rollup": q_rollup,
+        "q_string_battery": q_string_battery,
+        "q_date_battery": q_date_battery,
+        "q_extract_text_rich": q_extract_text_rich,
+        "q_media_meta": q_media_meta,
+        "q_domain_stats": q_domain_stats,
+        "q_blocklist": q_blocklist,
     }
 
 
@@ -2437,14 +2472,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_psl_domain": """
             -- expected registered domain per suffix branch, in closed form
+            -- (k=6 private-section github.io keeps the user label; k=7 is
+            -- a bare public suffix with no registrable part)
             SELECT doc_id,
-                   'h' || doc_id ||
-                     (['.blogs.example.com', '.example.co.uk',
-                       '.shop.example.com.au', '.example.unknowntld']
-                      )[(doc_id % 4) + 1] AS host,
-                   (['example.com', 'example.co.uk',
-                     'example.com.au', 'example.unknowntld']
-                    )[(doc_id % 4) + 1] AS registered_domain
+                   CASE WHEN doc_id % 8 = 7 THEN 'co.uk'
+                        ELSE 'h' || doc_id ||
+                          (['.blogs.example.com', '.example.co.uk',
+                            '.shop.example.com.au', '.example.unknowntld',
+                            '.www.example.com.br', '.portal.example.gob.mx',
+                            '.github.io'])[(doc_id % 8) + 1]
+                   END AS host,
+                   CASE doc_id % 8
+                     WHEN 0 THEN 'example.com'
+                     WHEN 1 THEN 'example.co.uk'
+                     WHEN 2 THEN 'example.com.au'
+                     WHEN 3 THEN 'example.unknowntld'
+                     WHEN 4 THEN 'example.com.br'
+                     WHEN 5 THEN 'example.gob.mx'
+                     WHEN 6 THEN 'h' || doc_id || '.github.io'
+                     ELSE 'co.uk'
+                   END AS registered_domain
             FROM documents
         """,
         "q_url_canon": """
@@ -2675,32 +2722,43 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_soft404": """
             -- closed-form flags: k=0 not-found title+body, k=3 standalone
-            -- 404 in the title, k=2 parked phrase; soft404 requires the
-            -- SHORT body in every case (real soft-404s are short); k in
-            -- (1,4) clean (corpus text has no error phrase or digit —
-            -- verified offline); blen COALESCEd so a future NULL-text doc
-            -- matches the Spark-side coalesce('') instead of NULL-compare
+            -- 404 in the title, k=2 parked phrase, k=7 decorated
+            -- not-found title (true positive); k=5/6 are ADVERSARIAL hard
+            -- negatives — short pages titled 'Forbidden City' / 'Coming
+            -- Soon Movies 2026' whose titles contain phrase words
+            -- followed by real content, so the segment-anchored title
+            -- rule must NOT flag them; soft404 requires the SHORT body
+            -- in every case (real soft-404s are short); k in (1,4) clean
+            -- (corpus text has no error phrase or digit — verified
+            -- offline); blen COALESCEd so a future NULL-text doc matches
+            -- the Spark-side coalesce('') instead of NULL-compare
             WITH f AS (
-              SELECT doc_id, doc_id % 5 AS k,
-                     CASE doc_id % 5
+              SELECT doc_id, doc_id % 8 AS k,
+                     CASE doc_id % 8
                        WHEN 0 THEN 'Page not found'
                        WHEN 3 THEN 'Error 404 - doc v' || (doc_id % 7)
+                       WHEN 5 THEN 'Forbidden City'
+                       WHEN 6 THEN 'Coming Soon Movies 2026'
+                       WHEN 7 THEN 'Oops! Page not found | site'
                        ELSE 'Doc v' || (doc_id % 7)
                      END AS title,
-                     CASE WHEN doc_id % 5 = 0 THEN 23
-                          WHEN doc_id % 5 = 2
+                     CASE WHEN doc_id % 8 = 0 THEN 23
+                          WHEN doc_id % 8 = 2
                                THEN 16 + least(100, COALESCE(length(text), 0))
+                          WHEN doc_id % 8 = 5 THEN 30
+                          WHEN doc_id % 8 = 6 THEN 16
+                          WHEN doc_id % 8 = 7 THEN 23
                           ELSE COALESCE(length(text), 0) END AS blen
               FROM documents
             )
             SELECT doc_id, title,
-                   CAST(CASE WHEN k IN (0, 3) THEN 1 ELSE 0 END
+                   CAST(CASE WHEN k IN (0, 3, 7) THEN 1 ELSE 0 END
                         AS INTEGER) AS title_404,
                    CAST(CASE WHEN k IN (0, 2) THEN 1 ELSE 0 END
                         AS INTEGER) AS body_404,
                    CAST(CASE WHEN blen < 512 THEN 1 ELSE 0 END
                         AS INTEGER) AS short_body,
-                   CAST(CASE WHEN k IN (0, 2, 3) AND blen < 512 THEN 1
+                   CAST(CASE WHEN k IN (0, 2, 3, 7) AND blen < 512 THEN 1
                              ELSE 0 END AS INTEGER) AS soft404
             FROM f
         """,

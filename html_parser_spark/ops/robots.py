@@ -17,7 +17,10 @@ corpus.  Two halves, both JVM-side end-to-end (zero Python):
 * ``robots_verdict`` / ``robots_filter``: pages × rules → per-url
   allow/deny with the modern precedence rule: the LONGEST matching
   prefix wins; on a length tie, Allow beats Disallow.  No matching rule
-  means allowed.
+  means allowed.  Group selection follows RFC 9309 §2.2.1: a crawler
+  with a specific agent uses that agent's rules where the host defines
+  them and falls back to the ``*`` group for hosts that don't — never a
+  merge of both groups.
 
 Scale: the rules table is one row per (host, rule) — orders of magnitude
 smaller than the pages table.  The verdict is a host equi-join (AQE
@@ -79,6 +82,28 @@ def parse_robots(
     )
 
 
+def _rules_for_agent(rules: DataFrame, agent: str) -> DataFrame:
+    """RFC 9309 §2.2.1 group selection: the requested agent's rules for
+    hosts that define a group for it, the ``*`` group for hosts that
+    don't.  Never a union of both.  The per-host "has a specific group"
+    flag is a partial-aggregatable groupBy over the tiny rules table
+    joined back — pages are never touched here."""
+    a = agent.lower()
+    if a == "*":
+        return rules.filter(F.col("agent") == "*")
+    host_has = rules.groupBy("host").agg(
+        F.max((F.col("agent") == a).cast("int")).alias("_has_specific")
+    )
+    return (
+        rules.join(host_has, "host")
+        .filter(
+            (F.col("agent") == a)
+            | ((F.col("agent") == "*") & (F.col("_has_specific") == 0))
+        )
+        .drop("_has_specific")
+    )
+
+
 def robots_verdict(
     pages: DataFrame,
     rules: DataFrame,
@@ -88,13 +113,14 @@ def robots_verdict(
     """pages + ``allowed`` flag (1/0) for ``agent`` under ``rules``.
 
     Longest-matching-prefix precedence, Allow wins length ties, absent
-    host or no matching rule → allowed."""
+    host or no matching rule → allowed.  Rule-group choice per RFC 9309:
+    agent-specific group where the host has one, else the ``*`` group."""
     host = F.parse_url(F.col(url_col), F.lit("HOST"))
     path = F.coalesce(F.parse_url(F.col(url_col), F.lit("PATH")), F.lit("/"))
     keyed = pages.select(
         F.col(url_col).alias("_rurl"), host.alias("_rhost"), path.alias("_rpath")
     )
-    rset = rules.filter(F.col("agent") == agent.lower()).select(
+    rset = _rules_for_agent(rules, agent).select(
         F.col("host").alias("_rhost"),
         "rule",
         "path_prefix",

@@ -12,15 +12,19 @@ these run over EVERY url of a 10^12-document crawl:
   broadcast LEFT ANTI join (a blocklist is a few MB even with millions of
   hosts — never a shuffle).
 
-``registered_domain`` uses the last-two-labels heuristic.  A production
-deployment would join the public-suffix list (a ~10k-row broadcast dim —
-same join shape, swap the expression for the dim lookup); co.uk-style
-suffixes are the known limitation of the heuristic.
+``registered_domain`` uses the last-two-labels heuristic.
+``registered_domain_psl`` does real longest-suffix matching against the
+bundled public-suffix snapshot (``resources/public_suffix_list.dat``,
+~1.9k suffixes: all ccTLDs, their standard second-level registration
+labels, common gTLDs, and the usual private-section hosting suffixes);
+pass the full upstream PSL via the ``psl`` argument to widen coverage.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterable
+from functools import lru_cache
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -149,29 +153,49 @@ def latest_capture(
     return agg.select(url_col, *[F.col(f"_r.{c}").alias(c) for c in (ts_col, *others)])
 
 
-# a deterministic stand-in for the real ~10k-entry public-suffix list; the
-# production swap is just a longer `psl` argument (see registered_domain_psl)
-DEFAULT_PSL = [
-    "com", "org", "net", "edu", "gov", "io", "dev",
-    "uk", "co.uk", "org.uk", "ac.uk",
-    "au", "com.au", "net.au", "org.au",
-    "jp", "co.jp", "ne.jp",
-    "br", "com.br",
-]
+_PSL_RESOURCE = os.path.join(
+    os.path.dirname(__file__), "..", "resources", "public_suffix_list.dat"
+)
+
+
+@lru_cache(maxsize=1)
+def load_psl() -> "tuple[str, ...]":
+    """Parse the bundled public-suffix snapshot (upstream PSL file format:
+    one suffix per line, ``//`` comments).  Wildcard (``*.``) and
+    exception (``!``) rules are skipped — the snapshot is authored without
+    them and the matcher does exact-suffix matching only (documented
+    deviation; the handful of upstream wildcard TLDs are expanded to their
+    common second-levels in the snapshot instead)."""
+    out = []
+    with open(_PSL_RESOURCE, encoding="utf-8") as f:
+        for line in f:
+            s = line.strip()
+            if not s or s.startswith("//") or s.startswith(("!", "*.")):
+                continue
+            out.append(s)
+    return tuple(out)
+
+
+# kept as the documented swap point: registered_domain_psl(col, psl=...)
+# accepts any iterable of suffixes (e.g. the full upstream PSL)
+DEFAULT_PSL = load_psl()
 
 
 def registered_domain_psl(host, psl: "list[str] | None" = None) -> "F.Column":
     """Registered domain via LONGEST public-suffix match ('a.b.example.co.uk'
     → 'example.co.uk'), falling back to the last-2-labels heuristic when no
-    suffix matches.
+    suffix matches.  Default suffix set = the bundled ~1.9k-entry snapshot
+    (``load_psl``); pass ``psl`` to swap in the full upstream list.
 
-    The suffix set rides the plan as a literal array probed with
+    The suffix set rides the plan as ONE array literal probed with
     ``array_contains`` — pure codegen, zero shuffle, zero join; even the
     full real PSL (~10k entries, ~200 KB) is cheaper as plan literal than
     as a per-row join.  Candidate suffixes are the host's last 1..4 labels
     (no public suffix has more; longest match wins, per PSL semantics)."""
     u = F.col(host) if isinstance(host, str) else host
-    psl_arr = F.array(*[F.lit(s) for s in (psl or DEFAULT_PSL)])
+    # F.lit(list) → a single ArrayType literal (one expression), not one
+    # Literal node per suffix — keeps the plan tree small at 1.9k entries
+    psl_arr = F.lit(list(psl) if psl is not None else list(DEFAULT_PSL))
     labels = F.split(u, r"\.")
     n = F.size(labels)
     # candidate suffixes: last k labels, k = 1..min(4, n) (k = n covers a
@@ -325,6 +349,36 @@ SOFT_404_PHRASES = (
 # NOT listed — the list claims to be auditable, so no dead entries
 _SOFT_404_NUM_RE = "(^|[^0-9])404([^0-9]|$)"
 
+# Title matching is positional, not substring: the phrase must fill its
+# own title *segment* (segments split on site-name separators '|', en/em
+# dash, ' - '), allowing only these decoration words around it — so
+# 'Oops! Page not found' and '404 Not Found | example.com' hit while
+# 'Forbidden City' and 'Coming Soon Movies 2026' (phrase followed by
+# real content words) do not.  Auditable allow-list, nothing inferred.
+_TITLE_DECOR_WORDS = (
+    "error|oops|whoops|sorry|page|the|this|that|requested|url|file|"
+    "was|is|been|has|we|could|be|[0-9]{1,4}"
+)
+_SEG_L = r"(^|[|–—]|\s-\s)\s*"
+_SEG_R = r"[\s!,.:]*($|[|–—]|\s-\s)"
+
+
+def _title_phrase_re(phrase: str) -> str:
+    import re as _re
+
+    return (
+        _SEG_L
+        + rf"(({_TITLE_DECOR_WORDS})[\s!,.:]+)*"
+        + _re.escape(phrase)
+        + _SEG_R
+    )
+
+
+def _word_bounded_re(phrase: str) -> str:
+    import re as _re
+
+    return rf"(^|[^a-z0-9]){_re.escape(phrase)}([^a-z0-9]|$)"
+
 
 def soft_404_flags(
     df: DataFrame,
@@ -339,15 +393,18 @@ def soft_404_flags(
     2 KB of body text, and a short-body marker (< ``short_chars``).
     ``soft404`` = (title hit OR body-head hit) AND short — real soft-404
     pages are short, so a long 'Forbidden City travel guide' article or a
-    long page merely MENTIONING a 404 both stay.  Pure per-row map, zero
-    shuffle."""
+    long page merely MENTIONING a 404 both stay.  Title phrases must fill
+    their own separator-bounded segment (see ``_title_phrase_re``) and
+    body phrases are word-bounded, so a short page titled 'Forbidden
+    City' or 'Coming Soon Movies 2026' is NOT a soft 404.  Pure per-row
+    map, zero shuffle."""
     title = F.lower(F.coalesce(F.col(title_col), F.lit("")))
     head = F.lower(F.substring(F.coalesce(F.col(text_col), F.lit("")), 1, 2048))
     t_hit = title.rlike(_SOFT_404_NUM_RE)
     h_hit = head.rlike(_SOFT_404_NUM_RE)
     for p in SOFT_404_PHRASES:
-        t_hit = t_hit | title.contains(p)
-        h_hit = h_hit | head.contains(p)
+        t_hit = t_hit | title.rlike(_title_phrase_re(p))
+        h_hit = h_hit | head.rlike(_word_bounded_re(p))
     short = F.length(F.coalesce(F.col(text_col), F.lit(""))) < short_chars
     return df.select(
         "*",

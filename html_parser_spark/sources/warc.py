@@ -143,10 +143,14 @@ def write_warc_files(pages: DataFrame, out_dir: str, compress: bool = True) -> i
     """
     os.makedirs(out_dir, exist_ok=True)
     suffix = ".warc.gz" if compress else ".warc"
-    # clear stale parts: a re-run with fewer partitions would otherwise
-    # leave old part files mixed into the archive (and inflate the count)
+    # clear stale parts: a re-run with fewer partitions — or with the
+    # opposite compress flag — would otherwise leave old part files mixed
+    # into the archive (and inflate the count), so sweep BOTH suffixes
     for name in os.listdir(out_dir):
-        if name.endswith((suffix, f"{suffix}.tmp")) or ".tmp-" in name:
+        if (
+            name.endswith((".warc", ".warc.gz", ".warc.tmp", ".warc.gz.tmp"))
+            or ".tmp-" in name
+        ):
             os.remove(os.path.join(out_dir, name))
     records = to_warc_records(pages, compress=compress)
 
@@ -393,7 +397,12 @@ def _local_path(uri: str) -> str:
 def fetch_warc_records(index: DataFrame) -> DataFrame:
     """Random access by CDX index: (source_file, rec_offset, rec_length)
     rows → the referenced records, read via seek+read of ONLY those byte
-    ranges (on an object store the same call is a ranged GET).
+    ranges.  Like ``write_warc_files``, this reads through local
+    ``open()``: ``source_file`` must be a local/shared-filesystem path or
+    ``file:`` URI visible to every executor (local mode, NFS, a
+    FUSE-mounted object store).  A bare ``s3://`` path is NOT handled —
+    the seek+read access pattern maps 1:1 onto ranged GETs, but wiring
+    that requires an object-store client on the executors.
 
     The index is repartitioned by file and range-sorted within partitions,
     so each task touches each file once, in ascending-offset order —

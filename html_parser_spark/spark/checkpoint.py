@@ -22,6 +22,7 @@ left to AQE; urls are unique so there is no skew.
 from __future__ import annotations
 
 import os
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -199,43 +200,48 @@ class IcebergCheckpointedExtraction:
         # the lineage INSERT then read the staged rows, so the pandas-UDF
         # kernel executes a single time per run and part_id is stable across
         # the two statements (an uncached temp view would re-run the whole
-        # extraction for each consumer).
-        staging = f"{self.table}_staging"
-        results.writeTo(staging).using("iceberg").createOrReplace()
+        # extraction for each consumer).  The staging name is per-run unique
+        # (uuid suffix) so concurrent runs against the same target can't
+        # clobber each other mid-MERGE, and the drop sits in try/finally so a
+        # crash between MERGE and cleanup doesn't strand the table.
+        staging = f"{self.table}_staging_{uuid.uuid4().hex[:12]}"
+        try:
+            results.writeTo(staging).using("iceberg").createOrReplace()
 
-        before = self._latest_snapshot_id()
-        self.spark.sql(
-            f"""MERGE INTO {self.table} t
-                USING (SELECT url, warc_ts, lang, fmt, extracted_text, entries,
-                              n_entries, CAST(n_bytes_in AS BIGINT) AS n_bytes_in,
-                              error
-                       FROM {staging}) s
-                ON t.url = s.url
-                WHEN NOT MATCHED THEN INSERT *"""
-        )
-        after = self._latest_snapshot_id()
-        # the hint names the MERGE's own commit; if MERGE inserted nothing a
-        # new snapshot may not exist — record 'noop' rather than mislabeling
-        # an unrelated earlier snapshot
-        snap_id = after if after != before else "noop"
-        # staged rows are exactly the urls this run parsed (post anti-join),
-        # so lineage counts cover this run only — no overcount on resume
-        self.spark.sql(
-            f"""INSERT INTO {self.lineage_table}
-                SELECT '{snap_id}' AS snapshot_hint, part_id,
-                       count(*) AS url_count,
-                       sum(n_bytes_in) AS byte_count,
-                       sum(CASE WHEN error IS NOT NULL THEN 1 ELSE 0 END)
-                         AS error_count
-                FROM {staging} GROUP BY part_id"""
-        )
-        new_row = self.spark.table(staging).agg(
-            F.count("*").alias("docs"), F.sum("n_entries").alias("entries")
-        ).collect()[0]
-        row = self.spark.table(self.table).agg(
-            F.count("*").alias("docs"), F.sum("n_entries").alias("entries")
-        ).collect()[0]
-        self.spark.sql(f"DROP TABLE IF EXISTS {staging}")
+            before = self._latest_snapshot_id()
+            self.spark.sql(
+                f"""MERGE INTO {self.table} t
+                    USING (SELECT url, warc_ts, lang, fmt, extracted_text, entries,
+                                  n_entries, CAST(n_bytes_in AS BIGINT) AS n_bytes_in,
+                                  error
+                           FROM {staging}) s
+                    ON t.url = s.url
+                    WHEN NOT MATCHED THEN INSERT *"""
+            )
+            after = self._latest_snapshot_id()
+            # the hint names the MERGE's own commit; if MERGE inserted nothing a
+            # new snapshot may not exist — record 'noop' rather than mislabeling
+            # an unrelated earlier snapshot
+            snap_id = after if after != before else "noop"
+            # staged rows are exactly the urls this run parsed (post anti-join),
+            # so lineage counts cover this run only — no overcount on resume
+            self.spark.sql(
+                f"""INSERT INTO {self.lineage_table}
+                    SELECT '{snap_id}' AS snapshot_hint, part_id,
+                           count(*) AS url_count,
+                           sum(n_bytes_in) AS byte_count,
+                           sum(CASE WHEN error IS NOT NULL THEN 1 ELSE 0 END)
+                             AS error_count
+                    FROM {staging} GROUP BY part_id"""
+            )
+            new_row = self.spark.table(staging).agg(
+                F.count("*").alias("docs"), F.sum("n_entries").alias("entries")
+            ).collect()[0]
+            row = self.spark.table(self.table).agg(
+                F.count("*").alias("docs"), F.sum("n_entries").alias("entries")
+            ).collect()[0]
+        finally:
+            self.spark.sql(f"DROP TABLE IF EXISTS {staging}")
         return {
             "snapshot": snap_id,
             "docs": row["docs"],

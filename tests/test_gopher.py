@@ -76,6 +76,52 @@ def test_alpha_fraction_and_stopwords(spark):
     assert r3["keep_stopwords"] is True
 
 
+def test_adversarial_battery(spark):
+    """Realistic hard cases: pages that LOOK like rule triggers must keep,
+    and true junk shapes must drop — a precision/recall floor pinned as
+    fixtures rather than synthetic minimal strings."""
+    tutorial_404 = (  # long tutorial ABOUT errors: mentions 404, few bullets
+        "When a web server cannot find the resource the client asked for "
+        "it responds with the status code 404 and the browser shows an "
+        "error page to the user. In this tutorial we will learn how to "
+        "configure a custom handler so that visitors who follow a stale "
+        "link still see useful navigation. First open the configuration "
+        "file and locate the error section. Then add a directive that "
+        "points to your custom template. The template should explain that "
+        "the page could not be found and offer a search box. Finally "
+        "reload the server and test with a bogus address to confirm that "
+        "the handler works as expected for every missing resource."
+    )
+    recipe_with_bullets = (  # prose page with a SHORT ingredient list: keep
+        "This bread recipe has been in the family for three generations "
+        "and it remains the one we bake for every holiday gathering.\n"
+        "- flour\n- water\n- salt\n- yeast\n"
+        "Mix the ingredients in a large bowl and let the dough rest "
+        "overnight in a cool place so that the flavor can develop fully. "
+        "In the morning shape the loaf and bake it on a hot stone until "
+        "the crust turns deep brown and the kitchen smells of fresh bread "
+        "which is the moment the whole house tends to wake up and gather."
+    )
+    listicle = "\n".join(  # junk: nearly every line bullet-started
+        f"• item {i} best deal click now" for i in range(40)
+    )
+    hashtag_spam = (  # junk: symbol ratio (# per word) way over 0.1
+        "win #prize #now #click #deal #free #offer #sale #hot #new #top "
+    ) * 10
+    teaser_page = "\n".join(  # junk: every line an ellipsis-truncated teaser
+        f"the story number {i} continues beyond this point..." for i in range(20)
+    )
+    got = _run(
+        spark,
+        [tutorial_404, recipe_with_bullets, listicle, hashtag_spam, teaser_page],
+    )
+    assert got[0]["keep"] is True, "404 tutorial is a hard negative"
+    assert got[1]["keep"] is True, "short bullet list inside prose keeps"
+    assert got[2]["keep"] is False and got[2]["keep_bullets"] is False
+    assert got[3]["keep"] is False and got[3]["keep_symbol_ratio"] is False
+    assert got[4]["keep"] is False and got[4]["keep_ellipsis_lines"] is False
+
+
 def test_pure_jvm_no_shuffle(spark):
     df = spark.createDataFrame([(1, GOOD)], ["doc_id", "text"])
     out = gopher_rules(df)

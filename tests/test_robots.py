@@ -84,6 +84,44 @@ def test_agent_selection(spark):
     assert robots_filter(pages, rules, agent="*").count() == 1
 
 
+def test_agent_wildcard_fallback_rfc9309(spark):
+    """An agent with no group on a host falls back to that host's '*'
+    group (RFC 9309 §2.2.1); on a host that DOES define the agent's
+    group, only that group applies — never a merge with '*'."""
+    rules = _rules(
+        spark,
+        [
+            # a.com: only a wildcard group
+            ("a.com", "User-agent: *\nDisallow: /private"),
+            # b.com: goodbot group allows what the wildcard group blocks
+            (
+                "b.com",
+                "User-agent: *\nDisallow: /\n\n"
+                "User-agent: goodbot\nDisallow: /secret",
+            ),
+        ],
+    )
+    pages = _pages(
+        spark,
+        [
+            "https://a.com/private/x",  # via fallback to a.com's '*'
+            "https://a.com/open",
+            "https://b.com/anything",   # goodbot group, not '*': allowed
+            "https://b.com/secret/x",   # goodbot group disallow
+        ],
+    )
+    got = {
+        r["url"]: r["allowed"]
+        for r in robots_verdict(pages, rules, agent="goodbot").collect()
+    }
+    assert got == {
+        "https://a.com/private/x": 0,
+        "https://a.com/open": 1,
+        "https://b.com/anything": 1,
+        "https://b.com/secret/x": 0,
+    }
+
+
 def test_filter_schema_preserving_no_window_over_pages(spark):
     rules = _rules(spark, [("a.com", ROBOTS)])
     pages = _pages(spark, ["https://a.com/private/x", "https://a.com/ok"])

@@ -51,6 +51,22 @@ def test_warc_roundtrip_gzip_and_plain(spark, tmp_path):
         assert all(r["content_type"] == "text/html; charset=utf-8" for r in back)
 
 
+def test_warc_rewrite_with_opposite_compress_sweeps_stale_parts(spark, tmp_path):
+    """Re-running the sink with the opposite compress flag must not leave
+    old-suffix parts mixed into the directory (a corrupt concatenated
+    archive and a wrong part count)."""
+    from html_parser_spark.sources.warc import read_warc, write_warc_files
+
+    pages = _pages(spark, _adversarial_rows()).repartition(2)
+    out = str(tmp_path / "mixed")
+    write_warc_files(pages, out, compress=True)
+    n_plain = write_warc_files(pages, out, compress=False)
+    names = sorted(os.listdir(out))
+    assert all(n.endswith(".warc") for n in names), names
+    assert len(names) == n_plain
+    assert read_warc(spark, os.path.join(out, "*.warc")).count() == 4
+
+
 def test_warc_gz_members_are_concatenable(spark, tmp_path):
     """Common-Crawl layout: every record its own gzip member, so `cat`-ing
     part files (or members) is itself a valid archive."""

@@ -132,6 +132,13 @@ def test_registered_domain_psl(spark):
         ("foo.unknowntld",),      # no suffix match -> heuristic fallback
         ("deep.x.y.foo.unknowntld",),
         ("localhost",),           # single label, no match anywhere
+        # bundled-snapshot ccTLD coverage (the round-3 20-entry stand-in
+        # missed all of these)
+        ("www.example.com.br",),
+        ("portal.example.gob.mx",),
+        ("a.example.co.jp",),
+        ("x.example.com.tr",),
+        ("user.github.io",),      # private-section suffix: site = user
     ]
     df = spark.createDataFrame(rows, ["host"])
     out = dict(
@@ -149,6 +156,11 @@ def test_registered_domain_psl(spark):
     assert out["foo.unknowntld"] == "foo.unknowntld"
     assert out["deep.x.y.foo.unknowntld"] == "foo.unknowntld"
     assert out["localhost"] == ""  # heuristic needs two labels
+    assert out["www.example.com.br"] == "example.com.br"
+    assert out["portal.example.gob.mx"] == "example.gob.mx"
+    assert out["a.example.co.jp"] == "example.co.jp"
+    assert out["x.example.com.tr"] == "example.com.tr"
+    assert out["user.github.io"] == "user.github.io"
 
     # zero shuffle / zero join: the suffix set rides the plan as a literal
     plan = (
@@ -258,8 +270,40 @@ def test_soft_404_flags(spark):
     assert got[5]["short_body"] == 1
     assert got[5]["title_404"] == 0 and got[5]["body_404"] == 0
     assert got[5]["soft404"] == 0
-    assert got[6]["title_404"] == 1 and got[6]["soft404"] == 0  # long guide kept
+    # title phrases are segment-anchored now: 'Forbidden' followed by
+    # real content words is not an error title
+    assert got[6]["title_404"] == 0 and got[6]["soft404"] == 0
     assert got[7]["title_404"] == 0        # 4040 is not a standalone 404
     assert got[8]["title_404"] == 1 and got[8]["soft404"] == 0  # full body kept
     plan = soft_404_flags(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_soft_404_adversarial_battery(spark):
+    """Hard negatives (short, legitimate pages whose titles contain error
+    words) must stay; decorated true positives must still be caught.
+    Pins the precision side of the rule next to the closed-form oracle."""
+    from html_parser_spark.ops.web import soft_404_flags
+
+    negatives = [
+        (1, "Forbidden City", "A short guide to the palace complex."),
+        (2, "Coming Soon Movies 2026", "Short trailer listing."),
+        (3, "My blog – under construction notes", "Short essay on tooling."),
+        (4, "Not Found Records (band)", "Short artist bio."),  # trailing words
+        (5, "Area 4041 overview", "Short stub."),              # 404 inside 4041
+    ]
+    positives = [
+        (11, "Oops! Page not found", "It may have been moved."),
+        (12, "404 Not Found | example.com", "nginx"),
+        (13, "Under Construction", "Check back soon."),
+        (14, "Sorry, this page does not exist", "Try the homepage."),
+        (15, "example.com — Access Denied", "You lack permission."),
+    ]
+    df = spark.createDataFrame(
+        negatives + positives, ["doc_id", "title", "main_text"]
+    )
+    got = {r["doc_id"]: r["soft404"] for r in soft_404_flags(df).collect()}
+    false_pos = [i for i, *_ in negatives if got[i] == 1]
+    false_neg = [i for i, *_ in positives if got[i] == 0]
+    assert false_pos == [], f"hard negatives flagged: {false_pos}"
+    assert false_neg == [], f"true soft-404s missed: {false_neg}"
