@@ -860,6 +860,179 @@ def q_image_headers(spark, sf_dir):
     )
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum corpus sampling
+    (ops/corpus.stratified_sample): keep a doc iff its 16-bit md5-prefix
+    bucket clears its language's fraction — downsample en to 25%, keep
+    75% of zh, half of de, drop es/fr.  Pure filter expression (zero
+    shuffle); the oracle reproduces the md5 bucket with strpos arithmetic,
+    so BOTH engines pick the exact same doc_ids."""
+    from html_parser_spark.ops.corpus import stratified_sample
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    return stratified_sample(
+        docs, {"en": 0.25, "zh": 0.75, "de": 0.5}, strat_col="lang"
+    )
+
+
+def q_vocab(spark, sf_dir):
+    """Corpus vocabulary builder (ops/corpus.build_vocab): top-50 terms
+    with occurrence + document-frequency counts and a deterministic rank
+    (count desc, term asc) — the tokenizer-training / OOV-audit seed
+    table.  One explode + one groupBy with partial aggs; ranking via
+    distributed orderBy+limit, never a full-vocab single-partition sort."""
+    from html_parser_spark.ops.corpus import build_vocab
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return build_vocab(docs, k=50)
+
+
+def q_image_dhash(spark, sf_dir):
+    """Perceptual dHash over real decoded PNM pixels
+    (ops/multimodal.dhash64): ascending-gradient PGMs hash to all-ones
+    (-1 signed), a checkerboard to the alternating 0xAA pattern, a
+    descending-gradient PPM (gray = (r+g+b)//3) to 0, non-images to NULL
+    (flagged).  Payloads are real binary rasters built as hex literals at
+    query-build time; the oracle states the 64-bit hashes in closed
+    form."""
+    _ship_package(spark)
+    from html_parser_spark.ops.multimodal import image_dhash
+
+    def pgm_hex(w, h, pix):
+        head = f"P5\n{w} {h}\n255\n".encode()
+        return (head + bytes(pix(x, y) for y in range(h) for x in range(w))).hex()
+
+    def ppm_hex(w, h, pix):
+        head = f"P6\n{w} {h}\n255\n".encode()
+        body = bytes(
+            v for y in range(h) for x in range(w) for v in (pix(x, y),) * 3
+        )
+        return (head + body).hex()
+
+    asc = pgm_hex(18, 8, lambda x, y: x * 14)
+    checker = pgm_hex(9, 8, lambda x, y: 255 * (x % 2))
+    desc = ppm_hex(18, 8, lambda x, y: 255 - x * 14)
+
+    docs = _docs(spark, sf_dir)
+    k = F.col("doc_id") % 4
+    payload = (
+        F.when(k == 0, F.unhex(F.lit(asc)))
+        .when(k == 1, F.unhex(F.lit(checker)))
+        .when(k == 2, F.unhex(F.lit(desc)))
+        .otherwise(F.encode(F.concat(F.lit("NOTIMG "),
+                                     F.substring("text", 1, 20)), "UTF-8"))
+    )
+    out = image_dhash(docs.select("doc_id", payload.alias("payload")))
+    # decoded flag disambiguates "hash is 0" (valid: no right-brighter
+    # pixel) from "not a PNM" after the NULL→0 coalesce for pandas
+    return out.select(
+        "doc_id",
+        F.col("dhash").isNotNull().cast("int").alias("decoded"),
+        F.coalesce(F.col("dhash"), F.lit(0)).cast("long").alias("dhash"),
+    )
+
+
+def q_crawl_plan(spark, sf_dir):
+    """Politeness cost model (ops/robots.crawl_delays + fetch_plan):
+    per-host page counts × the host's Crawl-delay (agent-specific group
+    preferred, '*' fallback per RFC 9309, absent host → default 1 s) →
+    estimated serial fetch seconds.  Hosts 0-4 declare wildcard delays
+    2..6, host 5 declares 7 for THIS agent (beating its '*' group's 3),
+    hosts 6-9 have no robots row; integer arithmetic end-to-end."""
+    from html_parser_spark.ops.robots import crawl_delays, fetch_plan
+
+    docs = _docs(spark, sf_dir)
+    h = F.col("doc_id") % 10
+    pages = docs.select(
+        F.concat(F.lit("https://h"), h.cast("string"),
+                 F.lit(".example.org/p/"), F.col("doc_id").cast("string"))
+        .alias("url")
+    )
+    robots_rows = [
+        (f"h{i}.example.org", f"User-agent: *\nCrawl-delay: {2 + i}")
+        for i in range(5)
+    ] + [
+        (
+            "h5.example.org",
+            "User-agent: mybot\nCrawl-delay: 7\n\nUser-agent: *\nCrawl-delay: 3",
+        )
+    ]
+    robots = spark.createDataFrame(robots_rows, ["host", "body"])
+    plan = fetch_plan(pages, crawl_delays(robots, agent="mybot"))
+    return plan.select(
+        "host",
+        F.col("n_pages").cast("long").alias("n_pages"),
+        F.col("crawl_delay_sec").cast("int").alias("crawl_delay_sec"),
+        F.col("est_fetch_sec").cast("long").alias("est_fetch_sec"),
+    )
+
+
+def q_audio_headers(spark, sf_dir):
+    """Real audio-identity parsing (ops/multimodal.parse_audio_header):
+    WAV/RIFF chunk walk (channels, sample rate, bit depth, byte-rate
+    bitrate, declared-data duration) and MP3 frame-header decode
+    (version/layer/bitrate/sample-rate tables, ID3v2 skip).  Payloads are
+    REAL binary headers built as hex literals at query-build time; a
+    quarter of docs carry a non-audio blob whose fields must come back
+    NULL.  The oracle states every field in closed form from doc_id."""
+    import struct
+
+    _ship_package(spark)
+    from html_parser_spark.ops.multimodal import audio_headers
+
+    def wav_hex(ch: int, sr: int, bits: int) -> str:
+        byte_rate = sr * ch * bits // 8
+        data = byte_rate if ch == 1 else byte_rate // 2  # 1000ms / 500ms
+        b = (
+            b"RIFF" + struct.pack("<I", 36 + data) + b"WAVEfmt "
+            + struct.pack("<IHHIIHH", 16, 1, ch, sr, byte_rate,
+                          ch * bits // 8, bits)
+            + b"data" + struct.pack("<I", data)
+        )
+        return b.hex()
+
+    def mp3_hex(sr_idx: int, with_id3: bool) -> str:
+        # MPEG1 Layer III, bitrate index 9 (128 kbps), stereo; optional
+        # ID3v2.4 tag with a 10-byte syncsafe body the parser must skip
+        frame = bytes([0xFF, 0xFB, 0x90 | (sr_idx << 2), 0x00])
+        id3 = b"ID3" + bytes([4, 0, 0, 0, 0, 0, 10]) + b"\x00" * 10
+        return ((id3 if with_id3 else b"") + frame).hex()
+
+    srs = [8000, 22050, 44100]
+    mono = F.array(*[F.lit(wav_hex(1, s, 16)) for s in srs])
+    stereo = F.array(*[F.lit(wav_hex(2, s, 8)) for s in srs])
+    mp3s = F.array(*[F.lit(mp3_hex(i, False)) for i in range(3)])
+    mp3s_id3 = F.array(*[F.lit(mp3_hex(i, True)) for i in range(3)])
+
+    docs = _docs(spark, sf_dir)
+    k = F.col("doc_id") % 4
+    j = (F.col("doc_id") % 3 + 1).cast("int")
+    hexes = (
+        F.when(k == 0, F.element_at(mono, j))
+        .when(k == 1, F.element_at(stereo, j))
+        .when(k == 2, F.when(F.col("doc_id") % 2 == 0,
+                             F.element_at(mp3s_id3, j))
+                       .otherwise(F.element_at(mp3s, j)))
+    )
+    payload = (
+        F.when(k == 3, F.encode(F.concat(F.lit("NOAUDIO "),
+                                         F.substring("text", 1, 40)), "UTF-8"))
+        .otherwise(F.unhex(hexes))
+    )
+    media = docs.select("doc_id", payload.alias("payload"))
+    out = audio_headers(media)
+    # numeric fields coalesce to 0 for non-audio rows (pandas would upcast
+    # a NULL-bearing INTEGER column to float64 under the driver's hash)
+    return out.select(
+        "doc_id", "format",
+        F.coalesce(F.col("channels"), F.lit(0)).cast("int").alias("channels"),
+        F.coalesce(F.col("sample_rate"), F.lit(0)).cast("int").alias("sample_rate"),
+        F.coalesce(F.col("bits_per_sample"), F.lit(0)).cast("int").alias("bits_per_sample"),
+        F.coalesce(F.col("bitrate_kbps"), F.lit(0)).cast("int").alias("bitrate_kbps"),
+        F.coalesce(F.col("duration_ms"), F.lit(0)).cast("int").alias("duration_ms"),
+    )
+
+
 def q_soft404(spark, sf_dir):
     """Soft-404 detection (ops/web.soft_404_flags): eight page families —
     classic not-found, normal, parked-domain (short + phrase), a 404 title
@@ -1506,6 +1679,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_image_headers": q_image_headers,
         # -- new in round 4 --
         # (insert new queries here so they land inside the driver window)
+        "q_audio_headers": q_audio_headers,
+        "q_image_dhash": q_image_dhash,
+        "q_stratified_sample": q_stratified_sample,
+        "q_vocab": q_vocab,
+        "q_crawl_plan": q_crawl_plan,
+        # changed this round (full-PSL default + ccTLD branches): keep a
+        # driver row on the new behavior
+        "q_psl_domain": q_psl_domain,
         # -- round-3-green veterans kept inside the window --
         "q_filter_project": q_filter_project,
         "q_agg_pricing": q_agg_pricing,
@@ -1534,7 +1715,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_id": q_lang_id,
         "q_span_dedup": q_span_dedup,
         "q_url_parts": q_url_parts,
-        "q_psl_domain": q_psl_domain,
         "q_url_canon": q_url_canon,
         # -- round-3-green veterans rotated past the 50-query window --
         "q_dim_broadcast_join": q_dim_broadcast_join,
@@ -2761,6 +2941,103 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN k IN (0, 2, 3, 7) AND blen < 512 THEN 1
                              ELSE 0 END AS INTEGER) AS soft404
             FROM f
+        """,
+        "q_stratified_sample": """
+            -- the same 16-bit md5-prefix bucket via strpos arithmetic;
+            -- thresholds = fraction * 65536 (en 25%, zh 75%, de 50%,
+            -- es/fr dropped)
+            WITH b AS (
+              SELECT doc_id, lang,
+                     md5('strat' || CAST(doc_id AS VARCHAR)) AS h
+              FROM documents
+            ), v AS (
+              SELECT doc_id, lang,
+                     (strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 4096
+                   + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1) * 256
+                   + (strpos('0123456789abcdef', substring(h, 3, 1)) - 1) * 16
+                   + (strpos('0123456789abcdef', substring(h, 4, 1)) - 1)
+                       AS bucket
+              FROM b
+            )
+            SELECT doc_id, lang FROM v
+            WHERE bucket < CASE lang WHEN 'en' THEN 16384
+                                     WHEN 'zh' THEN 49152
+                                     WHEN 'de' THEN 32768
+                                     ELSE 0 END
+        """,
+        "q_vocab": """
+            -- same whitespace tokenization as q_tfidf; both counters in
+            -- one GROUP BY; rank = count desc, term asc over the top 50
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                       regexp_split_to_array(lower(text), '\\s+'),
+                       x -> len(x) > 0)) AS term
+              FROM documents
+            ), v AS (
+              SELECT term, count(*) AS term_count,
+                     count(DISTINCT doc_id) AS doc_count
+              FROM toks GROUP BY term
+            )
+            SELECT term, term_count, doc_count,
+                   row_number() OVER (ORDER BY term_count DESC, term ASC)
+                     AS rank
+            FROM v ORDER BY term_count DESC, term ASC LIMIT 50
+        """,
+        "q_image_dhash": """
+            -- closed-form 64-bit hashes: ascending gradient -> every
+            -- right neighbor brighter -> all ones = -1 signed; 9-wide
+            -- checkerboard -> 10101010 per row = 0xAAAA.. signed; PPM
+            -- descending gradient -> strict '>' never fires -> 0;
+            -- non-image -> decoded 0, hash coalesced to 0
+            SELECT doc_id,
+                   CAST(CASE WHEN doc_id % 4 IN (0, 1, 2) THEN 1 ELSE 0 END
+                        AS INTEGER) AS decoded,
+                   CAST(CASE doc_id % 4
+                          WHEN 0 THEN -1
+                          WHEN 1 THEN -6148914691236517206
+                          ELSE 0 END AS BIGINT) AS dhash
+            FROM documents
+        """,
+        "q_crawl_plan": """
+            -- per-host page counts x closed-form delays: hosts 0-4 carry
+            -- wildcard Crawl-delay 2..6, host 5's mybot group (7) beats
+            -- its '*' group (3), hosts 6-9 default to 1
+            WITH d AS (SELECT doc_id % 10 AS h FROM documents),
+            c AS (SELECT h, count(*) AS n FROM d GROUP BY h)
+            SELECT 'h' || h || '.example.org' AS host,
+                   CAST(n AS BIGINT) AS n_pages,
+                   CAST(CASE WHEN h < 5 THEN 2 + h WHEN h = 5 THEN 7
+                             ELSE 1 END AS INTEGER) AS crawl_delay_sec,
+                   CAST(n * (CASE WHEN h < 5 THEN 2 + h WHEN h = 5 THEN 7
+                                  ELSE 1 END) AS BIGINT) AS est_fetch_sec
+            FROM c
+        """,
+        "q_audio_headers": """
+            -- closed-form expected fields per payload family: k=0 WAV
+            -- mono/16-bit (1000ms declared data), k=1 WAV stereo/8-bit
+            -- (500ms), k=2 MP3 MPEG1-L3 128kbps stereo (sample rate by
+            -- doc_id%3, ID3v2-prefixed on even ids — same parse either
+            -- way), k=3 non-audio blob -> NULL format, zeroed numerics
+            SELECT doc_id,
+                   CASE WHEN doc_id % 4 IN (0, 1) THEN 'wav'
+                        WHEN doc_id % 4 = 2 THEN 'mp3' END AS format,
+                   CAST(CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 2
+                             WHEN 2 THEN 2 ELSE 0 END AS INTEGER) AS channels,
+                   CAST(CASE WHEN doc_id % 4 IN (0, 1)
+                                  THEN ([8000, 22050, 44100])[(doc_id % 3) + 1]
+                             WHEN doc_id % 4 = 2
+                                  THEN ([44100, 48000, 32000])[(doc_id % 3) + 1]
+                             ELSE 0 END AS INTEGER) AS sample_rate,
+                   CAST(CASE doc_id % 4 WHEN 0 THEN 16 WHEN 1 THEN 8
+                             ELSE 0 END AS INTEGER) AS bits_per_sample,
+                   CAST(CASE WHEN doc_id % 4 IN (0, 1)
+                                  THEN ([128, 352, 705])[(doc_id % 3) + 1]
+                             WHEN doc_id % 4 = 2 THEN 128
+                             ELSE 0 END AS INTEGER) AS bitrate_kbps,
+                   CAST(CASE doc_id % 4 WHEN 0 THEN 1000 WHEN 1 THEN 500
+                             ELSE 0 END AS INTEGER) AS duration_ms
+            FROM documents
         """,
         "q_familiarity": """
             -- same trigram + top-50 profile CTEs as q_lang_id, then two

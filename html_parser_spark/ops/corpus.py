@@ -30,7 +30,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .dedup import _with_shingles, near_dup_components
 
@@ -59,6 +59,71 @@ def assign_split(
     return docs.withColumn(
         "split",
         F.when(b < train_hi, "train").when(b < valid_hi, "valid").otherwise("test"),
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    fractions: "dict[str, float]",
+    strat_col: str = "lang",
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+    salt: str = "strat",
+) -> DataFrame:
+    """Deterministic per-stratum sample: keep a row iff its 16-bit
+    md5-prefix bucket (of ``salt || id``) falls below ``fraction × 65536``
+    for its stratum — the corpus-balancing primitive (downsample the
+    over-represented language / domain, keep the rest).
+
+    Unlike ``DataFrame.sampleBy`` the decision is a pure function of the
+    document id: re-runs, repartitions, engines, and pipeline versions all
+    select the SAME documents (an id sampled in is sampled in forever, so
+    incremental re-curation never churns the corpus).  Pure per-row filter
+    expression — zero shuffle at any scale."""
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 4),
+        16,
+        10,
+    ).cast("int")
+    thresh = F.lit(int(default_fraction * 65536))
+    for k, frac in sorted(fractions.items()):
+        thresh = F.when(F.col(strat_col) == k, int(frac * 65536)).otherwise(thresh)
+    return docs.filter(bucket < thresh)
+
+
+def build_vocab(
+    docs: DataFrame,
+    k: int | None = 10_000,
+    min_count: int = 1,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus vocabulary: (term, term_count, doc_count, rank) — the seed
+    table for tokenizer training, OOV audits, and frequency-based filters.
+
+    explode → ONE groupBy(term) carrying both counters (term occurrences
+    via count, document frequency via count_distinct — both partial-agg
+    friendly).  Ranking is count-desc with term-asc tiebreak, computed
+    ONLY for the top-k via distributed orderBy+limit (TakeOrderedAndProject
+    — never a single-partition sort of the full vocabulary; at crawl scale
+    the vocab itself is 100M+ rows).  ``k=None`` returns the full unranked
+    vocabulary."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("term"),
+    ).filter(F.length("term") > 0)
+    vocab = toks.groupBy("term").agg(
+        F.count("*").alias("term_count"),
+        F.countDistinct("doc_id").alias("doc_count"),
+    )
+    if min_count > 1:
+        vocab = vocab.filter(F.col("term_count") >= min_count)
+    if k is None:
+        return vocab
+    top = vocab.orderBy(F.desc("term_count"), F.asc("term")).limit(k)
+    w = Window.orderBy(F.desc("term_count"), F.asc("term"))
+    # the global window runs over at most k rows (post-limit) — bounded
+    return top.select(
+        "term", "term_count", "doc_count", F.row_number().over(w).alias("rank")
     )
 
 

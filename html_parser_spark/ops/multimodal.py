@@ -205,6 +205,219 @@ IMAGE_HEADER_SCHEMA = T.StructType(
 )
 
 
+def _parse_pnm(raw: bytes):
+    """P5/P6 (binary PGM/PPM) → (width, height, bytes_per_px, raster
+    offset), or None.  Shares the header-token walk with
+    :func:`parse_image_header` semantics: whitespace/comment separated
+    width, height, maxval, then a single whitespace byte before the
+    raster."""
+    if raw[:2] not in (b"P5", b"P6"):
+        return None
+    toks: list[bytes] = []
+    i, n = 2, len(raw)
+    while i < n and len(toks) < 3:
+        c = raw[i:i + 1]
+        if c == b"#":
+            while i < n and raw[i:i + 1] != b"\n":
+                i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < n and not raw[j:j + 1].isspace():
+                j += 1
+            toks.append(raw[i:j])
+            i = j
+    if len(toks) < 3 or i >= n:
+        return None
+    try:
+        w, h, maxval = int(toks[0]), int(toks[1]), int(toks[2])
+    except ValueError:
+        return None
+    if w <= 0 or h <= 0 or maxval <= 0 or maxval > 255:
+        return None
+    return w, h, (3 if raw[:2] == b"P6" else 1), i + 1  # one ws after maxval
+
+
+def dhash64(raw: bytes) -> int | None:
+    """Perceptual difference-hash (dHash) over a PGM/PPM payload: sample a
+    9×8 grid of gray pixels (nearest-neighbor; PPM grays via (r+g+b)//3),
+    emit bit 1 where the right neighbor is brighter — 64 bits total,
+    returned as a SIGNED 64-bit int (two's complement, BIGINT-storable).
+
+    The image-side twin of embedding near-dup: visually identical crawl
+    images hash equal (and near-identical ones within a few bits) no
+    matter how they were re-encoded, so exact/near dedup over billions of
+    blobs becomes a groupBy/banded-join on an 8-byte key.  Real pixel
+    decode — no stub — for the dependency-free PNM formats; other formats
+    return None until `real_decode` gets a library."""
+    p = _parse_pnm(raw)
+    if p is None:
+        return None
+    w, h, bpp, off = p
+    if len(raw) < off + w * h * bpp:
+        return None  # truncated raster
+
+    def gray(x: int, y: int) -> int:
+        base = off + (y * w + x) * bpp
+        if bpp == 1:
+            return raw[base]
+        return (raw[base] + raw[base + 1] + raw[base + 2]) // 3
+
+    bits = 0
+    for gy in range(8):
+        y = gy * h // 8
+        row = [gray(gx * w // 9, y) for gx in range(9)]
+        for gx in range(8):
+            bits = (bits << 1) | (1 if row[gx + 1] > row[gx] else 0)
+    return bits - (1 << 64) if bits >= (1 << 63) else bits  # two's complement
+
+
+def image_dhash(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """media + ``dhash`` BIGINT column (NULL for non-PNM payloads).  One
+    Arrow-batched UDF, no shuffle; downstream near-dup is then
+    ``groupBy('dhash')`` for exact perceptual dups or a banded join over
+    16-bit hash slices for hamming-distance candidates — identical shapes
+    to ops/dedup.py's SimHash path."""
+
+    @F.pandas_udf(T.LongType())
+    def _udf(p: pd.Series) -> pd.Series:
+        from html_parser_spark.ops.multimodal import dhash64
+
+        # build via pd.array with the nullable Int64 dtype: Series.map
+        # would infer float64 for an int+None result and silently round
+        # the low ~11 bits of every 64-bit hash before any astype
+        vals = [dhash64(bytes(b)) if b is not None else None for b in p]
+        return pd.Series(pd.array(vals, dtype="Int64"), index=p.index)
+
+    return media.withColumn("dhash", _udf(F.col(payload_col)))
+
+
+def parse_audio_header(raw: bytes) -> dict | None:
+    """bytes → {format, channels, sample_rate, bits_per_sample,
+    bitrate_kbps, duration_ms} for WAV/RIFF and MP3 frame headers, or None
+    when the magic matches nothing.  Pure stdlib, total on truncated input
+    (None, never a raise) — the audio twin of :func:`parse_image_header`.
+
+    WAV: walks RIFF chunks (word-aligned) to the ``fmt `` block;
+    ``duration_ms`` comes from the DECLARED ``data`` size over byte rate,
+    so a header-only sniff (first KB of a blob) still yields it.
+    MP3: skips an ID3v2 tag (syncsafe size), then decodes the first frame
+    header — MPEG version / layer / bitrate / sample-rate tables per the
+    published frame format; bits_per_sample is NULL (lossy codec) and
+    duration is NULL (needs the full stream)."""
+    import struct
+
+    try:
+        if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
+            i, n = 12, len(raw)
+            fmt = None
+            data_size = None
+            while i + 8 <= n:
+                cid = raw[i:i + 4]
+                size = struct.unpack("<I", raw[i + 4:i + 8])[0]
+                if cid == b"fmt " and i + 24 <= n:
+                    ch, sr, byte_rate = struct.unpack(
+                        "<HII", raw[i + 10:i + 20]
+                    )
+                    bits = struct.unpack("<H", raw[i + 22:i + 24])[0]
+                    fmt = (ch, sr, byte_rate, bits)
+                elif cid == b"data":
+                    data_size = size
+                if fmt is not None and data_size is not None:
+                    break
+                i += 8 + size + (size & 1)  # chunks are word-aligned
+            if fmt is None:
+                return None
+            ch, sr, byte_rate, bits = fmt
+            return {
+                "format": "wav",
+                "channels": ch,
+                "sample_rate": sr,
+                "bits_per_sample": bits,
+                "bitrate_kbps": byte_rate * 8 // 1000 if byte_rate else None,
+                "duration_ms": (
+                    data_size * 1000 // byte_rate
+                    if data_size is not None and byte_rate
+                    else None
+                ),
+            }
+        i = 0
+        if raw[:3] == b"ID3" and len(raw) >= 10:
+            ss = raw[6:10]
+            if max(ss) < 0x80:  # syncsafe: high bit clear per byte
+                i = 10 + ((ss[0] << 21) | (ss[1] << 14) | (ss[2] << 7) | ss[3])
+        if len(raw) >= i + 4 and raw[i] == 0xFF and (raw[i + 1] & 0xE0) == 0xE0:
+            b1, b2, b3 = raw[i + 1], raw[i + 2], raw[i + 3]
+            version = (b1 >> 3) & 3  # 0=MPEG2.5, 1=reserved, 2=MPEG2, 3=MPEG1
+            layer = (b1 >> 1) & 3    # 0=reserved, 1=III, 2=II, 3=I
+            br_idx = b2 >> 4
+            sr_idx = (b2 >> 2) & 3
+            if version == 1 or layer == 0 or br_idx in (0, 15) or sr_idx == 3:
+                return None  # reserved/free/bad combinations: not a frame
+            sr = {
+                3: (44100, 48000, 32000),
+                2: (22050, 24000, 16000),
+                0: (11025, 12000, 8000),
+            }[version][sr_idx]
+            v1 = {
+                1: (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+                2: (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+                3: (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+            }
+            v2 = {
+                3: (0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+            }
+            v2l23 = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+            table = v1[layer] if version == 3 else v2.get(layer, v2l23)
+            return {
+                "format": "mp3",
+                "channels": 1 if (b3 >> 6) == 3 else 2,
+                "sample_rate": sr,
+                "bits_per_sample": None,
+                "bitrate_kbps": table[br_idx],
+                "duration_ms": None,
+            }
+    except (struct.error, ValueError, IndexError):
+        return None
+    return None
+
+
+AUDIO_HEADER_SCHEMA = T.StructType(
+    [
+        T.StructField("format", T.StringType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("bits_per_sample", T.IntegerType()),
+        T.StructField("bitrate_kbps", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+    ]
+)
+
+
+def audio_headers(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """media + WAV/MP3 identity columns parsed from the payload's header
+    bytes — NULL fields when the magic matches nothing.  One Arrow-batched
+    UDF, no shuffle; same shape as :func:`image_headers`."""
+
+    @F.pandas_udf(AUDIO_HEADER_SCHEMA)
+    def _udf(p: pd.Series) -> pd.DataFrame:
+        from html_parser_spark.ops.multimodal import parse_audio_header
+
+        cols: dict[str, list] = {f.name: [] for f in AUDIO_HEADER_SCHEMA.fields}
+        for b in p:
+            r = parse_audio_header(bytes(b) if b is not None else b"") or {}
+            for k in cols:
+                cols[k].append(r.get(k))
+        return pd.DataFrame(cols, copy=False)
+
+    out = media.withColumn("_ah", _udf(F.col(payload_col)))
+    return out.select(
+        *[c for c in media.columns],
+        *[F.col(f"_ah.{f.name}").alias(f.name) for f in AUDIO_HEADER_SCHEMA.fields],
+    )
+
+
 def image_headers(media: DataFrame, payload_col: str = "payload") -> DataFrame:
     """media + (format, width, height, bit_depth) parsed from the payload's
     header bytes — NULL struct fields when the magic matches nothing.  One

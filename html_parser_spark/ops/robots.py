@@ -36,14 +36,12 @@ _DIRECTIVE_RE = r"^([A-Za-z-]+)\s*:"
 _VALUE_RE = r"^[A-Za-z-]+\s*:\s*(.*?)\s*$"
 
 
-def parse_robots(
-    robots: DataFrame, host_col: str = "host", body_col: str = "body"
+def _agent_grouped_directives(
+    robots: DataFrame, host_col: str, body_col: str, directives: tuple[str, ...]
 ) -> DataFrame:
-    """(host, body) → (host, agent, rule, path_prefix) rule rows.
-
-    Comment stripping, case-insensitive directives, empty-Disallow
-    dropped (an empty value means "allow everything" — it is the absence
-    of a rule, not a rule)."""
+    """(host, body) → (host, agent, directive, value) rows for the asked
+    ``directives``, each attributed to the nearest preceding
+    ``User-agent:`` line (running last-non-null window per host)."""
     lines = robots.select(
         F.col(host_col).alias("host"),
         F.posexplode(F.split(F.col(body_col), "\n")).alias("pos", "line"),
@@ -57,7 +55,7 @@ def parse_robots(
         "pos",
         F.lower(F.regexp_extract("line", _DIRECTIVE_RE, 1)).alias("directive"),
         F.regexp_extract("line", _VALUE_RE, 1).alias("value"),
-    ).filter(F.col("directive").isin("user-agent", "allow", "disallow"))
+    ).filter(F.col("directive").isin("user-agent", *directives))
     w = (
         Window.partitionBy("host")
         .orderBy("pos")
@@ -71,14 +69,87 @@ def parse_robots(
         ).over(w),
     )
     return grouped.filter(
-        F.col("directive").isin("allow", "disallow")
-        & F.col("agent").isNotNull()
-        & (F.col("value") != "")
-    ).select(
+        F.col("directive").isin(*directives) & F.col("agent").isNotNull()
+    ).select("host", "agent", "directive", "value")
+
+
+def parse_robots(
+    robots: DataFrame, host_col: str = "host", body_col: str = "body"
+) -> DataFrame:
+    """(host, body) → (host, agent, rule, path_prefix) rule rows.
+
+    Comment stripping, case-insensitive directives, empty-Disallow
+    dropped (an empty value means "allow everything" — it is the absence
+    of a rule, not a rule)."""
+    rows = _agent_grouped_directives(
+        robots, host_col, body_col, ("allow", "disallow")
+    )
+    return rows.filter(F.col("value") != "").select(
         "host",
         "agent",
         F.col("directive").alias("rule"),
         F.col("value").alias("path_prefix"),
+    )
+
+
+def crawl_delays(
+    robots: DataFrame,
+    host_col: str = "host",
+    body_col: str = "body",
+    agent: str = "*",
+) -> DataFrame:
+    """(host, body) → (host, crawl_delay_sec) for ``agent``, with the same
+    RFC 9309 group selection as the verdicts (agent-specific group where
+    the host defines one, else the ``*`` group).  Non-numeric values are
+    dropped; several delay lines in the winning group keep the MAX
+    (politest reading).  Integer seconds — fractional delays round up so
+    a 0.5 never becomes a 0 (never politer-than-asked in reverse)."""
+    rows = _agent_grouped_directives(robots, host_col, body_col, ("crawl-delay",))
+    delays = rows.select(
+        "host",
+        "agent",
+        F.ceil(
+            F.nullif(
+                F.regexp_extract("value", r"^(\d+(?:\.\d+)?)", 1), F.lit("")
+            ).cast("double")
+        )
+        .cast("int")
+        .alias("crawl_delay_sec"),
+    ).filter(F.col("crawl_delay_sec").isNotNull())
+    picked = _rules_for_agent(delays, agent)
+    return picked.groupBy("host").agg(
+        F.max("crawl_delay_sec").alias("crawl_delay_sec")
+    )
+
+
+def fetch_plan(
+    pages: DataFrame,
+    delays: DataFrame,
+    default_delay_sec: int = 1,
+    url_col: str = "url",
+) -> DataFrame:
+    """Per-host crawl schedule: (host, n_pages, crawl_delay_sec,
+    est_fetch_sec) where est_fetch_sec = n_pages × delay — the politeness
+    cost model a frontier scheduler feeds on (hosts whose estimate
+    dominates the crawl window need re-budgeting, see ops/linkgraph
+    crawl_budget).  ONE partial-agg groupBy over pages + an equi-join
+    against the tiny per-host delay table — explicitly broadcast: delays
+    is bounded by the robots corpus (hosts), never by pages, and the
+    hint keeps the plan broadcast even when the delay subtree's Window
+    parse defeats AQE's size estimate; integer arithmetic end-to-end."""
+    host = F.parse_url(F.col(url_col), F.lit("HOST"))
+    counts = pages.select(host.alias("host")).groupBy("host").agg(
+        F.count("*").alias("n_pages")
+    )
+    out = counts.join(F.broadcast(delays), "host", "left").withColumn(
+        "crawl_delay_sec",
+        F.coalesce(F.col("crawl_delay_sec"), F.lit(default_delay_sec)),
+    )
+    return out.select(
+        "host",
+        "n_pages",
+        "crawl_delay_sec",
+        (F.col("n_pages") * F.col("crawl_delay_sec")).alias("est_fetch_sec"),
     )
 
 
@@ -94,8 +165,12 @@ def _rules_for_agent(rules: DataFrame, agent: str) -> DataFrame:
     host_has = rules.groupBy("host").agg(
         F.max((F.col("agent") == a).cast("int")).alias("_has_specific")
     )
+    # explicit broadcast: host_has is one row per robots host (bounded by
+    # the robots corpus, never by pages) but sits behind a Window parse
+    # whose size estimate would otherwise push the planner to a
+    # sort-merge join
     return (
-        rules.join(host_has, "host")
+        rules.join(F.broadcast(host_has), "host")
         .filter(
             (F.col("agent") == a)
             | ((F.col("agent") == "*") & (F.col("_has_specific") == 0))

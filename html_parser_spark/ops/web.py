@@ -22,7 +22,6 @@ pass the full upstream PSL via the ``psl`` argument to widen coverage.
 
 from __future__ import annotations
 
-import os
 from collections.abc import Iterable
 from functools import lru_cache
 
@@ -153,11 +152,6 @@ def latest_capture(
     return agg.select(url_col, *[F.col(f"_r.{c}").alias(c) for c in (ts_col, *others)])
 
 
-_PSL_RESOURCE = os.path.join(
-    os.path.dirname(__file__), "..", "resources", "public_suffix_list.dat"
-)
-
-
 @lru_cache(maxsize=1)
 def load_psl() -> "tuple[str, ...]":
     """Parse the bundled public-suffix snapshot (upstream PSL file format:
@@ -165,14 +159,23 @@ def load_psl() -> "tuple[str, ...]":
     exception (``!``) rules are skipped — the snapshot is authored without
     them and the matcher does exact-suffix matching only (documented
     deviation; the handful of upstream wildcard TLDs are expanded to their
-    common second-levels in the snapshot instead)."""
+    common second-levels in the snapshot instead).  Loaded through
+    importlib.resources so executors importing the package from the
+    --py-files zip read it too (plain open() on a path fails under
+    zipimport — same pattern as resources.py's TAGS)."""
+    import importlib.resources as _ir
+
+    text = (
+        _ir.files("html_parser_spark")
+        .joinpath("resources/public_suffix_list.dat")
+        .read_text("utf-8")
+    )
     out = []
-    with open(_PSL_RESOURCE, encoding="utf-8") as f:
-        for line in f:
-            s = line.strip()
-            if not s or s.startswith("//") or s.startswith(("!", "*.")):
-                continue
-            out.append(s)
+    for line in text.splitlines():
+        s = line.strip()
+        if not s or s.startswith("//") or s.startswith(("!", "*.")):
+            continue
+        out.append(s)
     return tuple(out)
 
 

@@ -36,6 +36,117 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def curate_docs(
+    spark,
+    docs,
+    *,
+    min_tokens: int = 10,
+    max_top_word_frac: float = 0.5,
+    max_dup_bigram_frac: float = 0.9,
+    gopher: bool = False,
+    span_dedup_tokens: int = 0,
+    scrub_pii: bool = False,
+    num_hashes: int = 8,
+    bands: int = 4,
+):
+    """The shared curation chain over (doc_id, text, lang):
+
+        quality gate (repetition stats [+ Gopher battery])
+        → optional C4-style span dedup
+        → optional PII scrub
+        → near-dup survivors (MinHash-LSH → components → LEFT ANTI)
+        → deterministic md5-bucket split assignment
+
+    Returns (split-assigned survivors DataFrame, funnel-metrics dict).
+    Used by this CLI and by jobs/flagship_job.py so the composed pipeline
+    and the standalone stage can never drift apart."""
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    from html_parser_spark.ops.corpus import (
+        assign_split,
+        dedup_survivors,
+        repetition_stats,
+    )
+    from html_parser_spark.ops.text import pii_scrub
+
+    n_in = docs.count()
+
+    # 1. repetition / quality gate (Gopher-style features, JVM-side)
+    rep = repetition_stats(docs)
+    keep = rep.where(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("top_word_frac") <= max_top_word_frac)
+        & (F.col("dup_bigram_frac") <= max_dup_bigram_frac)
+    ).select("doc_id")
+    docs = docs.join(keep, "doc_id", "left_semi")
+    if gopher:
+        # the full published battery (word count, mean length, symbol
+        # ratio, bullets, ellipses, alpha fraction, stop words) — all
+        # integer-exact column expressions riding the same scan
+        from html_parser_spark.ops.gopher import gopher_rules
+
+        docs = (
+            gopher_rules(docs, min_words=min_tokens)
+            .where(F.col("keep"))
+            .select("doc_id", "text", "lang")
+        )
+    # materialize the filter output BEFORE counting: the count is an
+    # action, and without the persist every later stage recomputes the
+    # full repetition/rule chain over the corpus a second time
+    docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
+    n_filtered = docs.count()
+
+    # 1b. C4-style span dedup (optional): strip cross-document boilerplate
+    # spans before doc-level near-dup, so shared banners don't glue
+    # otherwise-distinct documents into one LSH cluster
+    n_spans_dropped = 0
+    if span_dedup_tokens > 0:
+        from html_parser_spark.ops.corpus import span_dedup
+
+        sd = span_dedup(docs, span_tokens=span_dedup_tokens).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        n_spans_dropped = sd.agg(
+            F.sum("n_spans_dropped").cast("long").alias("d")
+        ).collect()[0]["d"] or 0
+        docs = sd.join(docs.select("doc_id", "lang"), "doc_id").select(
+            "doc_id", F.col("clean_text").alias("text"), "lang"
+        )
+
+    # 2. PII scrub (narrow, rides the same scan) — then MATERIALIZE.
+    # The persist here is load-bearing, not a cache hint: Catalyst does no
+    # CSE inside higher-order-function lambdas (see ops/dedup.py
+    # word_shingles PERF note), so feeding the scrub expression straight
+    # into the shingle transforms re-runs the regex chain once per
+    # consumer per row (measured ~45x on 500 KB extracted pages).  The
+    # persist cuts the plan so dedup/split/write all read the scrubbed
+    # bytes exactly once; MEMORY_AND_DISK spills instead of OOMing when
+    # the post-filter corpus outgrows executor memory at crawl scale.
+    if scrub_pii:
+        docs = docs.withColumn("text", pii_scrub(F.col("text")))
+    docs = docs.withColumn("n_chars", F.length("text").cast("long"))
+    docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
+
+    # 3. near-dup survivors (LSH → components → anti-join)
+    docs = dedup_survivors(
+        docs.select("doc_id", "text", "lang", "n_chars"),
+        num_hashes=num_hashes,
+        bands=bands,
+    )
+    n_dedup = docs.count()
+
+    # 4. deterministic split assignment (write is the caller's concern)
+    docs = assign_split(docs)
+    funnel = {
+        "spans_dropped": int(n_spans_dropped),
+        "docs_in": n_in,
+        "after_quality_filter": n_filtered,
+        "after_dedup": n_dedup,
+    }
+    return docs, funnel
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", help="documents parquet (doc_id, text, lang)")
@@ -63,13 +174,7 @@ def main(argv=None):
 
     from pyspark.sql import SparkSession, functions as F
 
-    from html_parser_spark.ops.corpus import (
-        assign_split,
-        chunk_plan,
-        dedup_survivors,
-        repetition_stats,
-    )
-    from html_parser_spark.ops.text import pii_scrub
+    from html_parser_spark.ops.corpus import chunk_plan
 
     spark = SparkSession.getActiveSession()
     if spark is None:
@@ -113,81 +218,20 @@ def main(argv=None):
             F.col("extracted_text").alias("text"),
             "lang",
         )
-    n_in = docs.count()
-
-    # 1. repetition / quality gate (Gopher-style features, JVM-side)
-    rep = repetition_stats(docs)
-    keep = rep.where(
-        (F.col("n_tokens") >= args.min_tokens)
-        & (F.col("top_word_frac") <= args.max_top_word_frac)
-        & (F.col("dup_bigram_frac") <= args.max_dup_bigram_frac)
-    ).select("doc_id")
-    docs = docs.join(keep, "doc_id", "left_semi")
-    if args.gopher:
-        # the full published battery (word count, mean length, symbol
-        # ratio, bullets, ellipses, alpha fraction, stop words) — all
-        # integer-exact column expressions riding the same scan
-        from html_parser_spark.ops.gopher import gopher_rules
-
-        docs = (
-            gopher_rules(docs, min_words=args.min_tokens)
-            .where(F.col("keep"))
-            .select("doc_id", "text", "lang")
-        )
-    # materialize the filter output BEFORE counting: the count is an
-    # action, and without the persist every later stage recomputes the
-    # full repetition/rule chain over the corpus a second time
-    from pyspark import StorageLevel as _SL0
-
-    docs = docs.persist(_SL0.MEMORY_AND_DISK)
-    n_filtered = docs.count()
-
-    # 1b. C4-style span dedup (optional): strip cross-document boilerplate
-    # spans before doc-level near-dup, so shared banners don't glue
-    # otherwise-distinct documents into one LSH cluster
-    n_spans_dropped = 0
-    if args.span_dedup_tokens > 0:
-        from pyspark import StorageLevel as _SL
-
-        from html_parser_spark.ops.corpus import span_dedup
-
-        sd = span_dedup(docs, span_tokens=args.span_dedup_tokens).persist(
-            _SL.MEMORY_AND_DISK
-        )
-        n_spans_dropped = sd.agg(
-            F.sum("n_spans_dropped").cast("long").alias("d")
-        ).collect()[0]["d"] or 0
-        docs = sd.join(docs.select("doc_id", "lang"), "doc_id").select(
-            "doc_id", F.col("clean_text").alias("text"), "lang"
-        )
-
-    # 2. PII scrub (narrow, rides the same scan) — then MATERIALIZE.
-    # The persist here is load-bearing, not a cache hint: Catalyst does no
-    # CSE inside higher-order-function lambdas (see ops/dedup.py
-    # word_shingles PERF note), so feeding the scrub expression straight
-    # into the shingle transforms re-runs the regex chain once per
-    # consumer per row (measured ~45x on 500 KB extracted pages).  The
-    # persist cuts the plan so dedup/split/write all read the scrubbed
-    # bytes exactly once; MEMORY_AND_DISK spills instead of OOMing when
-    # the post-filter corpus outgrows executor memory at crawl scale.
-    if args.scrub_pii:
-        docs = docs.withColumn("text", pii_scrub(F.col("text")))
-    docs = docs.withColumn("n_chars", F.length("text").cast("long"))
-    from pyspark import StorageLevel
-
-    docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
-
-    # 3. near-dup survivors (LSH → components → anti-join)
-    docs = dedup_survivors(
-        docs.select("doc_id", "text", "lang", "n_chars"),
+    docs, funnel = curate_docs(
+        spark,
+        docs,
+        min_tokens=args.min_tokens,
+        max_top_word_frac=args.max_top_word_frac,
+        max_dup_bigram_frac=args.max_dup_bigram_frac,
+        gopher=args.gopher,
+        span_dedup_tokens=args.span_dedup_tokens,
+        scrub_pii=args.scrub_pii,
         num_hashes=args.num_hashes,
         bands=args.bands,
     )
-    n_dedup = docs.count()
 
-    # 4. deterministic split + write, partitioned by split so training reads
-    #    prune to one directory
-    docs = assign_split(docs)
+    # write partitioned by split so training reads prune to one directory
     out_docs = os.path.join(args.output, "docs")
     docs.write.mode("overwrite").partitionBy("split").parquet(out_docs)
     # explicit schema: an aggressive filter chain can legitimately drop
@@ -210,10 +254,7 @@ def main(argv=None):
     print(json.dumps({
         "job": "curate",
         **({"captures_in": n_captures} if n_captures is not None else {}),
-        "spans_dropped": n_spans_dropped,
-        "docs_in": n_in,
-        "after_quality_filter": n_filtered,
-        "after_dedup": n_dedup,
+        **funnel,
         "splits": splits,
         "chunks": n_chunks,
     }))

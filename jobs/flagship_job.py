@@ -1,0 +1,310 @@
+"""spark-submit entry point for the COMPOSED crawl-to-corpus pipeline —
+the whole extract→curate→graph chain as ONE resumable job:
+
+    spark-submit --py-files htmlps.zip jobs/flagship_job.py \
+        --pages <parquet | synth:<sf_dir> | warc:<glob>> --output <dir> \
+        [--robots <parquet>] [--partitions 64] [--min-tokens 10] \
+        [--gopher] [--scrub-pii] [--span-dedup-tokens 0] \
+        [--chunk-tokens 0] [--iterations 3] [--budget-pages 0] \
+        [--stop-after extract|graph|curate|chunks] [--limit 0]
+
+Stage DAG (each stage's scale shape documented at its op):
+
+  pages ──robots gate──▶ EXTRACT   main-content strip, chunk-level resume
+        │                          via CheckpointedExtraction (anti-join of
+        │                          done urls — a killed run re-does at most
+        │                          the in-flight chunk)  → <out>/extract/
+        └───────────────▶ GRAPH    outlinks → host edges → integer PageRank
+                                   [→ crawl budget]       → <out>/graph/
+  extract ─────────────▶ CURATE   canon url → latest capture → quality
+                                   gate [+Gopher] → [span dedup] → [PII]
+                                   → near-dup survivors → split
+                                                          → <out>/curate/docs
+  curate ──────────────▶ CHUNKS   context-window chunk plan (optional)
+                                                          → <out>/curate/chunks
+
+Cross-stage resume: every completed stage writes a ``_STAGE_DONE.json``
+marker carrying the row-count fingerprint of its input; a re-run skips a
+stage iff its marker exists AND the fingerprint still matches (so adding
+pages to the source invalidates downstream stages automatically, while a
+re-run over unchanged input recomputes nothing).  The extract stage is
+additionally resumable WITHIN the stage through the chunked checkpoint.
+Every stage also appends one row to ``<out>/_stage_lineage`` —
+(stage, action ran/skipped, input_fingerprint, rows_out, wall_sec) — on
+top of the extract stage's own per-partition lineage, so the whole DAG's
+history is queryable.
+
+``--stop-after`` ends the run at a stage boundary (the test harness uses
+it to simulate a kill between stages).  Emits ONE JSON line of combined
+metrics.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+STAGES = ("extract", "graph", "curate", "chunks")
+
+
+def _marker_path(stage_dir: str) -> str:
+    return os.path.join(stage_dir, "_STAGE_DONE.json")
+
+
+def _stage_done(stage_dir: str, fingerprint: int) -> bool:
+    try:
+        with open(_marker_path(stage_dir)) as f:
+            return json.load(f).get("input_fingerprint") == fingerprint
+    except (OSError, ValueError):
+        return False
+
+
+def _write_marker(stage_dir: str, fingerprint: int, **metrics) -> None:
+    os.makedirs(stage_dir, exist_ok=True)
+    tmp = _marker_path(stage_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"input_fingerprint": fingerprint, **metrics}, f)
+    os.replace(tmp, _marker_path(stage_dir))  # atomic: no torn marker
+
+
+def _append_stage_lineage(spark, out_dir, stage, action, fingerprint,
+                          rows_out, wall_sec) -> None:
+    row = [(stage, action, int(fingerprint), int(rows_out), float(wall_sec))]
+    spark.createDataFrame(
+        row, "stage string, action string, input_fingerprint long, "
+             "rows_out long, wall_sec double"
+    ).coalesce(1).write.mode("append").parquet(
+        os.path.join(out_dir, "_stage_lineage")
+    )
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", required=True,
+                    help="pages parquet dir, synth:<sf_dir>, or warc:<glob>")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--robots", default="",
+                    help="parquet of robots.txt bodies (host, body)")
+    ap.add_argument("--partitions", type=int, default=64)
+    ap.add_argument("--min-tokens", type=int, default=10)
+    ap.add_argument("--gopher", action="store_true")
+    ap.add_argument("--scrub-pii", action="store_true")
+    ap.add_argument("--span-dedup-tokens", type=int, default=0)
+    ap.add_argument("--chunk-tokens", type=int, default=0)
+    ap.add_argument("--num-hashes", type=int, default=8)
+    ap.add_argument("--bands", type=int, default=4)
+    ap.add_argument("--iterations", type=int, default=3)
+    ap.add_argument("--budget-pages", type=int, default=0)
+    ap.add_argument("--max-html-bytes", type=int, default=8 * 1024 * 1024)
+    ap.add_argument("--stop-after", choices=STAGES, default="")
+    ap.add_argument("--limit", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession, functions as F
+
+    from html_parser_spark.ops.boilerplate import extract_main_content
+    from html_parser_spark.spark.checkpoint import CheckpointedExtraction
+    from html_parser_spark.spark.pipeline import salted_repartition
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        from html_parser_spark.spark.session import get_spark
+
+        spark = get_spark(app_name="flagship-job")
+
+    # ---- source + politeness gate (shared by extract and graph) -----------
+    if args.pages.startswith("synth:"):
+        from html_parser_spark.data.pages import pages_df
+
+        pages = pages_df(spark, args.pages.split(":", 1)[1], include_fixtures=True)
+    elif args.pages.startswith("warc:"):
+        from html_parser_spark.sources.warc import read_warc
+
+        pages = read_warc(spark, args.pages.split(":", 1)[1]).select(
+            "url", "warc_ts", "html", F.lit(None).cast("string").alias("lang")
+        )
+    else:
+        pages = spark.read.parquet(args.pages)
+    if args.limit:
+        pages = pages.limit(args.limit)
+    if args.robots:
+        from html_parser_spark.ops.robots import parse_robots, robots_filter
+
+        pages = robots_filter(
+            pages, parse_robots(spark.read.parquet(args.robots))
+        )
+    pages = pages.select("url", "warc_ts", "html", "lang")
+    from pyspark import StorageLevel
+
+    # both extract and graph consume the gated pages; persist so a WARC
+    # source is inflated (and robots evaluated) once, not per stage
+    pages = pages.persist(StorageLevel.MEMORY_AND_DISK)
+    n_pages = pages.count()
+
+    report: dict = {"job": "flagship", "pages_in": n_pages,
+                    "stages": {}}
+
+    def finish(stage: str) -> bool:
+        return args.stop_after == stage
+
+    # ---- stage 1: EXTRACT (chunk-resumable main-content strip) ------------
+    ex_dir = os.path.join(args.output, "extract")
+    t0 = time.time()
+    if _stage_done(ex_dir, n_pages):
+        results = spark.read.parquet(os.path.join(ex_dir, "data"))
+        report["stages"]["extract"] = {
+            "action": "skipped", "docs": results.count()}
+        _append_stage_lineage(spark, args.output, "extract", "skipped",
+                             n_pages, report["stages"]["extract"]["docs"],
+                             time.time() - t0)
+    else:
+        def _mc(src):
+            src = src.select("url", "warc_ts", "html", "lang")
+            if args.partitions:
+                src = salted_repartition(src, args.partitions)
+            return extract_main_content(
+                src, max_html_bytes=args.max_html_bytes or None
+            ).select(
+                "url", "warc_ts", "lang", "main_text", "n_blocks",
+                "n_content_blocks", "content_chars", "boiler_chars",
+                F.length("html").alias("n_bytes_in"),
+            )
+
+        ck = CheckpointedExtraction(spark, ex_dir)
+        m = ck.run(pages, transform=_mc)
+        results = ck.results()
+        n_res = results.count()
+        _write_marker(ex_dir, n_pages, docs=n_res)
+        report["stages"]["extract"] = {
+            "action": "ran", "docs": n_res, "docs_new": m["docs"],
+            "chunk": m["chunk"]}
+        _append_stage_lineage(spark, args.output, "extract", "ran",
+                             n_pages, n_res, time.time() - t0)
+    if finish("extract"):
+        print(json.dumps(report))
+        return
+
+    # ---- stage 2: GRAPH (host link graph / PageRank / crawl budget) -------
+    g_dir = os.path.join(args.output, "graph")
+    t0 = time.time()
+    if _stage_done(g_dir, n_pages):
+        report["stages"]["graph"] = {"action": "skipped"}
+        _append_stage_lineage(spark, args.output, "graph", "skipped",
+                             n_pages, 0, time.time() - t0)
+    else:
+        from html_parser_spark.ops.html_meta import extract_page_meta
+        from html_parser_spark.ops.linkgraph import (
+            crawl_budget,
+            host_edges,
+            host_graph_stats,
+            pagerank_fixed_point,
+        )
+
+        meta = extract_page_meta(pages.select("url", "html")).select(
+            "url", "outlinks"
+        )
+        edges = host_edges(meta)
+        edges.write.mode("overwrite").parquet(os.path.join(g_dir, "edges"))
+        edges = spark.read.parquet(os.path.join(g_dir, "edges"))
+        ranks = pagerank_fixed_point(edges, iterations=args.iterations)
+        stats = host_graph_stats(edges)
+        out = ranks.join(stats, "node", "left")
+        if args.budget_pages > 0:
+            out = crawl_budget(out, args.budget_pages)
+        out.write.mode("overwrite").parquet(os.path.join(g_dir, "ranks"))
+        n_hosts = spark.read.parquet(os.path.join(g_dir, "ranks")).count()
+        _write_marker(g_dir, n_pages, hosts=n_hosts)
+        report["stages"]["graph"] = {
+            "action": "ran", "hosts": n_hosts, "edges": edges.count()}
+        _append_stage_lineage(spark, args.output, "graph", "ran",
+                             n_pages, n_hosts, time.time() - t0)
+    if finish("graph"):
+        print(json.dumps(report))
+        return
+
+    # ---- stage 3: CURATE (extract output → training-ready docs) -----------
+    from jobs.curate_job import curate_docs
+
+    from html_parser_spark.ops.web import canonicalize_url, latest_capture
+
+    n_extracted = results.count()
+    cu_dir = os.path.join(args.output, "curate")
+    out_docs = os.path.join(cu_dir, "docs")
+    t0 = time.time()
+    if _stage_done(cu_dir, n_extracted):
+        final = spark.read.parquet(out_docs)
+        report["stages"]["curate"] = {
+            "action": "skipped", "docs": final.count()}
+        _append_stage_lineage(spark, args.output, "curate", "skipped",
+                             n_extracted, report["stages"]["curate"]["docs"],
+                             time.time() - t0)
+    else:
+        res = (
+            results.where(F.col("main_text").isNotNull())
+            .select(
+                canonicalize_url("url").alias("url"),
+                "warc_ts",
+                F.col("main_text").alias("extracted_text"),
+                "lang",
+            )
+        )
+        res = latest_capture(res)
+        docs = res.select(
+            F.xxhash64("url").alias("doc_id"),
+            F.col("extracted_text").alias("text"),
+            "lang",
+        )
+        curated, funnel = curate_docs(
+            spark,
+            docs,
+            min_tokens=args.min_tokens,
+            gopher=args.gopher,
+            span_dedup_tokens=args.span_dedup_tokens,
+            scrub_pii=args.scrub_pii,
+            num_hashes=args.num_hashes,
+            bands=args.bands,
+        )
+        curated.write.mode("overwrite").partitionBy("split").parquet(out_docs)
+        final = spark.read.schema(curated.schema).parquet(out_docs)
+        n_final = final.count()
+        _write_marker(cu_dir, n_extracted, **funnel)
+        report["stages"]["curate"] = {"action": "ran", **funnel,
+                                      "docs": n_final}
+        _append_stage_lineage(spark, args.output, "curate", "ran",
+                             n_extracted, n_final, time.time() - t0)
+    if finish("curate"):
+        print(json.dumps(report))
+        return
+
+    # ---- stage 4: CHUNKS (optional context-window plan) --------------------
+    if args.chunk_tokens > 0:
+        from html_parser_spark.ops.corpus import chunk_plan
+
+        n_docs_final = final.count()
+        ch_dir = os.path.join(cu_dir, "chunks_stage")
+        out_chunks = os.path.join(cu_dir, "chunks")
+        t0 = time.time()
+        if _stage_done(ch_dir, n_docs_final):
+            n_chunks = spark.read.parquet(out_chunks).count()
+            action = "skipped"
+        else:
+            chunks = chunk_plan(final, chunk_tokens=args.chunk_tokens)
+            chunks.write.mode("overwrite").parquet(out_chunks)
+            n_chunks = spark.read.parquet(out_chunks).count()
+            _write_marker(ch_dir, n_docs_final, chunks=n_chunks)
+            action = "ran"
+        report["stages"]["chunks"] = {"action": action, "chunks": n_chunks}
+        _append_stage_lineage(spark, args.output, "chunks", action,
+                             n_docs_final, n_chunks, time.time() - t0)
+
+    pages.unpersist()
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

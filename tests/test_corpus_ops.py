@@ -263,3 +263,59 @@ def test_components_raise_on_nonconvergence(spark):
         components_from_pairs(chain, max_iters=2)
     ok = components_from_pairs(chain, max_iters=10)
     assert ok.where("cluster_id = 0").count() == 7
+
+
+def test_stratified_sample_deterministic(spark):
+    """Per-stratum hash sampling: the selected ids equal the pure-Python
+    md5 oracle, absent strata drop entirely, and re-running (or
+    repartitioning) picks the SAME ids."""
+    from html_parser_spark.ops.corpus import stratified_sample
+
+    rows = [(i, ["en", "zh", "fr"][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    fr = {"en": 0.3, "zh": 0.9}
+    got = {
+        r["doc_id"]
+        for r in stratified_sample(df, fr).collect()
+    }
+
+    def bucket(i: int) -> int:
+        return int(hashlib.md5(f"strat{i}".encode()).hexdigest()[:4], 16)
+
+    want = {
+        i for i, lang in rows
+        if lang in fr and bucket(i) < int(fr[lang] * 65536)
+    }
+    assert got == want and want  # nonempty, exact id agreement
+    assert not any(i % 3 == 2 for i in got)  # fr: no fraction -> dropped
+    again = {
+        r["doc_id"]
+        for r in stratified_sample(df.repartition(7), fr).collect()
+    }
+    assert again == got
+    # zero shuffle: a pure filter
+    plan = stratified_sample(df, fr)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_build_vocab_counts_and_rank(spark):
+    from html_parser_spark.ops.corpus import build_vocab
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat"),
+        (3, "a cat  and a dog"),  # double space: empty token filtered
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["term"]: r for r in build_vocab(df, k=4).collect()}
+    assert got["the"]["term_count"] == 3 and got["the"]["doc_count"] == 2
+    assert got["the"]["rank"] == 1
+    # ties on count=2 break alphabetically: a < cat < dog < sat
+    assert [t for t, r in sorted(got.items(), key=lambda kv: kv[1]["rank"])] == [
+        "the", "a", "cat", "dog"
+    ]
+    assert got["a"]["term_count"] == 2 and got["a"]["doc_count"] == 1
+    # min_count prunes the long tail; k=None returns unranked full vocab
+    full = build_vocab(df, k=None, min_count=2)
+    assert set(full.columns) == {"term", "term_count", "doc_count"}
+    assert {r["term"] for r in full.collect()} == {"the", "a", "cat", "dog", "sat"}

@@ -1,0 +1,113 @@
+"""Composed flagship pipeline (jobs/flagship_job.py): extract → graph →
+curate → chunks as ONE job with cross-stage resume.
+
+The per-stage chunk-level resume is covered by test_spark_pipeline.py's
+test_checkpoint_resume; here the subject is the STAGE-BOUNDARY contract:
+a run killed between stages (simulated with --stop-after) must, on
+re-run, skip every completed stage (marker + input fingerprint) and
+produce outputs identical to an uninterrupted run.
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _run(spark, tmp_path, capsys, out_name, extra=()):
+    import jobs.flagship_job as fj
+
+    src = str(tmp_path / "pages")
+    if not os.path.isdir(src):
+        from html_parser_spark.data.pages import synthetic_pages_df
+
+        synthetic_pages_df(spark, SF_DIR, paragraphs=1).limit(30).write.parquet(src)
+    out = str(tmp_path / out_name)
+    fj.main([
+        "--pages", src, "--output", out, "--partitions", "4",
+        "--min-tokens", "5", "--chunk-tokens", "64", "--iterations", "2",
+        *extra,
+    ])
+    return out, json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+
+def test_cross_stage_resume_after_kill(spark, tmp_path, capsys):
+    # uninterrupted reference run
+    ref_out, ref = _run(spark, tmp_path, capsys, "ref")
+    assert ref["stages"]["extract"]["action"] == "ran"
+    assert ref["stages"]["curate"]["action"] == "ran"
+    assert ref["stages"]["chunks"]["chunks"] > 0
+
+    # killed run: stops at the extract/graph boundary...
+    k_out, killed = _run(spark, tmp_path, capsys, "killed",
+                         extra=("--stop-after", "extract"))
+    assert killed["stages"]["extract"]["action"] == "ran"
+    assert "curate" not in killed["stages"]
+
+    # ...then resumes: extract must be SKIPPED (fingerprint match), the
+    # rest runs, and the final corpus equals the uninterrupted run's
+    chunks_before = sorted(
+        d for d in os.listdir(os.path.join(k_out, "extract", "data"))
+        if d.startswith("chunk=")
+    )
+    _, resumed = _run(spark, tmp_path, capsys, "killed")
+    assert resumed["stages"]["extract"]["action"] == "skipped"
+    assert resumed["stages"]["graph"]["action"] == "ran"
+    assert resumed["stages"]["curate"]["action"] == "ran"
+    chunks_after = sorted(
+        d for d in os.listdir(os.path.join(k_out, "extract", "data"))
+        if d.startswith("chunk=")
+    )
+    assert chunks_before == chunks_after  # no re-extraction, no new chunk
+
+    ref_docs = spark.read.parquet(os.path.join(ref_out, "curate", "docs"))
+    res_docs = spark.read.parquet(os.path.join(k_out, "curate", "docs"))
+    assert ref_docs.exceptAll(res_docs).count() == 0
+    assert res_docs.exceptAll(ref_docs).count() == 0
+
+    # full idempotent re-run: every stage skips, outputs untouched
+    _, again = _run(spark, tmp_path, capsys, "killed")
+    assert all(s["action"] == "skipped" for n, s in again["stages"].items()
+               if n in ("extract", "graph", "curate"))
+
+    # stage lineage records the whole history: ran rows + skipped rows
+    lin = spark.read.parquet(os.path.join(k_out, "_stage_lineage"))
+    acts = {
+        (r["stage"], r["action"]): r
+        for r in lin.collect()
+    }
+    assert ("extract", "ran") in acts and ("extract", "skipped") in acts
+    assert ("curate", "ran") in acts
+    assert acts[("extract", "ran")]["rows_out"] == 30
+
+
+def test_source_growth_invalidates_downstream(spark, tmp_path, capsys):
+    """Adding pages to the source re-runs extract INCREMENTALLY (chunked
+    checkpoint processes only the new urls) and recomputes downstream
+    stages whose input fingerprint changed."""
+    import jobs.flagship_job as fj
+
+    from html_parser_spark.data.pages import synthetic_pages_df
+
+    pages = synthetic_pages_df(spark, SF_DIR, paragraphs=1).limit(24).persist()
+    src = str(tmp_path / "pages")
+    pages.limit(12).write.parquet(src)
+    out = str(tmp_path / "out")
+    argv = ["--pages", src, "--output", out, "--partitions", "4",
+            "--min-tokens", "5"]
+    fj.main(argv)
+    first = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert first["stages"]["extract"]["docs"] == 12
+
+    pages.write.mode("overwrite").parquet(src)  # source grows to 24
+    fj.main(argv)
+    second = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    ex = second["stages"]["extract"]
+    assert ex["action"] == "ran"
+    assert ex["docs"] == 24
+    assert ex["docs_new"] == 12  # chunked resume: only the delta parsed
+    assert second["stages"]["curate"]["action"] == "ran"
+    pages.unpersist()

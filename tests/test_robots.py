@@ -169,3 +169,36 @@ def test_extract_job_robots_gate(spark, tmp_path, capsys):
     ])
     stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert stats["docs"] == 20 - len(set(blocked) & set(some_paths))
+
+
+def test_crawl_delays_and_fetch_plan(spark):
+    """Crawl-delay extraction with RFC 9309 group selection + the per-host
+    politeness cost model."""
+    from html_parser_spark.ops.robots import crawl_delays, fetch_plan
+
+    rules = spark.createDataFrame(
+        [
+            ("a.com", "User-agent: *\nCrawl-delay: 10\nDisallow: /x"),
+            # agent group beats wildcard; fractional rounds UP; the max of
+            # several lines in the winning group is kept
+            ("b.com", "User-agent: bot\nCrawl-delay: 2.5\nCrawl-delay: 4\n\n"
+                      "User-agent: *\nCrawl-delay: 9"),
+            ("c.com", "User-agent: *\nCrawl-delay: nonsense"),
+        ],
+        ["host", "body"],
+    )
+    got = {r["host"]: r["crawl_delay_sec"]
+           for r in crawl_delays(rules, agent="bot").collect()}
+    assert got == {"a.com": 10, "b.com": 4}  # c.com: unparsable -> absent
+
+    pages = spark.createDataFrame(
+        [(f"https://{h}/p{i}",) for h in ("a.com", "b.com", "d.com")
+         for i in range(3)],
+        ["url"],
+    )
+    plan = {r["host"]: r for r in
+            fetch_plan(pages, crawl_delays(rules, agent="bot")).collect()}
+    assert plan["a.com"]["est_fetch_sec"] == 30
+    assert plan["b.com"]["est_fetch_sec"] == 12
+    assert plan["d.com"]["crawl_delay_sec"] == 1  # no robots row -> default
+    assert plan["d.com"]["est_fetch_sec"] == 3

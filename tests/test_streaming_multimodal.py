@@ -325,6 +325,66 @@ def test_parse_image_header_formats():
     assert parse_image_header(b"P6 notanumber x") is None
 
 
+def test_parse_audio_header_formats():
+    import struct
+
+    from html_parser_spark.ops.multimodal import parse_audio_header
+
+    def wav(ch, sr, bits, data):
+        br = sr * ch * bits // 8
+        return (b"RIFF" + struct.pack("<I", 36 + data) + b"WAVEfmt "
+                + struct.pack("<IHHIIHH", 16, 1, ch, sr, br, ch * bits // 8, bits)
+                + b"data" + struct.pack("<I", data))
+
+    assert parse_audio_header(wav(1, 8000, 16, 16000)) == {
+        "format": "wav", "channels": 1, "sample_rate": 8000,
+        "bits_per_sample": 16, "bitrate_kbps": 128, "duration_ms": 1000}
+    h = parse_audio_header(wav(2, 44100, 8, 44100))
+    assert (h["channels"], h["duration_ms"], h["bitrate_kbps"]) == (2, 500, 705)
+    # a LIST chunk before fmt must be walked over (word alignment)
+    listed = (b"RIFF" + struct.pack("<I", 100) + b"WAVE"
+              + b"LIST" + struct.pack("<I", 5) + b"INFOx\x00"
+              + wav(1, 22050, 16, 44100)[12:])
+    assert parse_audio_header(listed)["sample_rate"] == 22050
+
+    # MP3: MPEG1 L3 128kbps 44100 stereo; with and without ID3v2
+    mp3 = bytes([0xFF, 0xFB, 0x90, 0x00])
+    assert parse_audio_header(mp3) == {
+        "format": "mp3", "channels": 2, "sample_rate": 44100,
+        "bits_per_sample": None, "bitrate_kbps": 128, "duration_ms": None}
+    id3 = b"ID3" + bytes([4, 0, 0, 0, 0, 0, 10]) + b"\x00" * 10 + mp3
+    assert parse_audio_header(id3)["format"] == "mp3"
+    # MPEG2 L3, bitrate idx 5 (40kbps), 24000 Hz, mono
+    h = parse_audio_header(bytes([0xFF, 0xF3, 0x54, 0xC0]))
+    assert (h["sample_rate"], h["bitrate_kbps"], h["channels"]) == (24000, 40, 1)
+    # totality: junk / truncated / reserved combinations
+    assert parse_audio_header(b"") is None
+    assert parse_audio_header(b"RIFFxxxxWAVE") is None       # no fmt chunk
+    assert parse_audio_header(bytes([0xFF, 0xFB])) is None   # truncated frame
+    assert parse_audio_header(bytes([0xFF, 0xEB, 0x90, 0x00])) is None  # ver=reserved
+    assert parse_audio_header(bytes([0xFF, 0xFB, 0xF0, 0x00])) is None  # br=bad
+    assert parse_audio_header(b"ID3" + bytes([4, 0, 0, 0, 0, 0, 100])) is None
+
+
+def test_audio_headers_udf(spark):
+    import struct
+
+    from html_parser_spark.ops.multimodal import audio_headers
+
+    wav = (b"RIFF" + struct.pack("<I", 36 + 16000) + b"WAVEfmt "
+           + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+           + b"data" + struct.pack("<I", 16000))
+    rows = [(1, wav), (2, bytes([0xFF, 0xFB, 0x90, 0x00])),
+            (3, b"not audio"), (4, None)]
+    df = spark.createDataFrame(rows, "media_id int, payload binary")
+    got = {r["media_id"]: r for r in audio_headers(df).collect()}
+    assert got[1]["format"] == "wav" and got[1]["duration_ms"] == 1000
+    assert got[2]["format"] == "mp3" and got[2]["sample_rate"] == 44100
+    assert got[3]["format"] is None and got[4]["format"] is None
+    plan = audio_headers(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and plan.count("ArrowEvalPython") == 1
+
+
 def test_image_headers_udf(spark):
     import struct
 
@@ -338,4 +398,41 @@ def test_image_headers_udf(spark):
     assert got[2]["format"] is None
     assert got[3]["format"] is None
     plan = image_headers(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and plan.count("ArrowEvalPython") == 1
+
+
+def test_dhash64_patterns_and_udf(spark):
+    from html_parser_spark.ops.multimodal import dhash64, image_dhash
+
+    def pgm(w, h, pix):
+        return f"P5\n{w} {h}\n255\n".encode() + bytes(
+            pix(x, y) for y in range(h) for x in range(w)
+        )
+
+    asc = pgm(18, 8, lambda x, y: x * 14)
+    checker = pgm(9, 8, lambda x, y: 255 * (x % 2))
+    assert dhash64(asc) == -1                      # all right-neighbors brighter
+    assert dhash64(pgm(9, 8, lambda x, y: 7)) == 0  # flat: strict '>' never fires
+    assert dhash64(checker) == -6148914691236517206  # 0xAAAA.. signed
+    # PPM grays average the channels; identical gradient -> identical hash
+    ppm = b"P6\n18 8\n255\n" + bytes(
+        v for y in range(8) for x in range(18) for v in (x * 14,) * 3
+    )
+    assert dhash64(ppm) == -1
+    # near-identical images differ in few bits (the near-dup property)
+    noisy = pgm(18, 8, lambda x, y: min(255, x * 14 + (3 if (x, y) == (4, 4) else 0)))
+    d = (dhash64(asc) ^ dhash64(noisy)) & (2**64 - 1)
+    assert bin(d).count("1") <= 2
+    # totality
+    assert dhash64(b"") is None
+    assert dhash64(b"P5\n9 8\n255\n" + b"\x00" * 5) is None  # truncated raster
+    assert dhash64(b"P5\n9 8\n99999\n" + b"\x00" * 72) is None  # bad maxval
+
+    df = spark.createDataFrame(
+        [(1, asc), (2, checker), (3, b"junk"), (4, None)],
+        "media_id int, payload binary",
+    )
+    got = {r["media_id"]: r["dhash"] for r in image_dhash(df).collect()}
+    assert got == {1: -1, 2: -6148914691236517206, 3: None, 4: None}
+    plan = image_dhash(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and plan.count("ArrowEvalPython") == 1

@@ -290,6 +290,58 @@ def main():
         )
     )
 
+    p = plan_of(entrymod.q_audio_headers(spark, sf_dir))
+    checks.append(
+        (
+            "q_audio_headers — ONE Arrow header-sniff stage, zero shuffle",
+            p,
+            ["ArrowEvalPython"],
+            ["Exchange", "Join", "Window"],
+        )
+    )
+
+    p = plan_of(entrymod.q_image_dhash(spark, sf_dir))
+    checks.append(
+        (
+            "q_image_dhash — ONE Arrow pixel-decode stage, zero shuffle",
+            p,
+            ["ArrowEvalPython"],
+            ["Exchange", "Join", "Window"],
+        )
+    )
+
+    p = plan_of(entrymod.q_stratified_sample(spark, sf_dir))
+    checks.append(
+        (
+            "q_stratified_sample — pure per-row hash filter, zero shuffle",
+            p,
+            ["Filter"],
+            ["Exchange", "ArrowEvalPython", "BatchEvalPython", "Join", "Window"],
+        )
+    )
+
+    p = plan_of(entrymod.q_vocab(spark, sf_dir))
+    checks.append(
+        (
+            "q_vocab — partial-agg groupBy + distributed TakeOrdered "
+            "(no full-vocab single-partition sort)",
+            p,
+            ["HashAggregate", "TakeOrderedAndProject"],
+            ["ArrowEvalPython", "BatchEvalPython"],
+        )
+    )
+
+    p = plan_of(entrymod.q_crawl_plan(spark, sf_dir))
+    checks.append(
+        (
+            "q_crawl_plan — ONE partial-agg groupBy over pages, tiny delay "
+            "dim broadcast",
+            p,
+            ["HashAggregate", "BroadcastHashJoin"],
+            ["CartesianProduct", "SortMergeJoin"],
+        )
+    )
+
     p = plan_of(entrymod.q_familiarity(spark, sf_dir))
     checks.append(
         (
