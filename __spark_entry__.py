@@ -887,6 +887,77 @@ def q_vocab(spark, sf_dir):
     return build_vocab(docs, k=50)
 
 
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-based mixture rebalancing (ops/corpus.temperature_mix_plan,
+    the XLM-R/mT5 α-sampling rule at α=0.5): per-language sampling
+    thresholds reshaping the corpus toward p_k ∝ √c_k, plus the count of
+    docs the deterministic md5-bucket filter keeps.  Integer-exact end to
+    end: isqrt weights, integer-SUM denominator (order-independent,
+    unlike a float sum), exact decimal `div` for the threshold."""
+    from html_parser_spark.ops.corpus import temperature_mix_plan
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    return temperature_mix_plan(docs, alpha_pct=50)
+
+
+def q_doc_classifier(spark, sf_dir):
+    """Hashed-feature Naive-Bayes vote classifier (ops/classify): train
+    per-bucket evidence votes (sign of the Laplace log-odds via exact
+    integer cross-products) on the md5-split train docs with label
+    lang=='en', then score EVERY doc — the CCNet/fastText quality-gate
+    shape, Spark-first: one groupBy to train, broadcast model + one
+    groupBy(doc) to score.  Returns (doc_id, score, pred, actual)."""
+    from html_parser_spark.ops.classify import (
+        hashed_features,
+        nb_vote_score,
+        train_nb_votes,
+    )
+    from html_parser_spark.ops.corpus import assign_split
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    feats = hashed_features(docs)
+    labeled = assign_split(docs).filter(F.col("split") == "train").select(
+        "doc_id", (F.col("lang") == "en").cast("int").alias("label")
+    )
+    votes = train_nb_votes(feats, labeled)
+    scored = nb_vote_score(feats, votes)
+    return scored.join(
+        docs.select("doc_id", (F.col("lang") == "en").cast("int").alias("actual")),
+        "doc_id",
+    ).select("doc_id", "score", "pred", "actual")
+
+
+def q_table_extract(spark, sf_dir):
+    """HTML table extraction (ops/tables.py) over synthesized crawl pages:
+    one output row per <tr>, tables numbered in document order with nested
+    tables as their own tables, colspan repetition, whitespace-collapsed
+    cell text, thead/tbody transparency, is_header on <th>.  The oracle
+    states all four expected rows per page in closed form — a hash match
+    proves the DOM walk, nesting attribution, and cell ordering exactly."""
+    _ship_package(spark)
+    from html_parser_spark.ops.tables import extract_tables
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><body><table><thead><tr><th colspan=\"2\">hdr "),
+        did,
+        F.lit("</th></tr></thead><tbody><tr><td> a  "),
+        did,
+        F.lit(" </td><td>b "),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("</td></tr></tbody></table><p>noise</p>"
+              "<table><tr><td>x<table><tr><td>in"),
+        did,
+        F.lit("</td></tr></table></td><td>y</td></tr></table></body></html>"),
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://t.example.org/"), did).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+    return extract_tables(pages)
+
+
 def q_image_dhash(spark, sf_dir):
     """Perceptual dHash over real decoded PNM pixels
     (ops/multimodal.dhash64): ascending-gradient PGMs hash to all-ones
@@ -1684,6 +1755,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stratified_sample": q_stratified_sample,
         "q_vocab": q_vocab,
         "q_crawl_plan": q_crawl_plan,
+        "q_temperature_mix": q_temperature_mix,
+        "q_doc_classifier": q_doc_classifier,
+        "q_table_extract": q_table_extract,
         # changed this round (full-PSL default + ccTLD branches): keep a
         # driver row on the new behavior
         "q_psl_domain": q_psl_domain,
@@ -3012,6 +3086,126 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n * (CASE WHEN h < 5 THEN 2 + h WHEN h = 5 THEN 7
                                   ELSE 1 END) AS BIGINT) AS est_fetch_sec
             FROM c
+        """,
+        "q_temperature_mix": """
+            -- α=0.5 temperature mixing: w_k = isqrt(c_k) (exact below
+            -- 2^52), S = Σ w (integer — order-independent), threshold_k =
+            -- least(65536, (65536·T·w_k) // (S·c_k)) in pure integer
+            -- arithmetic; kept = docs whose 16-bit md5('mix'||id) bucket
+            -- clears the threshold
+            WITH c AS (
+              SELECT lang AS stratum, count(*) AS n_docs,
+                     CAST(floor(sqrt(count(*))) AS BIGINT) AS w
+              FROM documents GROUP BY lang
+            ), s AS (
+              SELECT CAST(sum(w) AS BIGINT) AS s_tot,
+                     CAST(sum(n_docs) AS BIGINT) AS t_tot
+              FROM c
+            ), plan AS (
+              SELECT stratum, n_docs,
+                     least(65536,
+                           (65536::HUGEINT * t_tot * w) // (s_tot * n_docs))
+                       AS threshold
+              FROM c, s
+            ), b AS (
+              SELECT lang AS stratum,
+                     (strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 4096
+                   + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1) * 256
+                   + (strpos('0123456789abcdef', substring(h, 3, 1)) - 1) * 16
+                   + (strpos('0123456789abcdef', substring(h, 4, 1)) - 1)
+                       AS bucket
+              FROM (SELECT lang, md5('mix' || CAST(doc_id AS VARCHAR)) AS h
+                    FROM documents)
+            ), k AS (
+              SELECT b.stratum, count(*) AS kept
+              FROM b JOIN plan USING (stratum)
+              WHERE b.bucket < plan.threshold
+              GROUP BY b.stratum
+            )
+            SELECT plan.stratum, CAST(plan.n_docs AS BIGINT) AS n_docs,
+                   CAST(plan.threshold AS BIGINT) AS threshold,
+                   CAST(COALESCE(k.kept, 0) AS BIGINT) AS kept
+            FROM plan LEFT JOIN k USING (stratum)
+        """,
+        "q_doc_classifier": """
+            -- hashed NB vote classifier: 4096 md5 buckets over token
+            -- occurrences, votes = sign of the Laplace log-odds via exact
+            -- integer cross-products ((pos+1)(N+B) vs (neg+1)(P+B)),
+            -- trained on the md5-split train docs with label lang='en',
+            -- scored over every doc (unseen buckets vote 0)
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                       regexp_split_to_array(lower(text), '\\s+'),
+                       x -> len(x) > 0)) AS tok
+              FROM documents
+            ), feats AS (
+              SELECT doc_id,
+                     ((strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 4096
+                    + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1) * 256
+                    + (strpos('0123456789abcdef', substring(h, 3, 1)) - 1) * 16
+                    + (strpos('0123456789abcdef', substring(h, 4, 1)) - 1))
+                       % 4096 AS bucket
+              FROM (SELECT doc_id, md5('feat' || tok) AS h FROM tok)
+            ), lab AS (
+              SELECT doc_id,
+                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+              FROM documents
+              WHERE (strpos('0123456789abcdef',
+                            substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                  + strpos('0123456789abcdef',
+                           substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1
+                    < 205
+            ), cells AS (
+              SELECT bucket,
+                     CAST(sum(y) AS BIGINT) AS pos,
+                     CAST(sum(1 - y) AS BIGINT) AS neg
+              FROM feats JOIN lab USING (doc_id)
+              GROUP BY bucket
+            ), tot AS (
+              SELECT CAST(sum(pos) AS BIGINT) AS p_tot,
+                     CAST(sum(neg) AS BIGINT) AS n_tot
+              FROM cells
+            ), votes AS (
+              SELECT bucket,
+                     CASE WHEN (pos + 1)::HUGEINT * (n_tot + 4096)
+                             > (neg + 1)::HUGEINT * (p_tot + 4096) THEN 1
+                          WHEN (pos + 1)::HUGEINT * (n_tot + 4096)
+                             < (neg + 1)::HUGEINT * (p_tot + 4096) THEN -1
+                          ELSE 0 END AS vote
+              FROM cells, tot
+            ), scored AS (
+              SELECT f.doc_id,
+                     CAST(sum(COALESCE(v.vote, 0)) AS BIGINT) AS score
+              FROM feats f LEFT JOIN votes v USING (bucket)
+              GROUP BY f.doc_id
+            )
+            SELECT d.doc_id, s.score,
+                   CAST(s.score > 0 AS INTEGER) AS pred,
+                   CAST(d.lang = 'en' AS INTEGER) AS actual
+            FROM scored s JOIN documents d USING (doc_id)
+        """,
+        "q_table_extract": """
+            -- all four expected <tr> rows per synthesized page in closed
+            -- form: t0r0 = header with colspan-2 repetition, t0r1 =
+            -- whitespace-collapsed data cells, t1r0 = host row whose first
+            -- cell text CONTAINS the nested table's text ('x' || 'in<d>'),
+            -- t2r0 = the nested table's own single row
+            WITH d AS (
+              SELECT doc_id,
+                     'https://t.example.org/' || CAST(doc_id AS VARCHAR) AS url,
+                     CAST(doc_id AS VARCHAR) AS s
+              FROM documents
+            )
+            SELECT url, 0 AS table_idx, 0 AS row_idx, TRUE AS is_header,
+                   2 AS n_cells, ['hdr ' || s, 'hdr ' || s] AS cells FROM d
+            UNION ALL
+            SELECT url, 0, 1, FALSE, 2,
+                   ['a ' || s, 'b ' || CAST(doc_id % 7 AS VARCHAR)] FROM d
+            UNION ALL
+            SELECT url, 1, 0, FALSE, 2, ['xin' || s, 'y'] FROM d
+            UNION ALL
+            SELECT url, 2, 0, FALSE, 1, ['in' || s] FROM d
         """,
         "q_audio_headers": """
             -- closed-form expected fields per payload family: k=0 WAV

@@ -352,3 +352,131 @@ def span_dedup(
             ),
         ).alias("clean_text"),
     )
+
+
+def temperature_mix_plan(
+    docs: DataFrame,
+    alpha_pct: int = 50,
+    target_docs: int | None = None,
+    strat_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Temperature-based mixture rebalancing plan: per-stratum sampling
+    thresholds that reshape the corpus toward p_k ∝ c_k^α (the multilingual
+    data-mixing rule of XLM-R / mT5: α<1 upsamples the tail relative to the
+    head so low-resource strata are not drowned; α=1 keeps natural
+    proportions, α=0 is uniform).
+
+    Returns one row per stratum: (stratum, n_docs, threshold, kept) where
+    ``threshold``/65536 is the keep-fraction and ``kept`` counts the
+    documents the deterministic md5-bucket filter (same 16-bit bucket as
+    :func:`stratified_sample`) actually keeps.
+
+    **Integer-exact by construction.**  ``alpha_pct`` supports 50 (sqrt
+    temperature, the common α=0.5) and 100 (natural): weights are
+    ``isqrt(c_k)`` resp. ``c_k`` — floor(sqrt) over a BIGINT is exact below
+    2^52 — so the mixture denominator is an integer SUM (order-independent,
+    unlike a float sum whose value depends on shuffle order), and
+
+        threshold_k = (65536 · T · w_k) div (S · c_k),  capped at 65536
+
+    is pure integer arithmetic: Spark, DuckDB, and any future engine agree
+    bit-for-bit.  T defaults to the full corpus size (pure rebalance).
+
+    Scale shape: ONE partial-agg groupBy over docs (#strata rows out), a
+    1-row broadcast crossJoin for S (the PageRank dangling-mass pattern —
+    never a driver collect), and a broadcast join of the tiny threshold dim
+    back onto docs for the ``kept`` count.  No full-corpus shuffle.
+    """
+    if alpha_pct not in (50, 100):
+        raise ValueError("alpha_pct supports 50 (sqrt) and 100 (natural)")
+    counts = docs.groupBy(F.col(strat_col).alias("stratum")).agg(
+        F.count("*").alias("n_docs")
+    )
+    w = (
+        F.floor(F.sqrt(F.col("n_docs"))).cast("long")
+        if alpha_pct == 50
+        else F.col("n_docs").cast("long")
+    )
+    weighted = counts.withColumn("_w", w)
+    denom = weighted.agg(
+        F.sum("_w").alias("_s"), F.sum("n_docs").alias("_total")
+    )
+    t_expr = F.lit(target_docs).cast("long") if target_docs is not None else F.col(
+        "_total"
+    )
+    # decimal(20,0) factors: 65536·T·w_k reaches ~6.5e22 at 10^12 docs —
+    # past BIGINT — and float (or scaled-decimal) division would round
+    # before a floor; `div` (IntegralDivide) over the decimal products is
+    # the exact integer quotient
+    plan = (
+        weighted.crossJoin(F.broadcast(denom))
+        .select(
+            "stratum",
+            "n_docs",
+            (
+                F.lit(65536).cast("decimal(20,0)")
+                * t_expr.cast("decimal(20,0)")
+                * F.col("_w").cast("decimal(20,0)")
+            ).alias("_num"),
+            (
+                F.col("_s").cast("decimal(20,0)")
+                * F.col("n_docs").cast("decimal(20,0)")
+            ).alias("_den"),
+        )
+        .select(
+            "stratum",
+            "n_docs",
+            F.least(
+                F.lit(65536).cast("long"), F.expr("_num div _den")
+            ).alias("threshold"),
+        )
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 4),
+        16,
+        10,
+    ).cast("int")
+    kept = (
+        docs.select(F.col(strat_col).alias("stratum"), bucket.alias("_b"))
+        .join(F.broadcast(plan), "stratum")
+        .filter(F.col("_b") < F.col("threshold"))
+        .groupBy("stratum")
+        .agg(F.count("*").alias("kept"))
+    )
+    return (
+        plan.join(kept, "stratum", "left")
+        .select(
+            "stratum",
+            "n_docs",
+            "threshold",
+            F.coalesce(F.col("kept"), F.lit(0)).cast("long").alias("kept"),
+        )
+    )
+
+
+def temperature_sample(
+    docs: DataFrame,
+    alpha_pct: int = 50,
+    target_docs: int | None = None,
+    strat_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """The documents :func:`temperature_mix_plan` keeps: broadcast the tiny
+    per-stratum threshold dim onto the corpus and filter on the same
+    deterministic md5 bucket — an id kept at α is kept on every re-run."""
+    plan = temperature_mix_plan(
+        docs, alpha_pct, target_docs, strat_col, id_col, salt
+    ).select(F.col("stratum").alias(strat_col), "threshold")
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 4),
+        16,
+        10,
+    ).cast("int")
+    return (
+        docs.join(F.broadcast(plan), strat_col)
+        .filter(bucket < F.col("threshold"))
+        .drop("threshold")
+    )

@@ -1,0 +1,213 @@
+"""Round-4 extras: hashed NB-vote classifier, temperature mixing, HTML
+table extraction — semantics + plan-shape assertions."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------- classifier
+def test_nb_votes_learn_separable_vocab(spark):
+    """Tokens unique to one class must vote for it, and scoring must
+    classify held-out docs made of those tokens correctly."""
+    from html_parser_spark.ops.classify import (
+        hashed_features,
+        nb_vote_score,
+        train_nb_votes,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (1, "good clean prose sentence structure", 1),
+            (2, "another good readable paragraph here", 1),
+            (3, "click now buy cheap pills offer", 0),
+            (4, "cheap offer click spam pills now", 0),
+        ],
+        ["doc_id", "text", "label"],
+    )
+    feats = hashed_features(train)
+    votes = train_nb_votes(feats, train.select("doc_id", "label"))
+    test = spark.createDataFrame(
+        [(10, "clean readable prose paragraph"), (11, "buy cheap pills now")],
+        ["doc_id", "text"],
+    )
+    scored = {
+        r["doc_id"]: r
+        for r in nb_vote_score(hashed_features(test), votes).collect()
+    }
+    assert scored[10]["pred"] == 1 and scored[10]["score"] > 0
+    assert scored[11]["pred"] == 0 and scored[11]["score"] < 0
+
+
+def test_nb_score_integer_and_unseen_bucket_zero(spark):
+    """A doc made entirely of unseen tokens scores exactly 0 (votes
+    coalesce to 0), and the score column is integer-typed."""
+    from html_parser_spark.ops.classify import (
+        hashed_features,
+        nb_vote_score,
+        train_nb_votes,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "alpha beta", 1), (2, "gamma delta", 0)], ["doc_id", "text", "label"]
+    )
+    votes = train_nb_votes(hashed_features(train), train.select("doc_id", "label"))
+    out = nb_vote_score(
+        hashed_features(
+            spark.createDataFrame([(9, "zzzqqq wwwvvv")], ["doc_id", "text"])
+        ),
+        votes,
+    ).collect()
+    assert out[0]["score"] == 0 and out[0]["pred"] == 0
+    schema = {f.name: f.dataType.simpleString() for f in votes.schema.fields}
+    assert schema["vote"] == "int"
+
+
+def test_classifier_plan_broadcasts_model(spark):
+    """Scoring must broadcast the model dim — never shuffle it against
+    the corpus."""
+    from html_parser_spark.ops.classify import (
+        hashed_features,
+        nb_vote_score,
+        train_nb_votes,
+    )
+
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("tok"), (F.col("id") % 17).cast("string")).alias("text"),
+        (F.col("id") % 2).alias("label"),
+    )
+    feats = hashed_features(docs)
+    votes = train_nb_votes(feats, docs.select("doc_id", "label"))
+    plan = (
+        nb_vote_score(feats, votes)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_hashed_features_buckets_must_divide(spark):
+    from html_parser_spark.ops.classify import hashed_features
+
+    with pytest.raises(ValueError):
+        hashed_features(
+            spark.createDataFrame([(1, "x")], ["doc_id", "text"]), buckets=1000
+        )
+
+
+# --------------------------------------------------------- temperature mix
+def test_temperature_mix_plan_exact_small_case(spark):
+    """Closed-form check: strata of 100/400 docs at α=0.5 →
+    w=(10,20), S=30, T=500; thresholds floor(65536·500·w/(30·c)):
+    head (400): floor(65536·500·20/(30·400)) = 54613; tail (100):
+    capped at 65536 (keep everything — α<1 upsamples the tail)."""
+    from html_parser_spark.ops.corpus import temperature_mix_plan
+
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 100, "tail").otherwise("head").alias("lang"),
+    )
+    got = {r["stratum"]: r for r in temperature_mix_plan(docs).collect()}
+    assert got["tail"]["threshold"] == 65536
+    assert got["tail"]["kept"] == 100
+    assert got["head"]["threshold"] == (65536 * 500 * 20) // (30 * 400)
+    assert 0 < got["head"]["kept"] < 400
+
+
+def test_temperature_sample_deterministic_and_matches_plan(spark):
+    """Sampling twice selects the same ids, and per-stratum counts equal
+    the plan's `kept`."""
+    from html_parser_spark.ops.corpus import (
+        temperature_mix_plan,
+        temperature_sample,
+    )
+
+    docs = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "a").otherwise("b").alias("lang"),
+    )
+    s1 = sorted(r["doc_id"] for r in temperature_sample(docs).collect())
+    s2 = sorted(r["doc_id"] for r in temperature_sample(docs).collect())
+    assert s1 == s2
+    plan = {r["stratum"]: r["kept"] for r in temperature_mix_plan(docs).collect()}
+    got = {
+        r["lang"]: r["n"]
+        for r in temperature_sample(docs)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == plan
+
+
+def test_temperature_mix_natural_alpha_keeps_everything(spark):
+    """α=1 with T=corpus size is the identity mixture: every threshold is
+    65536 and every doc is kept."""
+    from html_parser_spark.ops.corpus import temperature_mix_plan
+
+    docs = spark.range(120).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 4).cast("string").alias("lang")
+    )
+    rows = temperature_mix_plan(docs, alpha_pct=100).collect()
+    assert all(r["threshold"] == 65536 and r["kept"] == r["n_docs"] for r in rows)
+
+
+def test_temperature_mix_rejects_other_alpha(spark):
+    from html_parser_spark.ops.corpus import temperature_mix_plan
+
+    with pytest.raises(ValueError):
+        temperature_mix_plan(
+            spark.createDataFrame([(1, "a")], ["doc_id", "lang"]), alpha_pct=30
+        )
+
+
+# ------------------------------------------------------------------ tables
+def _rows(html: str):
+    from html_parser_spark.ops.tables import extract_page_tables
+
+    return extract_page_tables(html.encode())
+
+
+def test_tables_kernel_nesting_colspan_header():
+    rows = _rows(
+        "<html><body>"
+        '<table><thead><tr><th colspan="2">H</th></tr></thead>'
+        "<tbody><tr><td> a  1 </td><td>b</td></tr></tbody></table>"
+        "<table><tr><td>x<table><tr><td>in</td></tr></table></td>"
+        "<td>y</td></tr></table></body></html>"
+    )
+    assert rows == [
+        {"table_idx": 0, "row_idx": 0, "is_header": True, "cells": ["H", "H"]},
+        {"table_idx": 0, "row_idx": 1, "is_header": False, "cells": ["a 1", "b"]},
+        {"table_idx": 1, "row_idx": 0, "is_header": False, "cells": ["xin", "y"]},
+        {"table_idx": 2, "row_idx": 0, "is_header": False, "cells": ["in"]},
+    ]
+
+
+def test_tables_kernel_edge_cases():
+    # no tables / empty page / malformed colspan / tr outside table
+    assert _rows("<html><body><p>no tables</p></body></html>") == []
+    assert _rows("") == []
+    bad = _rows('<table><tr><td colspan="zz">v</td></tr></table>')
+    assert bad[0]["cells"] == ["v"]
+    assert _rows("<tr><td>stray</td></tr>") == []
+    # colspan cap
+    big = _rows('<table><tr><td colspan="99999">v</td></tr></table>')
+    assert len(big[0]["cells"]) == 1000
+
+
+def test_extract_tables_dataframe_no_shuffle(spark):
+    from html_parser_spark.ops.tables import extract_tables
+
+    pages = spark.createDataFrame(
+        [("u1", b"<table><tr><td>a</td></tr></table>"), ("u2", b"<p>none</p>")],
+        ["url", "html"],
+    )
+    out = extract_tables(pages)
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["cells"] == ["a"] and rows[0]["n_cells"] == 1
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
