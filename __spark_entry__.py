@@ -958,6 +958,74 @@ def q_table_extract(spark, sf_dir):
     return extract_tables(pages)
 
 
+def q_wet_roundtrip(spark, sf_dir):
+    """WET sidecar sink (Common Crawl's ``*.warc.wet.gz`` extracted-text
+    format, sources/warc.write_wet_files): synthesize per-doc extracted
+    text, write it as per-record-gzip conversion records, read it back
+    through the same binaryFile→mapInPandas parser (conversion records
+    carry raw bodies — no HTTP splitting), and emit per-url byte
+    accounting.  The oracle recomputes the columns straight from
+    ``documents``; a hash match proves the conversion-record writer→reader
+    round-trip preserves every text byte and field."""
+    import shutil
+    import tempfile
+
+    _ship_package(spark)
+    from html_parser_spark.sources.warc import read_warc, write_wet_files
+
+    docs = _docs(spark, sf_dir)
+    wet = docs.select(
+        F.concat(
+            F.lit("https://d"),
+            F.pmod("doc_id", F.lit(20)).cast("string"),
+            F.lit(".example.org/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        # fixed epoch (2024-01-01T00:00:00Z) + doc_id seconds — no now()
+        F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id")).alias("warc_ts"),
+        F.col("text"),
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_wet_rt_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    write_wet_files(wet.repartition(8), out, compress=True)
+    w = read_warc(spark, os.path.join(out, "*.warc.wet.gz"))
+    return w.select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("warc_date"),
+        F.length("html").cast("long").alias("n_bytes"),
+        F.md5("html").alias("body_md5"),
+        "warc_type",
+        "content_type",
+    )
+
+
+def q_surt_key(spark, sf_dir):
+    """SURT capture-index keys (ops/web.surt_key — the sort key CDX
+    indexes range-scan by): six url families built in closed form from
+    doc_id (www + unsorted query, deep ccTLD subdomain, empty path,
+    relative id, explicit port, uppercase path/query), so the oracle
+    states every expected key directly."""
+    from html_parser_spark.ops.web import surt_key
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id").cast("string")
+    m6 = F.pmod("doc_id", F.lit(6))
+    raw = (
+        F.when(m6 == 0, F.concat(F.lit("HTTP://WWW.Example.COM/A/B"), d, F.lit("?b=2&a=1")))
+        .when(m6 == 1, F.concat(F.lit("https://sub.test.co.uk/path"), d))
+        .when(m6 == 2, F.lit("https://Example.org"))
+        .when(m6 == 3, F.concat(F.lit("relative/ID/"), d))
+        .when(m6 == 4, F.concat(F.lit("http://h.example.net:8080/x"), d))
+        .otherwise(F.concat(F.lit("https://example.com/Q"), d, F.lit("?Z=9")))
+    )
+    return docs.select(
+        "doc_id", raw.alias("raw_url"), surt_key(raw).alias("surt")
+    )
+
+
 def q_image_dhash(spark, sf_dir):
     """Perceptual dHash over real decoded PNM pixels
     (ops/multimodal.dhash64): ascending-gradient PGMs hash to all-ones
@@ -1758,6 +1826,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_temperature_mix": q_temperature_mix,
         "q_doc_classifier": q_doc_classifier,
         "q_table_extract": q_table_extract,
+        "q_wet_roundtrip": q_wet_roundtrip,
+        "q_surt_key": q_surt_key,
         # changed this round (full-PSL default + ccTLD branches): keep a
         # driver row on the new behavior
         "q_psl_domain": q_psl_domain,
@@ -3206,6 +3276,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, 1, 0, FALSE, 2, ['xin' || s, 'y'] FROM d
             UNION ALL
             SELECT url, 2, 0, FALSE, 1, ['in' || s] FROM d
+        """,
+        "q_surt_key": """
+            -- expected SURT key per family, stated in closed form:
+            -- reversed host labels, www stripped, port dropped, empty
+            -- path -> '/', query params sorted, relative ids lowercased
+            SELECT doc_id,
+                   CASE doc_id % 6
+                     WHEN 0 THEN 'HTTP://WWW.Example.COM/A/B' || doc_id || '?b=2&a=1'
+                     WHEN 1 THEN 'https://sub.test.co.uk/path' || doc_id
+                     WHEN 2 THEN 'https://Example.org'
+                     WHEN 3 THEN 'relative/ID/' || doc_id
+                     WHEN 4 THEN 'http://h.example.net:8080/x' || doc_id
+                     ELSE 'https://example.com/Q' || doc_id || '?Z=9'
+                   END AS raw_url,
+                   CASE doc_id % 6
+                     WHEN 0 THEN 'com,example)/a/b' || doc_id || '?a=1&b=2'
+                     WHEN 1 THEN 'uk,co,test,sub)/path' || doc_id
+                     WHEN 2 THEN 'org,example)/'
+                     WHEN 3 THEN 'relative/id/' || doc_id
+                     WHEN 4 THEN 'net,example,h)/x' || doc_id
+                     ELSE 'com,example)/q' || doc_id || '?z=9'
+                   END AS surt
+            FROM documents
+        """,
+        "q_wet_roundtrip": """
+            -- recompute the per-url accounting straight from documents;
+            -- matching md5 per url == the WET conversion-record
+            -- writer->reader round-trip preserved every text byte
+            SELECT 'https://d' || (doc_id % 20) || '.example.org/doc/' || doc_id
+                     AS url,
+                   strftime(TIMESTAMP '2024-01-01 00:00:00' + to_seconds(doc_id),
+                            '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   md5(text) AS body_md5,
+                   'conversion' AS warc_type,
+                   'text/plain' AS content_type
+            FROM documents
         """,
         "q_audio_headers": """
             -- closed-form expected fields per payload family: k=0 WAV

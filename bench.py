@@ -85,15 +85,31 @@ def _measure_extraction_inprocess(master_cores: int) -> dict:
             .persist()
         )
         n_docs = pages.count()
-        # build + analyze the plan ONCE outside the timed region: driver-side
-        # planning is a constant (~0.2-0.5 s) that a 100 TB run amortizes to
-        # nothing but a 10 s hi-wall bills at 3-5%, distorting the ratio the
-        # north rule cares about (execution scaling, not planner constants)
-        qm = quality_metrics(extract_pages(pages, num_partitions=master_cores * 4))
-        qm.collect()  # warm-up: full pipeline on the same input (not timed)
+        # warm-up: the full pipeline SHAPE over a 25% sample (not timed).
+        # The warm-up exists to pay JIT/codegen/Python-worker-spawn once,
+        # which a quarter of the input does fine — warming on the full
+        # input doubled the cost of every paired-scaling round and starved
+        # the pair budget (round 4 try 1: one accepted pair)
+        quality_metrics(
+            extract_pages(
+                pages.sample(0.25, seed=7), num_partitions=master_cores * 4
+            )
+        ).collect()
         wall = float("inf")
         steal_cores = None
         for _ in range(timed_runs):
+            # a FRESH DataFrame per timed run: re-collecting the same
+            # DataFrame lets the DAGScheduler skip every stage whose
+            # shuffle map output still exists, so the "timed run" would
+            # execute only the final 1-row stage (measured: 0.05 s walls).
+            # New plan → new shuffle IDs → full recompute.  Planning is
+            # still kept OUT of the timed region (a 100 TB run amortizes
+            # the planner constant to nothing, a 10 s hi-wall bills it at
+            # 3-5%): force analysis + physical planning before t0.
+            qm = quality_metrics(
+                extract_pages(pages, num_partitions=master_cores * 4)
+            )
+            qm._jdf.queryExecution().executedPlan()
             s0 = _read_steal_ticks()
             t0 = time.time()
             row = qm.collect()[0]
@@ -194,21 +210,19 @@ def paired_scaling(
     Each pair = one hi run + one lo run back-to-back (order alternating so
     a monotone drift in box load cancels across pairs); per-pair ratio
     eff_i = (wall_lo_i / wall_hi_i) / (hi/lo); the recorded
-    ``scaling_efficiency`` is the MEDIAN of per-pair ratios.  Stops early
-    once >= min_pairs pairs exist and the median clears the 0.8 north
-    rule; per-run /proc/stat steal readings ride along per pair.
-
-    A pair whose two runs saw ASYMMETRIC steal (|steal_hi − steal_lo| >
-    0.3 cores) violates the protocol's premise — both walls of a ratio
-    must see the same box state — so it is set aside (reported under
-    ``rejected_pairs``, never silently dropped) and the pair re-measured,
-    bounded by ``max_pairs + 3`` total rounds.  If every round came back
-    asymmetric the rejected pairs are used anyway (disclosed)."""
+    ``scaling_efficiency`` is the MEDIAN of per-pair ratios over EVERY
+    measured pair — no pair is filtered, re-measured, or early-stopped on,
+    so the protocol is fully pre-registered (no data-dependent selection
+    that could bias the recorded number).  The loop runs ``max_pairs``
+    pairs, bounded by ``budget_stop`` after at least ``min_pairs``; the
+    per-run /proc/stat steal readings (absolute cores and fraction of the
+    level's requested cores) ride along per pair so a reviewer can see
+    exactly which ratios were depressed or inflated by co-tenant bursts —
+    the median is the robustness mechanism, not screening."""
     pairs: list[dict] = []
-    rejected: list[dict] = []
     docs = 0
     hi_first = True
-    while len(pairs) < max_pairs and len(pairs) + len(rejected) < max_pairs + 3:
+    while len(pairs) < max_pairs:
         walls: dict[int, float] = {}
         steals: dict[int, float] = {}
         for cores in (hi, lo) if hi_first else (lo, hi):
@@ -218,29 +232,24 @@ def paired_scaling(
             docs = d
         hi_first = not hi_first
         eff_i = (walls[lo] / walls[hi]) / (hi / lo)
-        rec = {
+        pairs.append({
             "wall_lo_sec": round(walls[lo], 3),
             "wall_hi_sec": round(walls[hi], 3),
             "steal_cores_lo": steals[lo],
             "steal_cores_hi": steals[hi],
+            # steal as a fraction of the level's requested cores — the
+            # capacity-relative view (0.3 cores is 15% of a 2-core run but
+            # 4% of an 8-core run); recorded for transparency
+            "steal_frac_lo": round(steals[lo] / lo, 3) if steals[lo] is not None else None,
+            "steal_frac_hi": round(steals[hi] / hi, 3) if steals[hi] is not None else None,
             "efficiency": round(eff_i, 3),
-        }
+        })
         if (
-            steals[lo] is not None
-            and steals[hi] is not None
-            and abs(steals[hi] - steals[lo]) > 0.3
+            budget_stop is not None
+            and len(pairs) >= min_pairs
+            and time.time() - _T_START > budget_stop
         ):
-            rejected.append(rec)
-        else:
-            pairs.append(rec)
-        if pairs:
-            med = _median([p["efficiency"] for p in pairs])
-            if len(pairs) >= min_pairs and med >= 0.8:
-                break
-        if budget_stop is not None and time.time() - _T_START > budget_stop:
             break
-    if not pairs:  # every round asymmetric — use them all, disclosed
-        pairs, rejected = rejected, []
     effs = [p["efficiency"] for p in pairs]
     med = _median(effs)
     # the walls of record come from the pair whose ratio IS (closest to)
@@ -260,7 +269,6 @@ def paired_scaling(
         "hw_parallel_efficiency": hw,
         "spark_attributable_efficiency": round(min(1.0, med / hw), 3) if hw else None,
         "pairs": pairs,
-        "rejected_pairs": rejected,
         "pair_efficiencies": effs,
         "best_wall_hi_sec": round(min(p["wall_hi_sec"] for p in pairs), 3),
     }
@@ -459,11 +467,19 @@ extraction job on the identical input at two local parallelism levels.
 
 Protocol (round 4): PAIRED within-window measurement — each pair runs the
 4N and N jobs back-to-back (order alternating), one efficiency ratio per
-pair, and the number of record is the MEDIAN of per-pair ratios.  Round 3
-ratioed per-level minima from independent sweeps, which on this co-tenant
-VM can pair walls from different noise windows (the recorded 0.757 was
-exactly that artifact); pairing guarantees both walls of every ratio see
-the same box state.
+pair, and the number of record is the MEDIAN of per-pair ratios over
+EVERY measured pair (no pair is filtered or re-measured, no early stop:
+fully pre-registered, so no data-dependent selection can bias the
+number; the per-pair steal readings below let a reviewer see which
+ratios co-tenant bursts depressed or inflated).  Round 3 ratioed
+per-level minima from independent sweeps, which on this co-tenant VM can
+pair walls from different noise windows (the recorded 0.757 was exactly
+that artifact); pairing puts both walls of every ratio in the same time
+window, and the median damps the residual burst that lands inside one
+pair.  Only execution is timed: the plan is built and analyzed before
+t0 (a 100 TB run amortizes the planner constant to nothing; a 10 s
+hi-wall would bill it at 3-5%), and each timed run constructs a fresh
+plan so no shuffle output is reused across runs.
 
 | config | value |
 |---|---|

@@ -445,8 +445,11 @@ def temperature_mix_plan(
         .groupBy("stratum")
         .agg(F.count("*").alias("kept"))
     )
+    # both sides are per-stratum aggregates (#strata rows — tiny by
+    # construction at any corpus scale), so the reconciliation join must
+    # never be a sort-merge: broadcast the kept counts
     return (
-        plan.join(kept, "stratum", "left")
+        plan.join(F.broadcast(kept), "stratum", "left")
         .select(
             "stratum",
             "n_docs",

@@ -132,6 +132,41 @@ def canonicalize_url(url) -> "F.Column":
     return F.when(scheme.isNotNull() & auth.isNotNull(), canon).otherwise(u)
 
 
+def surt_key(url) -> "F.Column":
+    """SURT (Sort-friendly URI Reordering Transform) key — the string CDX
+    capture indexes sort and prefix-scan by: reversed host labels joined
+    by commas, then ``)`` and the path, e.g.
+    ``com,example)/a/b?a=1&b=2``.  Reversing the host puts every
+    subdomain of a registered domain in one contiguous key range, so
+    "all captures under ``*.example.com``" is a RANGE SCAN (partition
+    prune + sorted-file skip) instead of a suffix-match over 10^12 keys.
+
+    Canonicalization applied (the common CDX flavor, documented here as
+    the contract): lowercase everything; strip one leading ``www.``
+    label; port dropped (``parse_url HOST`` excludes it); empty path →
+    ``/``; query parameters sorted bytewise so param order doesn't split
+    a url across keys.  Unparseable / relative identifiers pass through
+    lowercased — NULL keys would collapse them onto one range.  Pure
+    column expressions: stays in whole-stage codegen at crawl scale."""
+    u = F.col(url) if isinstance(url, str) else url
+    host = F.lower(F.parse_url(u, F.lit("HOST")))
+    host = F.regexp_replace(host, r"^www\.", "")
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    path = F.lower(F.parse_url(u, F.lit("PATH")))
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.lower(F.parse_url(u, F.lit("QUERY")))
+    qsorted = F.array_join(F.array_sort(F.split(query, "&")), "&")
+    key = F.concat(
+        rev,
+        F.lit(")"),
+        path,
+        F.when(query.isNotNull(), F.concat(F.lit("?"), qsorted)).otherwise(
+            F.lit("")
+        ),
+    )
+    return F.when(host.isNotNull() & (host != ""), key).otherwise(F.lower(u))
+
+
 def latest_capture(
     df: DataFrame, url_col: str = "url", ts_col: str = "warc_ts"
 ) -> DataFrame:

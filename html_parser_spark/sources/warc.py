@@ -112,6 +112,36 @@ def warc_record_col(url, warc_ts, html):
     )
 
 
+def wet_record_col(url, warc_ts, text):
+    """BINARY column holding one WET-style ``WARC-Type: conversion`` record
+    — the extracted-plain-text sidecar format Common Crawl publishes as
+    ``*.warc.wet.gz`` next to each response archive.  The body is the
+    extracted text (UTF-8), ``Content-Type: text/plain``, and
+    ``WARC-Refers-To`` carries the id of the response record
+    :func:`warc_record_col` would emit for the same url, so the sidecar
+    links back to its source capture exactly as Common Crawl's does.
+    Entirely JVM-side, like :func:`warc_record_col`."""
+    body = F.encode(text, "UTF-8")
+    warc_head = F.concat_ws(
+        "",
+        F.lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Record-ID: <urn:uuid:"),
+        _uuid_from_md5(F.concat(url, F.lit("#wet"))),
+        F.lit(">\r\nWARC-Refers-To: <urn:uuid:"),
+        _uuid_from_md5(url),
+        F.lit(">\r\nWARC-Date: "),
+        F.date_format(warc_ts, WARC_DATE_FMT),
+        F.lit("\r\nWARC-Target-URI: "),
+        url,
+        F.lit("\r\nContent-Type: text/plain"),
+        F.lit("\r\nContent-Length: "),
+        F.length(body).cast("string"),
+        F.lit("\r\n\r\n"),
+    )
+    return F.concat(
+        F.encode(warc_head, "UTF-8"), body, F.encode(F.lit("\r\n\r\n"), "UTF-8")
+    )
+
+
 @F.pandas_udf(T.BinaryType())
 def _gzip_member_udf(rec: pd.Series) -> pd.Series:
     # mtime=0 → deterministic member bytes for a given record
@@ -122,6 +152,18 @@ def to_warc_records(pages: DataFrame, compress: bool = True) -> DataFrame:
     """pages(url, warc_ts, html, …) → one-column ``record`` BINARY frame."""
     rec = warc_record_col(F.col("url"), F.col("warc_ts"), F.col("html"))
     out = pages.select(rec.alias("record"))
+    if compress:
+        out = out.select(_gzip_member_udf("record").alias("record"))
+    return out
+
+
+def to_wet_records(
+    docs: DataFrame, compress: bool = True, text_col: str = "text"
+) -> DataFrame:
+    """docs(url, warc_ts, <text_col>, …) → one-column ``record`` BINARY
+    frame of conversion records (the WET sidecar of :func:`to_warc_records`)."""
+    rec = wet_record_col(F.col("url"), F.col("warc_ts"), F.col(text_col))
+    out = docs.select(rec.alias("record"))
     if compress:
         out = out.select(_gzip_member_udf("record").alias("record"))
     return out
@@ -141,18 +183,38 @@ def write_warc_files(pages: DataFrame, out_dir: str, compress: bool = True) -> i
     driver and executors share (local mode, NFS, FUSE-mounted object
     store); on executor-local disks use a distributed committer instead.
     """
+    records = to_warc_records(pages, compress=compress)
+    return _write_part_files(records, out_dir, ".warc.gz" if compress else ".warc")
+
+
+def write_wet_files(
+    docs: DataFrame, out_dir: str, compress: bool = True, text_col: str = "text"
+) -> int:
+    """WET sidecar sink: one ``part-NNNNN.warc.wet[.gz]`` per partition of
+    ``docs(url, warc_ts, <text_col>)`` — conversion records holding the
+    extracted plain text, the format training pipelines consume instead of
+    raw response archives.  Same atomic-rename part writer (and the same
+    shared-filesystem requirement) as :func:`write_warc_files`."""
+    records = to_wet_records(docs, compress=compress, text_col=text_col)
+    return _write_part_files(
+        records, out_dir, ".warc.wet.gz" if compress else ".warc.wet"
+    )
+
+
+def _write_part_files(records: DataFrame, out_dir: str, suffix: str) -> int:
+    """Shared per-partition part writer for the WARC/WET sinks: stream each
+    partition's BINARY ``record`` rows to a ``.tmp`` file, atomic-rename on
+    success, return the part count."""
     os.makedirs(out_dir, exist_ok=True)
-    suffix = ".warc.gz" if compress else ".warc"
     # clear stale parts: a re-run with fewer partitions — or with the
     # opposite compress flag — would otherwise leave old part files mixed
-    # into the archive (and inflate the count), so sweep BOTH suffixes
+    # into the archive (and inflate the count), so sweep EVERY sink suffix
     for name in os.listdir(out_dir):
         if (
-            name.endswith((".warc", ".warc.gz", ".warc.tmp", ".warc.gz.tmp"))
+            name.endswith((".warc", ".warc.gz", ".warc.wet", ".warc.wet.gz"))
             or ".tmp-" in name
         ):
             os.remove(os.path.join(out_dir, name))
-    records = to_warc_records(pages, compress=compress)
 
     def _write(rows) -> None:
         from pyspark import TaskContext

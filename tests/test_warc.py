@@ -294,3 +294,72 @@ def test_write_warc_files_clears_stale_parts(spark, tmp_path):
     n2 = write_warc_files(pages.limit(4).repartition(2), out)
     assert n1 == 6 and n2 == 2  # stale parts from run 1 are gone
     assert read_warc(spark, f"{out}/*.warc.gz").count() == 4
+
+
+def _docs_rows():
+    from datetime import datetime
+
+    ts = datetime(2024, 5, 1, 12, 0, 0)
+    return [
+        ("https://a.example.org/1", ts, "plain text body"),
+        ("https://a.example.org/2", ts, ""),  # empty text
+        ("https://b.example.org/3", ts, "юникод ЦӀnew№"),
+        # text containing a fake record separator + fake WARC header —
+        # the reader must trust Content-Length only
+        ("https://b.example.org/4", ts, "x\r\n\r\nWARC/1.0\r\nfake\r\n\r\ny"),
+    ]
+
+
+def test_wet_roundtrip_gzip_and_plain(spark, tmp_path):
+    """WET conversion-record sink → the same reader: text bytes byte-exact,
+    conversion type, text/plain, no HTTP splitting, NULL status."""
+    from html_parser_spark.sources.warc import read_warc, write_wet_files
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    docs = spark.createDataFrame(_docs_rows(), schema).repartition(2)
+    for compress, sub in [(True, "gz"), (False, "plain")]:
+        out = str(tmp_path / f"wet-{sub}")
+        n_files = write_wet_files(docs, out, compress=compress)
+        assert 1 <= n_files <= 2
+        pat = os.path.join(out, "*.warc.wet.gz" if compress else "*.warc.wet")
+        back = read_warc(spark, pat).orderBy("url").collect()
+        orig = sorted(_docs_rows())
+        assert [r["url"] for r in back] == [o[0] for o in orig]
+        assert [bytes(r["html"]) for r in back] == [o[2].encode() for o in orig]
+        assert all(r["warc_type"] == "conversion" for r in back)
+        assert all(r["content_type"] == "text/plain" for r in back)
+        assert all(r["http_status"] is None for r in back)
+
+
+def test_wet_refers_to_matches_response_record_id(spark):
+    """The sidecar's WARC-Refers-To is the response record's id for the
+    same url (both derive from md5(url)), and its own id differs."""
+    from html_parser_spark.sources.warc import to_warc_records, to_wet_records
+
+    from datetime import datetime
+
+    ts = datetime(2024, 5, 1, 12, 0, 0)
+    url = "https://a.example.org/1"
+    pages = _pages(spark, [(url, ts, b"<html>x</html>")])
+    docs = spark.createDataFrame(
+        [(url, ts, "x")], "url string, warc_ts timestamp, text string"
+    )
+    resp = bytes(to_warc_records(pages, compress=False).collect()[0]["record"])
+    wet = bytes(to_wet_records(docs, compress=False).collect()[0]["record"])
+    resp_id = [
+        ln for ln in resp.split(b"\r\n") if ln.startswith(b"WARC-Record-ID:")
+    ][0].split(b"<", 1)[1].rstrip(b">")
+    refers = [
+        ln for ln in wet.split(b"\r\n") if ln.startswith(b"WARC-Refers-To:")
+    ][0].split(b"<", 1)[1].rstrip(b">")
+    wet_id = [
+        ln for ln in wet.split(b"\r\n") if ln.startswith(b"WARC-Record-ID:")
+    ][0].split(b"<", 1)[1].rstrip(b">")
+    assert refers == resp_id
+    assert wet_id != resp_id

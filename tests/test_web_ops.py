@@ -307,3 +307,45 @@ def test_soft_404_adversarial_battery(spark):
     false_neg = [i for i, *_ in positives if got[i] == 0]
     assert false_pos == [], f"hard negatives flagged: {false_pos}"
     assert false_neg == [], f"true soft-404s missed: {false_neg}"
+
+
+def test_surt_key_families(spark):
+    """SURT keys: reversed host labels, www strip, port drop, empty path,
+    sorted query params, lowercased relative passthrough."""
+    from pyspark.sql import functions as F
+
+    from html_parser_spark.ops.web import surt_key
+
+    cases = [
+        ("HTTP://WWW.Example.COM/A/B7?b=2&a=1", "com,example)/a/b7?a=1&b=2"),
+        ("https://sub.test.co.uk/path", "uk,co,test,sub)/path"),
+        ("https://Example.org", "org,example)/"),
+        ("relative/ID/9", "relative/id/9"),
+        ("http://h.example.net:8080/x", "net,example,h)/x"),
+        ("https://example.com/Q?Z=9", "com,example)/q?z=9"),
+        # www strip is ONE label, not every w-prefixed host
+        ("https://wwwish.example.com/p", "com,example,wwwish)/p"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["s"] for r in df.select(surt_key("url").alias("s")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_surt_key_groups_subdomains_contiguously(spark):
+    """The point of SURT: every subdomain of a registered domain sorts
+    into one contiguous key range."""
+    from html_parser_spark.ops.web import surt_key
+
+    urls = [
+        "https://a.example.com/1",
+        "https://zz.other.org/x",
+        "https://b.example.com/2",
+        "https://example.com/3",
+        "https://aaa.aardvark.net/y",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    keys = sorted(r["s"] for r in df.select(surt_key("url").alias("s")).collect())
+    ex = [k for k in keys if k.startswith("com,example")]
+    # contiguous: the example.com keys occupy one unbroken slice
+    lo, hi = keys.index(ex[0]), keys.index(ex[-1])
+    assert keys[lo:hi + 1] == ex and len(ex) == 3

@@ -342,6 +342,50 @@ def main():
         )
     )
 
+    p = plan_of(entrymod.q_temperature_mix(spark, sf_dir))
+    checks.append(
+        (
+            "q_temperature_mix — partial-agg stratum counts, 1-row broadcast "
+            "denominator, tiny threshold dim broadcast back onto docs",
+            p,
+            ["HashAggregate", "BroadcastNestedLoopJoin", "BroadcastHashJoin"],
+            ["CartesianProduct", "SortMergeJoin", "ArrowEvalPython", "BatchEvalPython"],
+        )
+    )
+
+    p = plan_of(entrymod.q_doc_classifier(spark, sf_dir))
+    checks.append(
+        (
+            "q_doc_classifier — pure JVM hashing/explode, broadcast model, "
+            "partial-agg train + score groupBys, zero Python",
+            p,
+            ["HashAggregate", "BroadcastHashJoin"],
+            ["CartesianProduct", "ArrowEvalPython", "BatchEvalPython"],
+        )
+    )
+
+    p = plan_of(entrymod.q_table_extract(spark, sf_dir))
+    checks.append(
+        (
+            "q_table_extract — ONE Arrow table-walk stage + narrow explode, "
+            "zero shuffle",
+            p,
+            ["ArrowEvalPython", "Generate"],
+            ["Exchange", "BatchEvalPython", "SortMergeJoin"],
+        )
+    )
+
+    p = plan_of(entrymod.q_surt_key(spark, sf_dir))
+    checks.append(
+        (
+            "q_surt_key — CDX sort-key derivation is pure codegen, "
+            "zero shuffle/Python",
+            p,
+            ["*(1)"],
+            ["Exchange", "ArrowEvalPython", "BatchEvalPython", "Join"],
+        )
+    )
+
     p = plan_of(entrymod.q_familiarity(spark, sf_dir))
     checks.append(
         (
@@ -411,6 +455,17 @@ def main():
             p,
             ["MapInPandas"],
             ["Exchange", "Window"],  # the READ side must not shuffle
+        )
+    )
+
+    p = plan_of(entrymod.q_wet_roundtrip(spark, sf_dir))
+    checks.append(
+        (
+            "q_wet_roundtrip — WET sidecar read is the same shuffle-free "
+            "scan → single mapInPandas",
+            p,
+            ["MapInPandas"],
+            ["Exchange", "Window"],
         )
     )
 
