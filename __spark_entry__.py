@@ -1002,6 +1002,20 @@ def q_wet_roundtrip(spark, sf_dir):
     )
 
 
+def q_pack_shards(spark, sf_dir):
+    """Byte-balanced shard packing for training export
+    (ops/corpus.pack_shards): docs ordered by id, running byte offsets via
+    the DISTRIBUTED prefix-sum (range partitions → local cumsums → P-row
+    offset rollup broadcast back; never a global single-partition window),
+    shard = start_offset div 256KB.  The oracle is the plain global
+    running sum — a hash match proves the two-level decomposition equals
+    the sequential semantics exactly."""
+    from html_parser_spark.ops.corpus import pack_shards
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return pack_shards(docs, shard_bytes=262144, num_partitions=8)
+
+
 def q_surt_key(spark, sf_dir):
     """SURT capture-index keys (ops/web.surt_key — the sort key CDX
     indexes range-scan by): six url families built in closed form from
@@ -1828,6 +1842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_table_extract": q_table_extract,
         "q_wet_roundtrip": q_wet_roundtrip,
         "q_surt_key": q_surt_key,
+        "q_pack_shards": q_pack_shards,
         # changed this round (full-PSL default + ccTLD branches): keep a
         # driver row on the new behavior
         "q_psl_domain": q_psl_domain,
@@ -3276,6 +3291,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, 1, 0, FALSE, 2, ['xin' || s, 'y'] FROM d
             UNION ALL
             SELECT url, 2, 0, FALSE, 1, ['in' || s] FROM d
+        """,
+        "q_pack_shards": """
+            -- the sequential semantics the distributed prefix-sum must
+            -- reproduce exactly: global running byte sum in doc_id order,
+            -- exclusive offsets, integer shard division
+            WITH s AS (
+              SELECT doc_id,
+                     CAST(octet_length(encode(COALESCE(text, ''))) AS BIGINT)
+                       AS n_bytes
+              FROM documents
+            )
+            SELECT doc_id, n_bytes,
+                   CAST(COALESCE(sum(n_bytes) OVER (
+                          ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                        ), 0) AS BIGINT) AS start_offset,
+                   CAST(COALESCE(sum(n_bytes) OVER (
+                          ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                        ), 0) // 262144 AS BIGINT) AS shard_id
+            FROM s
         """,
         "q_surt_key": """
             -- expected SURT key per family, stated in closed form:

@@ -483,3 +483,83 @@ def temperature_sample(
         .filter(bucket < F.col("threshold"))
         .drop("threshold")
     )
+
+
+def pack_shards(
+    docs: DataFrame,
+    shard_bytes: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic byte-balanced shard assignment for training export:
+    documents ordered by ``id_col``, each assigned to the output shard in
+    which its running byte offset STARTS — ``shard_id = start_offset div
+    shard_bytes``.  Training readers get shards of ~equal byte size with a
+    stable, engine-independent doc→shard map (re-runs, repartitions, and
+    the DuckDB oracle all agree exactly: integer running sum, no floats).
+
+    Returns (doc_id, n_bytes, start_offset, shard_id).
+
+    Scale shape — the distributed prefix-sum, NOT a global window: a
+    single ``Window.orderBy(id)`` with no partitionBy would drag 10^12
+    rows through ONE partition.  Instead:
+
+    1. ``repartitionByRange(id)`` → P sorted, non-overlapping id ranges
+       (the exchange a sorted export needs anyway);
+    2. per-range LOCAL cumulative sums (window partitioned by the range
+       id — every partition works independently);
+    3. the P per-range byte totals (a P-row aggregate — tiny at any
+       corpus size) roll into exclusive range offsets driver-free via a
+       window over that P-row frame, broadcast back onto the ranges.
+
+    Every full-data stage is a plain hash/range exchange; the only
+    single-partition window runs over P rows.
+    """
+    if num_partitions is None:
+        num_partitions = int(
+            docs.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    sizes = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.octet_length(F.coalesce(F.col(text_col), F.lit(""))).cast("long").alias(
+            "n_bytes"
+        ),
+    )
+    ranged = sizes.repartitionByRange(num_partitions, "doc_id").withColumn(
+        "_p", F.spark_partition_id()
+    )
+    # exclusive per-range offsets: P rows — the window over them is single
+    # partition BY CONSTRUCTION (P ≈ thousands at crawl scale, not 10^12)
+    totals = ranged.groupBy("_p").agg(
+        F.sum("n_bytes").alias("_range_bytes"), F.min("doc_id").alias("_lo")
+    )
+    w_off = Window.orderBy("_p").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_p",
+        F.coalesce(F.sum("_range_bytes").over(w_off), F.lit(0)).alias("_offset"),
+    )
+    w_local = (
+        Window.partitionBy("_p")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        ranged.join(F.broadcast(offsets), "_p")
+        .select(
+            "doc_id",
+            "n_bytes",
+            (
+                F.col("_offset")
+                + F.coalesce(F.sum("n_bytes").over(w_local), F.lit(0))
+            ).alias("start_offset"),
+        )
+        .select(
+            "doc_id",
+            "n_bytes",
+            "start_offset",
+            # `div` (IntegralDivide), not float `/` + cast: at 10^14-byte
+            # running offsets float division rounds before the truncation
+            F.expr(f"start_offset div {int(shard_bytes)}").alias("shard_id"),
+        )
+    )

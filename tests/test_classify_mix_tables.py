@@ -211,3 +211,49 @@ def test_extract_tables_dataframe_no_shuffle(spark):
     assert len(rows) == 1 and rows[0]["cells"] == ["a"] and rows[0]["n_cells"] == 1
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_pack_shards_matches_sequential_and_is_partition_independent(spark):
+    """The distributed prefix-sum equals the sequential running sum for
+    ANY partition count (1, 3, 8) — including a NULL-text doc (0 bytes)."""
+    from html_parser_spark.ops.corpus import pack_shards
+
+    rows = [(i, "x" * ((i * 37) % 200)) for i in range(50)]
+    rows[7] = (7, None)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # sequential reference
+    sizes = {i: len(t.encode()) if t else 0 for i, t in rows}
+    expect, off = {}, 0
+    for i in sorted(sizes):
+        expect[i] = (sizes[i], off, off // 500)
+        off += sizes[i]
+
+    for p in (1, 3, 8):
+        got = {
+            r["doc_id"]: (r["n_bytes"], r["start_offset"], r["shard_id"])
+            for r in pack_shards(df, shard_bytes=500, num_partitions=p).collect()
+        }
+        assert got == expect, f"num_partitions={p}"
+
+
+def test_pack_shards_no_global_single_partition_window(spark):
+    """The full-data window must be partitioned (by the range id); the only
+    unpartitioned window may run over the P-row offsets frame."""
+    from html_parser_spark.ops.corpus import pack_shards
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), F.lit("abc").alias("text")
+    )
+    plan = pack_shards(df, shard_bytes=100, num_partitions=4)
+    plan.collect()
+    s = plan._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    # every Window over n_bytes/doc_id (the full-data cumsum) must carry a
+    # partition spec; the offsets window (over _range_bytes) may be global
+    for m in re.finditer(r"Window \[(.*?)\]", s):
+        spec = m.group(0)
+        if "_range_bytes" in spec:
+            continue
+        assert "partitionBy" in s or "_p" in spec, spec

@@ -375,6 +375,18 @@ def main():
         )
     )
 
+    p = plan_of(entrymod.q_pack_shards(spark, sf_dir))
+    checks.append(
+        (
+            "q_pack_shards — distributed prefix-sum: range exchange + "
+            "PARTITIONED local-cumsum window + tiny offsets broadcast "
+            "(never a global single-partition window over the corpus)",
+            p,
+            ["Window", "BroadcastHashJoin"],
+            ["CartesianProduct", "SortMergeJoin", "ArrowEvalPython"],
+        )
+    )
+
     p = plan_of(entrymod.q_surt_key(spark, sf_dir))
     checks.append(
         (
