@@ -47,6 +47,12 @@ def main(argv=None):
              "emits (url, warc_ts, lang, main_text, block stats) per page",
     )
     ap.add_argument(
+        "--wet", default="",
+        help="also write the extracted text as a WET conversion-record "
+             "sidecar (*.warc.wet.gz part per partition) into this dir — "
+             "the Common-Crawl text format downstream consumers read",
+    )
+    ap.add_argument(
         "--max-html-bytes", type=int, default=8 * 1024 * 1024,
         help="route pages over this size around the parse as fmt='oversized' "
              "(bounds worst-case task time at crawl scale; 0 disables)",
@@ -124,6 +130,7 @@ def main(argv=None):
             out = _mc_transform(pages)
             out.write.mode("overwrite").parquet(os.path.join(args.output, "data"))
             out = spark.read.parquet(os.path.join(args.output, "data"))
+        n_wet = _write_wet_sidecar(out, "main_text", args.wet)
         row = out.agg(
             F.count("*").alias("docs"),
             F.sum("n_content_blocks").alias("content_blocks"),
@@ -134,6 +141,7 @@ def main(argv=None):
             "job": "extract-main-content",
             **{k: int(row[k] or 0) for k in
                ("docs", "content_blocks", "bytes_in", "content_chars")},
+            **({"wet_parts": n_wet} if n_wet is not None else {}),
         }))
         return
 
@@ -184,13 +192,31 @@ def main(argv=None):
         row = quality_metrics(results).collect()[0]
         metrics = {k: row[k] for k in ("docs", "entries", "bytes_in", "errors")}
 
+    n_wet = _write_wet_sidecar(results, "extracted_text", args.wet)
     print(json.dumps({
         "job": "extract",
         **{
             k: (int(v) if isinstance(v, (int, float)) else (v if v is not None else 0))
             for k, v in metrics.items()
         },
+        **({"wet_parts": n_wet} if n_wet is not None else {}),
     }))
+
+
+def _write_wet_sidecar(results, text_col: str, out_dir: str):
+    """--wet: the extracted text as WET conversion records (NULL-text rows
+    — parse errors / oversized routes — carry no payload and are skipped).
+    Returns the part count, or None when the flag is off."""
+    if not out_dir:
+        return None
+    from pyspark.sql import functions as F
+
+    from html_parser_spark.sources.warc import write_wet_files
+
+    docs = results.where(F.col(text_col).isNotNull()).select(
+        "url", "warc_ts", F.col(text_col).alias("text")
+    )
+    return write_wet_files(docs, out_dir)
 
 
 if __name__ == "__main__":

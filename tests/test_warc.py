@@ -363,3 +363,36 @@ def test_wet_refers_to_matches_response_record_id(spark):
     ][0].split(b"<", 1)[1].rstrip(b">")
     assert refers == resp_id
     assert wet_id != resp_id
+
+
+def test_extract_job_wet_sidecar(spark, tmp_path, capsys):
+    """--wet writes the extracted text as WET conversion records whose
+    bodies byte-match the parquet extracted_text, url for url."""
+    import json
+
+    import jobs.extract_job as ej
+    from html_parser_spark.sources.warc import read_warc
+
+    out = str(tmp_path / "results")
+    wet = str(tmp_path / "wet")
+    ej.main([
+        "--pages", "synth:/root/testdata/sf0.001",
+        "--output", out,
+        "--partitions", "4",
+        "--limit", "25",
+        "--wet", wet,
+    ])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["wet_parts"] >= 1
+    res = spark.read.parquet(f"{out}/data").where("extracted_text IS NOT NULL")
+    back = read_warc(spark, os.path.join(wet, "*.warc.wet.gz"))
+    joined = back.join(res, "url").select(
+        "url",
+        F.decode("html", "UTF-8").alias("wet_text"),
+        "extracted_text",
+    )
+    assert joined.count() == res.count() == 25
+    assert joined.where("wet_text <> extracted_text").count() == 0
+    assert set(r["warc_type"] for r in back.select("warc_type").collect()) == {
+        "conversion"
+    }
