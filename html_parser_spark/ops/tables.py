@@ -56,47 +56,50 @@ def extract_page_tables(
 
     root = parse_html(decode_html_bytes(html_bytes if html_bytes else b""))
     out: list[dict] = []
-    next_table = [0]
+    next_table = 0
 
-    def walk(el, ctx) -> None:
-        # ctx: [table_idx, next_row_idx] of the nearest open table, or None
-        for ch in el.children:
-            if ch.kind != "element" or len(out) >= max_rows:
-                continue
-            tag = ch.tag
-            if tag == "table":
-                sub = [next_table[0], 0]
-                next_table[0] += 1
-                walk(ch, sub)
-            elif tag == "tr" and ctx is not None:
-                cells: list[str] = []
-                is_header = False
-                for c in ch.children:
-                    if c.kind != "element" or c.tag not in ("td", "th"):
-                        continue
-                    if c.tag == "th":
-                        is_header = True
-                    txt = " ".join(c.text_content.split())
-                    span = c.attrs.get("colspan")
-                    try:
-                        n = max(1, min(int(span), _MAX_COLSPAN)) if span else 1
-                    except (TypeError, ValueError):
-                        n = 1
-                    cells.extend([txt] * n)
-                out.append(
-                    {
-                        "table_idx": ctx[0],
-                        "row_idx": ctx[1],
-                        "is_header": is_header,
-                        "cells": cells,
-                    }
-                )
-                ctx[1] += 1
-                walk(ch, ctx)  # nested tables live inside this row's cells
-            else:
-                walk(ch, ctx)
-
-    walk(root, None)
+    # EXPLICIT stack, not recursion (the same discipline as the dom.py
+    # walkers): a crawl page with thousands of nested elements must not
+    # blow the interpreter recursion limit inside an executor UDF.
+    # Processing at POP time with reversed-children pushes IS the DFS
+    # pre-order the table numbering contract requires; ctx is the
+    # [table_idx, next_row_idx] of the nearest open table, or None.
+    stack: list[tuple] = [(root, None)]
+    while stack and len(out) < max_rows:
+        el, ctx = stack.pop()
+        tag = el.tag if el.kind == "element" else None
+        if tag == "table":
+            ctx = [next_table, 0]
+            next_table += 1
+        elif tag == "tr" and ctx is not None:
+            cells: list[str] = []
+            is_header = False
+            for c in el.children:
+                if c.kind != "element" or c.tag not in ("td", "th"):
+                    continue
+                if c.tag == "th":
+                    is_header = True
+                txt = " ".join(c.text_content.split())
+                span = c.attrs.get("colspan")
+                try:
+                    n = max(1, min(int(span), _MAX_COLSPAN)) if span else 1
+                except (TypeError, ValueError):
+                    n = 1
+                cells.extend([txt] * n)
+            out.append(
+                {
+                    "table_idx": ctx[0],
+                    "row_idx": ctx[1],
+                    "is_header": is_header,
+                    "cells": cells,
+                }
+            )
+            ctx[1] += 1
+        stack.extend(
+            (ch, ctx)
+            for ch in reversed(el.children)
+            if ch.kind == "element"
+        )
     return out
 
 

@@ -120,8 +120,12 @@ def wet_record_col(url, warc_ts, text):
     ``WARC-Refers-To`` carries the id of the response record
     :func:`warc_record_col` would emit for the same url, so the sidecar
     links back to its source capture exactly as Common Crawl's does.
-    Entirely JVM-side, like :func:`warc_record_col`."""
-    body = F.encode(text, "UTF-8")
+    Entirely JVM-side, like :func:`warc_record_col`.
+
+    NULL text becomes an EMPTY conversion record, not a NULL one — a NULL
+    record column would crash the part writer mid-file on the one error
+    row in a billion-page export."""
+    body = F.encode(F.coalesce(text, F.lit("")), "UTF-8")
     warc_head = F.concat_ws(
         "",
         F.lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Record-ID: <urn:uuid:"),

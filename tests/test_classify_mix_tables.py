@@ -257,3 +257,21 @@ def test_pack_shards_no_global_single_partition_window(spark):
         if "_range_bytes" in spec:
             continue
         assert "partitionBy" in s or "_p" in spec, spec
+
+
+def test_tables_kernel_survives_deep_nesting():
+    """A crawl page with thousands of nested elements must not blow the
+    recursion limit (the walker is an explicit stack), and a table at the
+    bottom still extracts."""
+    from html_parser_spark.ops.tables import extract_page_tables
+
+    depth = 3000
+    page = (
+        "<html><body>" + "<div>" * depth
+        + "<table><tr><td>deep</td></tr></table>"
+        + "</div>" * depth + "</body></html>"
+    ).encode()
+    rows = extract_page_tables(page)
+    assert rows == [
+        {"table_idx": 0, "row_idx": 0, "is_header": False, "cells": ["deep"]}
+    ]
