@@ -1002,6 +1002,36 @@ def q_wet_roundtrip(spark, sf_dir):
     )
 
 
+def q_robots_sitemaps(spark, sf_dir):
+    """Sitemap discovery from robots.txt (ops/robots.robots_sitemaps — the
+    RFC 9309 §2.3 group-independent directive): four body families built
+    in closed form (inside a UA group, two case-variant lines with an
+    inline comment, none, indented with no space after the colon), so the
+    oracle states every expected (host, sitemap_url) row directly."""
+    from html_parser_spark.ops.robots import robots_sitemaps
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id").cast("string")
+    m4 = F.pmod("doc_id", F.lit(4))
+    body = (
+        F.when(m4 == 0, F.concat(
+            F.lit("User-agent: *\nDisallow: /x\nSitemap: https://s.example.org/map"),
+            d, F.lit(".xml\n")))
+        .when(m4 == 1, F.concat(
+            F.lit("sitemap: https://s.example.org/a"), d,
+            F.lit(".xml # primary\nSiteMap: https://s.example.org/b"), d,
+            F.lit(".xml\n")))
+        .when(m4 == 2, F.lit("User-agent: *\nDisallow: /private\n"))
+        .otherwise(F.concat(
+            F.lit("  Sitemap:https://s.example.org/c"), d, F.lit(".xml")))
+    )
+    robots = docs.select(
+        F.concat(F.lit("h"), d, F.lit(".example.org")).alias("host"),
+        body.alias("body"),
+    )
+    return robots_sitemaps(robots)
+
+
 def q_pack_shards(spark, sf_dir):
     """Byte-balanced shard packing for training export
     (ops/corpus.pack_shards): docs ordered by id, running byte offsets via
@@ -1843,6 +1873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_wet_roundtrip": q_wet_roundtrip,
         "q_surt_key": q_surt_key,
         "q_pack_shards": q_pack_shards,
+        "q_robots_sitemaps": q_robots_sitemaps,
         # changed this round (full-PSL default + ccTLD branches): keep a
         # driver row on the new behavior
         "q_psl_domain": q_psl_domain,
@@ -3291,6 +3322,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, 1, 0, FALSE, 2, ['xin' || s, 'y'] FROM d
             UNION ALL
             SELECT url, 2, 0, FALSE, 1, ['in' || s] FROM d
+        """,
+        "q_robots_sitemaps": """
+            -- every expected (host, sitemap_url) row in closed form per
+            -- body family: 0 = one line inside a UA group, 1 = two
+            -- case-variant lines (inline comment stripped), 2 = none,
+            -- 3 = indented, no space after the colon
+            WITH d AS (
+              SELECT doc_id, 'h' || doc_id || '.example.org' AS host,
+                     CAST(doc_id AS VARCHAR) AS s, doc_id % 4 AS fam
+              FROM documents
+            )
+            SELECT host, 'https://s.example.org/map' || s || '.xml' AS sitemap_url
+              FROM d WHERE fam = 0
+            UNION ALL
+            SELECT host, 'https://s.example.org/a' || s || '.xml' FROM d WHERE fam = 1
+            UNION ALL
+            SELECT host, 'https://s.example.org/b' || s || '.xml' FROM d WHERE fam = 1
+            UNION ALL
+            SELECT host, 'https://s.example.org/c' || s || '.xml' FROM d WHERE fam = 3
         """,
         "q_pack_shards": """
             -- the sequential semantics the distributed prefix-sum must

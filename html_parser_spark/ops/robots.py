@@ -232,3 +232,26 @@ def robots_filter(
         .filter(F.col("allowed") == 1)
         .drop("allowed")
     )
+
+
+def robots_sitemaps(
+    robots: DataFrame, host_col: str = "host", body_col: str = "body"
+) -> DataFrame:
+    """(host, body) → (host, sitemap_url) — the ``Sitemap:`` discovery
+    lines, the crawl frontier's entry point into :func:`~html_parser_spark.
+    ops.web.sitemap_urls` parsing.
+
+    Per RFC 9309 §2.3 the directive is GROUP-INDEPENDENT (it binds to the
+    file, not to any User-agent group — unlike every rule
+    :func:`_agent_grouped_directives` attributes), so this is a pure
+    regexp_extract_all + narrow explode over the body: case-insensitive
+    directive match, comments stripped per line, absolute url kept
+    verbatim.  Zero Python, zero shuffle, no window — the per-host rule
+    machinery is not involved at all."""
+    urls = F.expr(
+        rf"regexp_extract_all(regexp_replace({body_col}, '(?m)#.*$', ''), "
+        rf"'(?im)^\\s*sitemap\\s*:\\s*(\\S+)', 1)"
+    )
+    return robots.select(
+        F.col(host_col).alias("host"), F.explode(urls).alias("sitemap_url")
+    )

@@ -202,3 +202,25 @@ def test_crawl_delays_and_fetch_plan(spark):
     assert plan["b.com"]["est_fetch_sec"] == 12
     assert plan["d.com"]["crawl_delay_sec"] == 1  # no robots row -> default
     assert plan["d.com"]["est_fetch_sec"] == 3
+
+
+def test_robots_sitemaps_group_independent(spark):
+    """Sitemap: lines surface regardless of User-agent group position,
+    case, indentation, and inline comments; hosts without one yield no
+    rows."""
+    from html_parser_spark.ops.robots import robots_sitemaps
+
+    rows = [
+        ("a.org", "User-agent: x\nDisallow: /\nSitemap: https://a.org/s.xml"),
+        ("b.org", "sitemap: https://b.org/1.xml # main\n  SITEMAP:https://b.org/2.xml"),
+        ("c.org", "User-agent: *\nDisallow: /p\n# Sitemap: https://c.org/no.xml"),
+    ]
+    df = spark.createDataFrame(rows, "host string, body string")
+    got = sorted(
+        (r["host"], r["sitemap_url"]) for r in robots_sitemaps(df).collect()
+    )
+    assert got == [
+        ("a.org", "https://a.org/s.xml"),
+        ("b.org", "https://b.org/1.xml"),
+        ("b.org", "https://b.org/2.xml"),
+    ]

@@ -375,6 +375,17 @@ def main():
         )
     )
 
+    p = plan_of(entrymod.q_robots_sitemaps(spark, sf_dir))
+    checks.append(
+        (
+            "q_robots_sitemaps — group-independent directive: regexp + "
+            "narrow explode, zero Python/shuffle/window",
+            p,
+            ["Generate"],
+            ["Exchange", "ArrowEvalPython", "BatchEvalPython", "Window", "Join"],
+        )
+    )
+
     p = plan_of(entrymod.q_pack_shards(spark, sf_dir))
     checks.append(
         (
