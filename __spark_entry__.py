@@ -1002,6 +1002,63 @@ def q_wet_roundtrip(spark, sf_dir):
     )
 
 
+def q_wat_roundtrip(spark, sf_dir):
+    """WAT sidecar sink (Common Crawl's ``*.warc.wat.gz`` JSON metadata
+    format, sources/warc.write_wat_files): synthesize pages whose title /
+    description / anchors are closed-form, run the REAL metadata kernel +
+    JSON envelope + metadata-record writer, read back through the WARC
+    parser, and re-extract the fields from the JSON payload — the oracle
+    states every expected field directly, so a hash match proves the
+    kernel, the envelope, and the writer→reader round-trip at once.
+    Anchor semantics pinned: duplicate hrefs collapse in ``outlinks`` but
+    both count in ``n_anchors``."""
+    import shutil
+    import tempfile
+
+    _ship_package(spark)
+    from html_parser_spark.sources.warc import read_warc, write_wat_files
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id").cast("string")
+    url = F.concat(
+        F.lit("https://d"),
+        F.pmod("doc_id", F.lit(20)).cast("string"),
+        F.lit(".example.org/doc/"),
+        d,
+    )
+    html = F.concat(
+        F.lit("<html><head><title>T"), d,
+        F.lit('</title><meta name="description" content="D'), d,
+        F.lit('"></head><body><a href="https://out.example.org/p'), d,
+        F.lit('">x</a><a href="https://out.example.org/p'), d,
+        F.lit('">y</a></body></html>'),
+    )
+    pages = docs.select(
+        url.alias("url"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id")).alias("warc_ts"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_wat_rt_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    write_wat_files(pages.repartition(8), out, compress=True)
+    w = read_warc(spark, os.path.join(out, "*.warc.wat.gz"))
+    j = F.decode("html", "UTF-8")
+    return w.select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("warc_date"),
+        "warc_type",
+        "content_type",
+        F.get_json_object(j, "$.title").alias("title"),
+        F.get_json_object(j, "$.description").alias("description"),
+        F.get_json_object(j, "$.outlinks[0]").alias("outlink0"),
+        F.get_json_object(j, "$.outlinks[1]").alias("outlink1"),
+        F.get_json_object(j, "$.n_anchors").cast("int").alias("n_anchors"),
+    )
+
+
 def q_robots_sitemaps(spark, sf_dir):
     """Sitemap discovery from robots.txt (ops/robots.robots_sitemaps — the
     RFC 9309 §2.3 group-independent directive): four body families built
@@ -1874,6 +1931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_surt_key": q_surt_key,
         "q_pack_shards": q_pack_shards,
         "q_robots_sitemaps": q_robots_sitemaps,
+        "q_wat_roundtrip": q_wat_roundtrip,
         # changed this round (full-PSL default + ccTLD branches): keep a
         # driver row on the new behavior
         "q_psl_domain": q_psl_domain,
@@ -3322,6 +3380,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, 1, 0, FALSE, 2, ['xin' || s, 'y'] FROM d
             UNION ALL
             SELECT url, 2, 0, FALSE, 1, ['in' || s] FROM d
+        """,
+        "q_wat_roundtrip": """
+            -- every WAT field in closed form per synthesized page:
+            -- title T<d>, description D<d>, the deduped outlink (two
+            -- anchors share one href -> outlinks[1] IS NULL), n_anchors
+            -- counts both; conversion framing fields are constants
+            SELECT 'https://d' || (doc_id % 20) || '.example.org/doc/' || doc_id
+                     AS url,
+                   strftime(TIMESTAMP '2024-01-01 00:00:00' + to_seconds(doc_id),
+                            '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+                   'metadata' AS warc_type,
+                   'application/json' AS content_type,
+                   'T' || doc_id AS title,
+                   'D' || doc_id AS description,
+                   'https://out.example.org/p' || doc_id AS outlink0,
+                   CAST(NULL AS VARCHAR) AS outlink1,
+                   2 AS n_anchors
+            FROM documents
         """,
         "q_robots_sitemaps": """
             -- every expected (host, sitemap_url) row in closed form per

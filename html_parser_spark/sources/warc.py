@@ -146,6 +146,70 @@ def wet_record_col(url, warc_ts, text):
     )
 
 
+def wat_record_col(url, warc_ts, payload_json):
+    """BINARY column holding one WAT-style ``WARC-Type: metadata`` record
+    — the JSON page-metadata sidecar Common Crawl publishes as
+    ``*.warc.wat.gz``.  The body is a JSON envelope (here: the
+    ``ops/html_meta`` fields — see :func:`wat_payload_col` — rather than
+    Common Crawl's full Envelope/Payload-Metadata nesting; the record
+    framing and linkage are the format's), ``Content-Type:
+    application/json``, ``WARC-Refers-To`` = the response record's id."""
+    body = F.encode(F.coalesce(payload_json, F.lit("{}")), "UTF-8")
+    warc_head = F.concat_ws(
+        "",
+        F.lit("WARC/1.0\r\nWARC-Type: metadata\r\nWARC-Record-ID: <urn:uuid:"),
+        _uuid_from_md5(F.concat(url, F.lit("#wat"))),
+        F.lit(">\r\nWARC-Refers-To: <urn:uuid:"),
+        _uuid_from_md5(url),
+        F.lit(">\r\nWARC-Date: "),
+        F.date_format(warc_ts, WARC_DATE_FMT),
+        F.lit("\r\nWARC-Target-URI: "),
+        url,
+        F.lit("\r\nContent-Type: application/json"),
+        F.lit("\r\nContent-Length: "),
+        F.length(body).cast("string"),
+        F.lit("\r\n\r\n"),
+    )
+    return F.concat(
+        F.encode(warc_head, "UTF-8"), body, F.encode(F.lit("\r\n\r\n"), "UTF-8")
+    )
+
+
+def wat_payload_col():
+    """The WAT JSON envelope as a column over ``extract_page_meta`` output:
+    ``to_json`` of the metadata struct (url, title, description, canonical,
+    charset, outlinks, n_anchors).  ``to_json`` omits NULL fields — absent
+    metadata is absent from the envelope, not ``null``-padded."""
+    return F.to_json(
+        F.struct(
+            F.col("url").alias("url"),
+            F.col("title").alias("title"),
+            F.col("description").alias("description"),
+            F.col("canonical").alias("canonical"),
+            F.col("charset").alias("charset"),
+            F.col("outlinks").alias("outlinks"),
+            F.col("n_anchors").alias("n_anchors"),
+        )
+    )
+
+
+def write_wat_files(pages: DataFrame, out_dir: str, compress: bool = True) -> int:
+    """WAT sidecar sink over raw ``pages(url, warc_ts, html)``: ONE Arrow
+    metadata kernel (``ops/html_meta.extract_page_meta`` — the same stage
+    the link-graph tier runs), JVM JSON envelope + record assembly, the
+    shared atomic-rename part writer.  Returns the part count."""
+    from html_parser_spark.ops.html_meta import extract_page_meta
+
+    meta = extract_page_meta(pages)
+    rec = wat_record_col(F.col("url"), F.col("warc_ts"), wat_payload_col())
+    records = meta.select(rec.alias("record"))
+    if compress:
+        records = records.select(_gzip_member_udf("record").alias("record"))
+    return _write_part_files(
+        records, out_dir, ".warc.wat.gz" if compress else ".warc.wat"
+    )
+
+
 @F.pandas_udf(T.BinaryType())
 def _gzip_member_udf(rec: pd.Series) -> pd.Series:
     # mtime=0 → deterministic member bytes for a given record
@@ -215,7 +279,10 @@ def _write_part_files(records: DataFrame, out_dir: str, suffix: str) -> int:
     # into the archive (and inflate the count), so sweep EVERY sink suffix
     for name in os.listdir(out_dir):
         if (
-            name.endswith((".warc", ".warc.gz", ".warc.wet", ".warc.wet.gz"))
+            name.endswith(
+                (".warc", ".warc.gz", ".warc.wet", ".warc.wet.gz",
+                 ".warc.wat", ".warc.wat.gz")
+            )
             or ".tmp-" in name
         ):
             os.remove(os.path.join(out_dir, name))

@@ -396,3 +396,34 @@ def test_extract_job_wet_sidecar(spark, tmp_path, capsys):
     assert set(r["warc_type"] for r in back.select("warc_type").collect()) == {
         "conversion"
     }
+
+
+def test_wat_roundtrip_and_null_field_omission(spark, tmp_path):
+    """WAT metadata records: real kernel fields round-trip through the
+    JSON envelope; a page with no metadata yields an envelope WITHOUT
+    null-padded keys (to_json omits NULLs) but keeps url/n_anchors."""
+    import json as _json
+    from datetime import datetime
+
+    from html_parser_spark.sources.warc import read_warc, write_wat_files
+
+    ts = datetime(2024, 5, 1, 12, 0, 0)
+    rows = [
+        ("https://a.example.org/1", ts,
+         b'<html><head><title>Hi</title></head>'
+         b'<body><a href="https://x.org/p">x</a></body></html>'),
+        ("https://a.example.org/2", ts, b"<html><body>bare</body></html>"),
+    ]
+    pages = _pages(spark, rows)
+    out = str(tmp_path / "wat")
+    assert write_wat_files(pages, out) >= 1
+    back = {
+        r["url"]: _json.loads(bytes(r["html"]).decode())
+        for r in read_warc(spark, os.path.join(out, "*.warc.wat.gz")).collect()
+    }
+    one = back["https://a.example.org/1"]
+    assert one["title"] == "Hi" and one["outlinks"] == ["https://x.org/p"]
+    assert one["n_anchors"] == 1
+    two = back["https://a.example.org/2"]
+    assert "title" not in two and "outlinks" in two and two["n_anchors"] == 0
+    assert two["url"] == "https://a.example.org/2"

@@ -492,6 +492,17 @@ def main():
         )
     )
 
+    p = plan_of(entrymod.q_wat_roundtrip(spark, sf_dir))
+    checks.append(
+        (
+            "q_wat_roundtrip — WAT sidecar read: shuffle-free scan → "
+            "single mapInPandas, JSON fields re-extracted JVM-side",
+            p,
+            ["MapInPandas"],
+            ["Exchange", "Window"],
+        )
+    )
+
     failures = []
     out = ["# Physical-plan audit (generated by tools/plan_audit.py)\n"]
     out.append(
