@@ -1890,9 +1890,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Round-3 checked positions 1-50 of the old order; this round leads with
     the 21 queries that had never had a driver row (survey-core
     q_extract_entries / q_migrate_v21 first, then the web-ingest tier),
-    followed by queries new this round, then 29 round-3-green veterans.
-    The 21 veterans past position 50 all carry green rows in
-    CORRECTNESS_r03.json; rotate again next round.
+    followed by the 14 queries new or changed this round — leaving exactly
+    15 window slots, filled with round-3-green veterans (through
+    q_dup_clusters at position 50).  The 34 veterans past position 50 all
+    carry green rows in CORRECTNESS_r03.json; rotate again next round so
+    they cycle back through a driver window.
     """
     return {
         # -- never driver-checked before round 4 (survey-core first) --
@@ -1935,7 +1937,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # changed this round (full-PSL default + ccTLD branches): keep a
         # driver row on the new behavior
         "q_psl_domain": q_psl_domain,
-        # -- round-3-green veterans kept inside the window --
+        # -- round-3-green veterans: the 15 remaining window slots
+        #    (positions 36-50, ending q_dup_clusters) --
         "q_filter_project": q_filter_project,
         "q_agg_pricing": q_agg_pricing,
         "q_window_order_check": q_window_order_check,
@@ -1951,6 +1954,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_sig": q_minhash_sig,
         "q_near_dup_pairs": q_near_dup_pairs,
         "q_dup_clusters": q_dup_clusters,
+        # -- round-3-green veterans rotated PAST the 50-query window
+        #    (driver row from CORRECTNESS_r03; re-window next round) --
         "q_cosine_topk": q_cosine_topk,
         "q_ivf_topk": q_ivf_topk,
         "q_simhash": q_simhash,
@@ -1964,7 +1969,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_span_dedup": q_span_dedup,
         "q_url_parts": q_url_parts,
         "q_url_canon": q_url_canon,
-        # -- round-3-green veterans rotated past the 50-query window --
         "q_dim_broadcast_join": q_dim_broadcast_join,
         "q_topk": q_topk,
         "q_fingerprint": q_fingerprint,

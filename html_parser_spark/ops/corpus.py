@@ -389,6 +389,45 @@ def temperature_mix_plan(
     never a driver collect), and a broadcast join of the tiny threshold dim
     back onto docs for the ``kept`` count.  No full-corpus shuffle.
     """
+    plan = _temperature_thresholds(docs, alpha_pct, target_docs, strat_col)
+    bucket = _mix_bucket(id_col, salt)
+    kept = (
+        docs.select(F.col(strat_col).alias("stratum"), bucket.alias("_b"))
+        .join(F.broadcast(plan), "stratum")
+        .filter(F.col("_b") < F.col("threshold"))
+        .groupBy("stratum")
+        .agg(F.count("*").alias("kept"))
+    )
+    # both sides are per-stratum aggregates (#strata rows — tiny by
+    # construction at any corpus scale), so the reconciliation join must
+    # never be a sort-merge: broadcast the kept counts
+    return plan.join(F.broadcast(kept), "stratum", "left").select(
+        "stratum",
+        "n_docs",
+        "threshold",
+        F.coalesce(F.col("kept"), F.lit(0)).cast("long").alias("kept"),
+    )
+
+
+def _mix_bucket(id_col: str, salt: str) -> Column:
+    """The deterministic 16-bit md5 keep-bucket shared by the mixture plan
+    audit and the sampler (same bucket as :func:`stratified_sample`)."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 4
+        ),
+        16,
+        10,
+    ).cast("int")
+
+
+def _temperature_thresholds(
+    docs: DataFrame, alpha_pct: int, target_docs: int | None, strat_col: str
+) -> DataFrame:
+    """counts → (stratum, n_docs, threshold): the integer-exact threshold
+    computation alone — ONE partial-agg pass over docs.  Factored out so
+    :func:`temperature_sample` never pays :func:`temperature_mix_plan`'s
+    full-corpus ``kept`` audit pass just to read the thresholds."""
     if alpha_pct not in (50, 100):
         raise ValueError("alpha_pct supports 50 (sqrt) and 100 (natural)")
     counts = docs.groupBy(F.col(strat_col).alias("stratum")).agg(
@@ -410,7 +449,7 @@ def temperature_mix_plan(
     # past BIGINT — and float (or scaled-decimal) division would round
     # before a floor; `div` (IntegralDivide) over the decimal products is
     # the exact integer quotient
-    plan = (
+    return (
         weighted.crossJoin(F.broadcast(denom))
         .select(
             "stratum",
@@ -433,30 +472,6 @@ def temperature_mix_plan(
             ).alias("threshold"),
         )
     )
-    bucket = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 4),
-        16,
-        10,
-    ).cast("int")
-    kept = (
-        docs.select(F.col(strat_col).alias("stratum"), bucket.alias("_b"))
-        .join(F.broadcast(plan), "stratum")
-        .filter(F.col("_b") < F.col("threshold"))
-        .groupBy("stratum")
-        .agg(F.count("*").alias("kept"))
-    )
-    # both sides are per-stratum aggregates (#strata rows — tiny by
-    # construction at any corpus scale), so the reconciliation join must
-    # never be a sort-merge: broadcast the kept counts
-    return (
-        plan.join(F.broadcast(kept), "stratum", "left")
-        .select(
-            "stratum",
-            "n_docs",
-            "threshold",
-            F.coalesce(F.col("kept"), F.lit(0)).cast("long").alias("kept"),
-        )
-    )
 
 
 def temperature_sample(
@@ -469,18 +484,17 @@ def temperature_sample(
 ) -> DataFrame:
     """The documents :func:`temperature_mix_plan` keeps: broadcast the tiny
     per-stratum threshold dim onto the corpus and filter on the same
-    deterministic md5 bucket — an id kept at α is kept on every re-run."""
-    plan = temperature_mix_plan(
-        docs, alpha_pct, target_docs, strat_col, id_col, salt
-    ).select(F.col("stratum").alias(strat_col), "threshold")
-    bucket = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 4),
-        16,
-        10,
-    ).cast("int")
+    deterministic md5 bucket — an id kept at α is kept on every re-run.
+
+    Computes thresholds only (one counts pass over docs + the filter pass);
+    the mix plan's ``kept`` audit — a third full-corpus pass whose result
+    the sampler would discard — is not paid here."""
+    plan = _temperature_thresholds(docs, alpha_pct, target_docs, strat_col).select(
+        F.col("stratum").alias(strat_col), "threshold"
+    )
     return (
         docs.join(F.broadcast(plan), strat_col)
-        .filter(bucket < F.col("threshold"))
+        .filter(_mix_bucket(id_col, salt) < F.col("threshold"))
         .drop("threshold")
     )
 
@@ -526,14 +540,25 @@ def pack_shards(
             "n_bytes"
         ),
     )
-    ranged = sizes.repartitionByRange(num_partitions, "doc_id").withColumn(
-        "_p", F.spark_partition_id()
+    # Persist the ranged projection: `_p` (spark_partition_id) feeds BOTH
+    # the totals branch and the probe side of the offset join, and without
+    # a shared materialization each branch would carry its own range
+    # exchange whose RangePartitioner samples independently — correctness
+    # would silently ride on Catalyst's exchange-reuse rule unifying the
+    # two subtrees (a physical-planning optimization that can be disabled,
+    # unlike cache substitution, which is semantic and applies to every
+    # branch built from this plan).  The projection is 20 bytes/row — the
+    # same order as the shuffle files the range exchange writes anyway.
+    from pyspark import StorageLevel
+
+    ranged = (
+        sizes.repartitionByRange(num_partitions, "doc_id")
+        .withColumn("_p", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # exclusive per-range offsets: P rows — the window over them is single
     # partition BY CONSTRUCTION (P ≈ thousands at crawl scale, not 10^12)
-    totals = ranged.groupBy("_p").agg(
-        F.sum("n_bytes").alias("_range_bytes"), F.min("doc_id").alias("_lo")
-    )
+    totals = ranged.groupBy("_p").agg(F.sum("n_bytes").alias("_range_bytes"))
     w_off = Window.orderBy("_p").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.select(
         "_p",

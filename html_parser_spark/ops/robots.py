@@ -20,7 +20,12 @@ corpus.  Two halves, both JVM-side end-to-end (zero Python):
   means allowed.  Group selection follows RFC 9309 §2.2.1: a crawler
   with a specific agent uses that agent's rules where the host defines
   them and falls back to the ``*`` group for hosts that don't — never a
-  merge of both groups.
+  merge of both groups.  Group *presence* is exact when the caller
+  passes ``groups=robots_groups(robots)`` (declared ``User-agent:``
+  lines); from rules alone a group whose only content is no-op
+  directives (empty Disallow, a lone Crawl-delay) is invisible and
+  falls back to ``*`` — a documented deviation the groups channel
+  removes.
 
 Scale: the rules table is one row per (host, rule) — orders of magnitude
 smaller than the pages table.  The verdict is a host equi-join (AQE
@@ -92,6 +97,41 @@ def parse_robots(
     )
 
 
+def robots_groups(
+    robots: DataFrame, host_col: str = "host", body_col: str = "body"
+) -> DataFrame:
+    """(host, body) → distinct declared (host, agent) group pairs, read
+    straight from the ``User-agent:`` lines.
+
+    RFC 9309 §2.2.1 makes group *presence* independent of group *content*:
+    ``User-agent: mybot\\nDisallow:`` declares a mybot group that allows
+    everything, and mybot must use it — never fall back to ``*`` — even
+    though the empty Disallow produces no rule row.  :func:`parse_robots`
+    (by design, pinned by tests) emits only real rules, so deriving
+    presence from surviving rules would make rule-less groups invisible;
+    this frame is the presence channel.  Pass it as ``groups=`` to
+    :func:`robots_verdict` / :func:`robots_filter` for exact RFC group
+    selection; without it the verdict approximates presence from the rule
+    rows themselves (documented deviation: a group whose only content is
+    no-op directives falls back to ``*``)."""
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.explode(F.split(F.col(body_col), "\n")).alias("line"),
+    ).select(
+        "host", F.trim(F.regexp_replace("line", "#.*$", "")).alias("line")
+    )
+    parsed = lines.select(
+        "host",
+        F.lower(F.regexp_extract("line", _DIRECTIVE_RE, 1)).alias("directive"),
+        F.lower(F.regexp_extract("line", _VALUE_RE, 1)).alias("agent"),
+    )
+    return (
+        parsed.filter((F.col("directive") == "user-agent") & (F.col("agent") != ""))
+        .select("host", "agent")
+        .distinct()
+    )
+
+
 def crawl_delays(
     robots: DataFrame,
     host_col: str = "host",
@@ -103,7 +143,12 @@ def crawl_delays(
     the host defines one, else the ``*`` group).  Non-numeric values are
     dropped; several delay lines in the winning group keep the MAX
     (politest reading).  Integer seconds — fractional delays round up so
-    a 0.5 never becomes a 0 (never politer-than-asked in reverse)."""
+    a 0.5 never becomes a 0 (never politer-than-asked in reverse).
+
+    Group presence comes from the declared ``User-agent:`` lines
+    (:func:`robots_groups`), not from surviving delay rows: a host whose
+    agent-specific group declares rules but no delay must yield NO delay
+    for that agent (groups apply whole, never merged with ``*``)."""
     rows = _agent_grouped_directives(robots, host_col, body_col, ("crawl-delay",))
     delays = rows.select(
         "host",
@@ -116,7 +161,9 @@ def crawl_delays(
         .cast("int")
         .alias("crawl_delay_sec"),
     ).filter(F.col("crawl_delay_sec").isNotNull())
-    picked = _rules_for_agent(delays, agent)
+    picked = _rules_for_agent(
+        delays, agent, groups=robots_groups(robots, host_col, body_col)
+    )
     return picked.groupBy("host").agg(
         F.max("crawl_delay_sec").alias("crawl_delay_sec")
     )
@@ -153,16 +200,22 @@ def fetch_plan(
     )
 
 
-def _rules_for_agent(rules: DataFrame, agent: str) -> DataFrame:
+def _rules_for_agent(
+    rules: DataFrame, agent: str, groups: DataFrame | None = None
+) -> DataFrame:
     """RFC 9309 §2.2.1 group selection: the requested agent's rules for
     hosts that define a group for it, the ``*`` group for hosts that
     don't.  Never a union of both.  The per-host "has a specific group"
     flag is a partial-aggregatable groupBy over the tiny rules table
-    joined back — pages are never touched here."""
+    (or, exact per RFC, over the declared :func:`robots_groups` pairs
+    when ``groups`` is given — rule-derived presence misses groups whose
+    only content is no-op directives) joined back — pages are never
+    touched here."""
     a = agent.lower()
     if a == "*":
         return rules.filter(F.col("agent") == "*")
-    host_has = rules.groupBy("host").agg(
+    presence_src = groups if groups is not None else rules
+    host_has = presence_src.groupBy("host").agg(
         F.max((F.col("agent") == a).cast("int")).alias("_has_specific")
     )
     # explicit broadcast: host_has is one row per robots host (bounded by
@@ -184,18 +237,23 @@ def robots_verdict(
     rules: DataFrame,
     agent: str = "*",
     url_col: str = "url",
+    groups: DataFrame | None = None,
 ) -> DataFrame:
     """pages + ``allowed`` flag (1/0) for ``agent`` under ``rules``.
 
     Longest-matching-prefix precedence, Allow wins length ties, absent
     host or no matching rule → allowed.  Rule-group choice per RFC 9309:
-    agent-specific group where the host has one, else the ``*`` group."""
+    agent-specific group where the host has one, else the ``*`` group —
+    pass ``groups=robots_groups(robots)`` so presence is judged from the
+    declared ``User-agent:`` lines (exact; a rule-less group still
+    suppresses the ``*`` fallback); without it presence is approximated
+    from the rule rows."""
     host = F.parse_url(F.col(url_col), F.lit("HOST"))
     path = F.coalesce(F.parse_url(F.col(url_col), F.lit("PATH")), F.lit("/"))
     keyed = pages.select(
         F.col(url_col).alias("_rurl"), host.alias("_rhost"), path.alias("_rpath")
     )
-    rset = _rules_for_agent(rules, agent).select(
+    rset = _rules_for_agent(rules, agent, groups=groups).select(
         F.col("host").alias("_rhost"),
         "rule",
         "path_prefix",
@@ -224,11 +282,16 @@ def robots_verdict(
 
 
 def robots_filter(
-    pages: DataFrame, rules: DataFrame, agent: str = "*", url_col: str = "url"
+    pages: DataFrame,
+    rules: DataFrame,
+    agent: str = "*",
+    url_col: str = "url",
+    groups: DataFrame | None = None,
 ) -> DataFrame:
-    """Drop pages the rules disallow for ``agent``; schema-preserving."""
+    """Drop pages the rules disallow for ``agent``; schema-preserving.
+    ``groups`` as in :func:`robots_verdict`."""
     return (
-        robots_verdict(pages, rules, agent=agent, url_col=url_col)
+        robots_verdict(pages, rules, agent=agent, url_col=url_col, groups=groups)
         .filter(F.col("allowed") == 1)
         .drop("allowed")
     )

@@ -274,17 +274,18 @@ def _write_part_files(records: DataFrame, out_dir: str, suffix: str) -> int:
     partition's BINARY ``record`` rows to a ``.tmp`` file, atomic-rename on
     success, return the part count."""
     os.makedirs(out_dir, exist_ok=True)
-    # clear stale parts: a re-run with fewer partitions — or with the
-    # opposite compress flag — would otherwise leave old part files mixed
-    # into the archive (and inflate the count), so sweep EVERY sink suffix
+    # clear stale parts of THIS sink's record kind only: a re-run with fewer
+    # partitions — or with the opposite compress flag — would otherwise leave
+    # old part files mixed into the archive (and inflate the count).  Both
+    # compress variants of the kind are swept, but sibling kinds are kept:
+    # WET/WAT sidecars are published next to the response archive in the same
+    # directory, and sweeping every suffix would destroy a co-located archive
+    # another sink just wrote.
+    base = suffix[: -len(".gz")] if suffix.endswith(".gz") else suffix
+    family = (base, base + ".gz")
     for name in os.listdir(out_dir):
-        if (
-            name.endswith(
-                (".warc", ".warc.gz", ".warc.wet", ".warc.wet.gz",
-                 ".warc.wat", ".warc.wat.gz")
-            )
-            or ".tmp-" in name
-        ):
+        stem = name.split(".tmp-", 1)[0] if ".tmp-" in name else name
+        if stem.endswith(family):
             os.remove(os.path.join(out_dir, name))
 
     def _write(rows) -> None:

@@ -38,7 +38,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def curate_docs(
-    spark,
     docs,
     *,
     min_tokens: int = 10,
@@ -244,7 +243,6 @@ def main(argv=None):
             "lang",
         )
     docs, funnel = curate_docs(
-        spark,
         docs,
         min_tokens=args.min_tokens,
         max_top_word_frac=args.max_top_word_frac,

@@ -92,12 +92,18 @@ def main(argv=None):
         pages = pages.limit(args.limit)
 
     if args.robots:
-        from html_parser_spark.ops.robots import parse_robots, robots_filter
+        from html_parser_spark.ops.robots import (
+            parse_robots,
+            robots_filter,
+            robots_groups,
+        )
 
         # politeness gate BEFORE the expensive parse: the rules table is
-        # tiny relative to pages, the verdict is a host equi-join
+        # tiny relative to pages, the verdict is a host equi-join; declared
+        # User-agent groups give exact RFC 9309 group selection
+        robots = spark.read.parquet(args.robots)
         pages = robots_filter(
-            pages, parse_robots(spark.read.parquet(args.robots))
+            pages, parse_robots(robots), groups=robots_groups(robots)
         )
 
     if args.main_content:

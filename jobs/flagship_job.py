@@ -24,10 +24,11 @@ Stage DAG (each stage's scale shape documented at its op):
                                                           → <out>/curate/chunks
 
 Cross-stage resume: every completed stage writes a ``_STAGE_DONE.json``
-marker carrying the row-count fingerprint of its input; a re-run skips a
-stage iff its marker exists AND the fingerprint still matches (so adding
-pages to the source invalidates downstream stages automatically, while a
-re-run over unchanged input recomputes nothing).  The extract stage is
+marker carrying a CONTENT fingerprint of its input (row count + xor of
+per-row xxhash64 over the key columns); a re-run skips a stage iff its
+marker exists AND the fingerprint still matches (so adding, replacing, or
+re-crawling pages invalidates downstream stages automatically — not just
+count changes — while a re-run over unchanged input recomputes nothing).  The extract stage is
 additionally resumable WITHIN the stage through the chunked checkpoint.
 Every stage also appends one row to ``<out>/_stage_lineage`` —
 (stage, action ran/skipped, input_fingerprint, rows_out, wall_sec) — on
@@ -56,7 +57,24 @@ def _marker_path(stage_dir: str) -> str:
     return os.path.join(stage_dir, "_STAGE_DONE.json")
 
 
-def _stage_done(stage_dir: str, fingerprint: int) -> bool:
+def _fingerprint(df, *cols) -> tuple[int, str]:
+    """(row count, "count:xor-of-xxhash64(cols)") — a CONTENT fingerprint,
+    not a bare cardinality: replacing the input with a different same-size
+    subset (e.g. an unordered limit picking other rows, or re-crawled
+    captures under the same urls) must invalidate downstream stages, which
+    a row count alone cannot see.  bit_xor of per-row hashes is
+    order/partitioning-independent; the count guards the xor's one blind
+    spot (duplicate rows cancelling pairwise).  One partial-agg pass."""
+    from pyspark.sql import functions as F
+
+    row = df.agg(
+        F.count("*").alias("n"),
+        F.expr("bit_xor(xxhash64(" + ", ".join(cols) + "))").alias("x"),
+    ).first()
+    return int(row["n"]), f"{row['n']}:{row['x']}"
+
+
+def _stage_done(stage_dir: str, fingerprint: str) -> bool:
     try:
         with open(_marker_path(stage_dir)) as f:
             return json.load(f).get("input_fingerprint") == fingerprint
@@ -64,7 +82,7 @@ def _stage_done(stage_dir: str, fingerprint: int) -> bool:
         return False
 
 
-def _write_marker(stage_dir: str, fingerprint: int, **metrics) -> None:
+def _write_marker(stage_dir: str, fingerprint: str, **metrics) -> None:
     os.makedirs(stage_dir, exist_ok=True)
     tmp = _marker_path(stage_dir) + ".tmp"
     with open(tmp, "w") as f:
@@ -74,9 +92,9 @@ def _write_marker(stage_dir: str, fingerprint: int, **metrics) -> None:
 
 def _append_stage_lineage(spark, out_dir, stage, action, fingerprint,
                           rows_out, wall_sec) -> None:
-    row = [(stage, action, int(fingerprint), int(rows_out), float(wall_sec))]
+    row = [(stage, action, str(fingerprint), int(rows_out), float(wall_sec))]
     spark.createDataFrame(
-        row, "stage string, action string, input_fingerprint long, "
+        row, "stage string, action string, input_fingerprint string, "
              "rows_out long, wall_sec double"
     ).coalesce(1).write.mode("append").parquet(
         os.path.join(out_dir, "_stage_lineage")
@@ -131,12 +149,21 @@ def main(argv=None):
     else:
         pages = spark.read.parquet(args.pages)
     if args.limit:
-        pages = pages.limit(args.limit)
+        # deterministic subset: a bare limit() without an order can pick a
+        # different subset per run/partitioning, silently desynchronizing
+        # resumed stages; TakeOrderedAndProject keeps this a per-partition
+        # top-n + merge, not a full sort shuffle (dev/test knob anyway)
+        pages = pages.orderBy("url", "warc_ts").limit(args.limit)
     if args.robots:
-        from html_parser_spark.ops.robots import parse_robots, robots_filter
+        from html_parser_spark.ops.robots import (
+            parse_robots,
+            robots_filter,
+            robots_groups,
+        )
 
+        robots = spark.read.parquet(args.robots)
         pages = robots_filter(
-            pages, parse_robots(spark.read.parquet(args.robots))
+            pages, parse_robots(robots), groups=robots_groups(robots)
         )
     pages = pages.select("url", "warc_ts", "html", "lang")
     from pyspark import StorageLevel
@@ -144,7 +171,7 @@ def main(argv=None):
     # both extract and graph consume the gated pages; persist so a WARC
     # source is inflated (and robots evaluated) once, not per stage
     pages = pages.persist(StorageLevel.MEMORY_AND_DISK)
-    n_pages = pages.count()
+    n_pages, fp_pages = _fingerprint(pages, "url", "warc_ts")
 
     report: dict = {"job": "flagship", "pages_in": n_pages,
                     "stages": {}}
@@ -155,12 +182,12 @@ def main(argv=None):
     # ---- stage 1: EXTRACT (chunk-resumable main-content strip) ------------
     ex_dir = os.path.join(args.output, "extract")
     t0 = time.time()
-    if _stage_done(ex_dir, n_pages):
+    if _stage_done(ex_dir, fp_pages):
         results = spark.read.parquet(os.path.join(ex_dir, "data"))
         report["stages"]["extract"] = {
             "action": "skipped", "docs": results.count()}
         _append_stage_lineage(spark, args.output, "extract", "skipped",
-                             n_pages, report["stages"]["extract"]["docs"],
+                             fp_pages, report["stages"]["extract"]["docs"],
                              time.time() - t0)
     else:
         def _mc(src):
@@ -179,12 +206,12 @@ def main(argv=None):
         m = ck.run(pages, transform=_mc)
         results = ck.results()
         n_res = results.count()
-        _write_marker(ex_dir, n_pages, docs=n_res)
+        _write_marker(ex_dir, fp_pages, docs=n_res)
         report["stages"]["extract"] = {
             "action": "ran", "docs": n_res, "docs_new": m["docs"],
             "chunk": m["chunk"]}
         _append_stage_lineage(spark, args.output, "extract", "ran",
-                             n_pages, n_res, time.time() - t0)
+                             fp_pages, n_res, time.time() - t0)
     if finish("extract"):
         print(json.dumps(report))
         return
@@ -192,10 +219,10 @@ def main(argv=None):
     # ---- stage 2: GRAPH (host link graph / PageRank / crawl budget) -------
     g_dir = os.path.join(args.output, "graph")
     t0 = time.time()
-    if _stage_done(g_dir, n_pages):
+    if _stage_done(g_dir, fp_pages):
         report["stages"]["graph"] = {"action": "skipped"}
         _append_stage_lineage(spark, args.output, "graph", "skipped",
-                             n_pages, 0, time.time() - t0)
+                             fp_pages, 0, time.time() - t0)
     else:
         from html_parser_spark.ops.html_meta import extract_page_meta
         from html_parser_spark.ops.linkgraph import (
@@ -218,11 +245,11 @@ def main(argv=None):
             out = crawl_budget(out, args.budget_pages)
         out.write.mode("overwrite").parquet(os.path.join(g_dir, "ranks"))
         n_hosts = spark.read.parquet(os.path.join(g_dir, "ranks")).count()
-        _write_marker(g_dir, n_pages, hosts=n_hosts)
+        _write_marker(g_dir, fp_pages, hosts=n_hosts)
         report["stages"]["graph"] = {
             "action": "ran", "hosts": n_hosts, "edges": edges.count()}
         _append_stage_lineage(spark, args.output, "graph", "ran",
-                             n_pages, n_hosts, time.time() - t0)
+                             fp_pages, n_hosts, time.time() - t0)
     if finish("graph"):
         print(json.dumps(report))
         return
@@ -232,16 +259,16 @@ def main(argv=None):
 
     from html_parser_spark.ops.web import canonicalize_url, latest_capture
 
-    n_extracted = results.count()
+    n_extracted, fp_extract = _fingerprint(results, "url", "warc_ts")
     cu_dir = os.path.join(args.output, "curate")
     out_docs = os.path.join(cu_dir, "docs")
     t0 = time.time()
-    if _stage_done(cu_dir, n_extracted):
+    if _stage_done(cu_dir, fp_extract):
         final = spark.read.parquet(out_docs)
         report["stages"]["curate"] = {
             "action": "skipped", "docs": final.count()}
         _append_stage_lineage(spark, args.output, "curate", "skipped",
-                             n_extracted, report["stages"]["curate"]["docs"],
+                             fp_extract, report["stages"]["curate"]["docs"],
                              time.time() - t0)
     else:
         res = (
@@ -260,7 +287,6 @@ def main(argv=None):
             "lang",
         )
         curated, funnel = curate_docs(
-            spark,
             docs,
             min_tokens=args.min_tokens,
             gopher=args.gopher,
@@ -272,11 +298,11 @@ def main(argv=None):
         curated.write.mode("overwrite").partitionBy("split").parquet(out_docs)
         final = spark.read.schema(curated.schema).parquet(out_docs)
         n_final = final.count()
-        _write_marker(cu_dir, n_extracted, **funnel)
+        _write_marker(cu_dir, fp_extract, **funnel)
         report["stages"]["curate"] = {"action": "ran", **funnel,
                                       "docs": n_final}
         _append_stage_lineage(spark, args.output, "curate", "ran",
-                             n_extracted, n_final, time.time() - t0)
+                             fp_extract, n_final, time.time() - t0)
     if finish("curate"):
         print(json.dumps(report))
         return
@@ -285,22 +311,22 @@ def main(argv=None):
     if args.chunk_tokens > 0:
         from html_parser_spark.ops.corpus import chunk_plan
 
-        n_docs_final = final.count()
+        n_docs_final, fp_final = _fingerprint(final, "doc_id")
         ch_dir = os.path.join(cu_dir, "chunks_stage")
         out_chunks = os.path.join(cu_dir, "chunks")
         t0 = time.time()
-        if _stage_done(ch_dir, n_docs_final):
+        if _stage_done(ch_dir, fp_final):
             n_chunks = spark.read.parquet(out_chunks).count()
             action = "skipped"
         else:
             chunks = chunk_plan(final, chunk_tokens=args.chunk_tokens)
             chunks.write.mode("overwrite").parquet(out_chunks)
             n_chunks = spark.read.parquet(out_chunks).count()
-            _write_marker(ch_dir, n_docs_final, chunks=n_chunks)
+            _write_marker(ch_dir, fp_final, chunks=n_chunks)
             action = "ran"
         report["stages"]["chunks"] = {"action": action, "chunks": n_chunks}
         _append_stage_lineage(spark, args.output, "chunks", action,
-                             n_docs_final, n_chunks, time.time() - t0)
+                             fp_final, n_chunks, time.time() - t0)
 
     pages.unpersist()
     print(json.dumps(report))

@@ -237,6 +237,32 @@ def test_pack_shards_matches_sequential_and_is_partition_independent(spark):
         assert got == expect, f"num_partitions={p}"
 
 
+def test_pack_shards_correct_without_exchange_reuse(spark):
+    """`_p` (spark_partition_id) feeds both the totals branch and the probe
+    join; correctness must come from the shared persisted materialization,
+    NOT from Catalyst's exchange-reuse rule unifying two independently
+    sampled range exchanges — so the result must hold with reuse disabled."""
+    from html_parser_spark.ops.corpus import pack_shards
+
+    rows = [(i, "y" * ((i * 53) % 300)) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(7)
+    sizes = {i: len(t.encode()) for i, t in rows}
+    expect, off = {}, 0
+    for i in sorted(sizes):
+        expect[i] = (sizes[i], off, off // 777)
+        off += sizes[i]
+    old = spark.conf.get("spark.sql.exchange.reuse", "true")
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try:
+        got = {
+            r["doc_id"]: (r["n_bytes"], r["start_offset"], r["shard_id"])
+            for r in pack_shards(df, shard_bytes=777, num_partitions=5).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.exchange.reuse", old)
+    assert got == expect
+
+
 def test_pack_shards_no_global_single_partition_window(spark):
     """The full-data window must be partitioned (by the range id); the only
     unpartitioned window may run over the P-row offsets frame."""

@@ -204,6 +204,45 @@ def test_crawl_delays_and_fetch_plan(spark):
     assert plan["d.com"]["est_fetch_sec"] == 3
 
 
+def test_group_presence_from_declared_user_agent_lines(spark):
+    """RFC 9309: a declared agent group exists even when none of its
+    directives survive parsing.  'User-agent: mybot\\nDisallow:' is a
+    group that allows everything — with the robots_groups channel mybot
+    must NOT fall back to the '*' group's Disallow: /."""
+    from html_parser_spark.ops.robots import robots_groups
+
+    bodies = spark.createDataFrame(
+        [("a.com", "User-agent: mybot\nDisallow:\n\nUser-agent: *\nDisallow: /")],
+        ["host", "body"],
+    )
+    rules, groups = parse_robots(bodies), robots_groups(bodies)
+    pages = _pages(spark, ["https://a.com/anything"])
+    exact = robots_verdict(pages, rules, agent="mybot", groups=groups)
+    assert exact.first()["allowed"] == 1
+    # without the channel the rule-less group is invisible (documented
+    # approximation): fallback to '*' blocks the page
+    approx = robots_verdict(pages, rules, agent="mybot")
+    assert approx.first()["allowed"] == 0
+    # '*' itself is blocked either way
+    assert robots_verdict(pages, rules).first()["allowed"] == 0
+
+
+def test_crawl_delay_group_isolation_rfc9309(spark):
+    """An agent whose declared group has rules but no Crawl-delay gets NO
+    delay — groups apply whole; the '*' group's delay must not leak in."""
+    from html_parser_spark.ops.robots import crawl_delays
+
+    bodies = spark.createDataFrame(
+        [("b.com", "User-agent: mybot\nDisallow: /x\n\n"
+                   "User-agent: *\nCrawl-delay: 10")],
+        ["host", "body"],
+    )
+    assert crawl_delays(bodies, agent="mybot").count() == 0
+    got = {r["host"]: r["crawl_delay_sec"]
+           for r in crawl_delays(bodies, agent="otherbot").collect()}
+    assert got == {"b.com": 10}  # no declared group -> '*' fallback
+
+
 def test_robots_sitemaps_group_independent(spark):
     """Sitemap: lines surface regardless of User-agent group position,
     case, indentation, and inline comments; hosts without one yield no

@@ -296,6 +296,41 @@ def test_write_warc_files_clears_stale_parts(spark, tmp_path):
     assert read_warc(spark, f"{out}/*.warc.gz").count() == 4
 
 
+def test_colocated_sinks_keep_sibling_archives(spark, tmp_path):
+    """The Common Crawl layout publishes WET/WAT sidecars NEXT TO the
+    response archive: each sink's stale-part sweep must clear only its own
+    record kind (both compress variants), never a sibling's parts."""
+    from html_parser_spark.data.pages import synthetic_pages_df
+    from html_parser_spark.sources.warc import (
+        read_warc,
+        write_warc_files,
+        write_wat_files,
+        write_wet_files,
+    )
+
+    pages = synthetic_pages_df(spark, "/root/testdata/sf0.001", paragraphs=1).limit(8)
+    docs = pages.select(
+        "url", "warc_ts", F.decode("html", "UTF-8").alias("text")
+    )
+    out = str(tmp_path / "crawl")
+    n_warc = write_warc_files(pages.repartition(2), out)
+    n_wet = write_wet_files(docs.repartition(2), out)
+    n_wat = write_wat_files(pages.repartition(2), out)
+    assert (n_warc, n_wet, n_wat) == (2, 2, 2)
+    # all three archives coexist and read back in full
+    assert read_warc(spark, f"{out}/*.warc.gz").count() == 8
+    assert read_warc(spark, f"{out}/*.warc.wet.gz").count() == 8
+    assert read_warc(spark, f"{out}/*.warc.wat.gz").count() == 8
+    # a re-run with the opposite compress flag sweeps BOTH variants of its
+    # own kind (no mixed-archive corruption) but still spares the siblings
+    n_plain = write_warc_files(pages.limit(4).repartition(1), out, compress=False)
+    assert n_plain == 1
+    names = sorted(os.listdir(out))
+    assert not any(n.endswith(".warc.gz") for n in names)
+    assert sum(n.endswith(".warc.wet.gz") for n in names) == 2
+    assert sum(n.endswith(".warc.wat.gz") for n in names) == 2
+
+
 def _docs_rows():
     from datetime import datetime
 
