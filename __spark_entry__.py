@@ -1589,6 +1589,22 @@ def q_span_dedup(spark, sf_dir):
     return span_dedup(_docs(spark, sf_dir), span_tokens=10)
 
 
+def q_host_line_dedup(spark, sf_dir):
+    """CCNet-style per-host repeated-line removal: a line recurring on >=2
+    pages and >=60% of a host's pages is site furniture and is stripped
+    from EVERY page.  The sf corpus is single-line, so lines are
+    synthesized word-per-line (space -> newline) — the same pure transform
+    on both engines — which exercises the ordered reassembly hard (every
+    word is a line) while keeping the oracle a closed-form SQL twin.
+    Returning clean_text makes the hash byte-exact on the reassembly."""
+    from html_parser_spark.ops.corpus import host_line_dedup
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.translate("text", " ", "\n").alias("text")
+    )
+    return host_line_dedup(docs, min_pages=2, pct_pages=60)
+
+
 def _synth_urls(spark, sf_dir):
     """Deterministic varied urls over documents: scheme/host/tld/path/query
     all pure functions of (doc_id, source, lang) so the DuckDB oracle can
@@ -1890,9 +1906,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Round-3 checked positions 1-50 of the old order; this round leads with
     the 21 queries that had never had a driver row (survey-core
     q_extract_entries / q_migrate_v21 first, then the web-ingest tier),
-    followed by the 14 queries new or changed this round — leaving exactly
-    15 window slots, filled with round-3-green veterans (through
-    q_dup_clusters at position 50).  The 34 veterans past position 50 all
+    followed by the 15 queries new or changed this round — leaving exactly
+    14 window slots, filled with round-3-green veterans (through
+    q_near_dup_pairs at position 50).  The 35 veterans past position 50 all
     carry green rows in CORRECTNESS_r03.json; rotate again next round so
     they cycle back through a driver window.
     """
@@ -1937,6 +1953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # changed this round (full-PSL default + ccTLD branches): keep a
         # driver row on the new behavior
         "q_psl_domain": q_psl_domain,
+        "q_host_line_dedup": q_host_line_dedup,
         # -- round-3-green veterans: the 15 remaining window slots
         #    (positions 36-50, ending q_dup_clusters) --
         "q_filter_project": q_filter_project,
@@ -1953,9 +1970,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pii_scan": q_pii_scan,
         "q_minhash_sig": q_minhash_sig,
         "q_near_dup_pairs": q_near_dup_pairs,
-        "q_dup_clusters": q_dup_clusters,
         # -- round-3-green veterans rotated PAST the 50-query window
         #    (driver row from CORRECTNESS_r03; re-window next round) --
+        "q_dup_clusters": q_dup_clusters,
         "q_cosine_topk": q_cosine_topk,
         "q_ivf_topk": q_ivf_topk,
         "q_simhash": q_simhash,
@@ -2857,6 +2874,46 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(string_agg(CASE WHEN kept THEN chunk_text END,
                                        ' ' ORDER BY chunk_idx), '') AS clean_text
             FROM k GROUP BY doc_id
+        """,
+        "q_host_line_dedup": """
+            WITH docs AS (
+              SELECT doc_id, source AS host,
+                     replace(text, ' ', chr(10)) AS text
+              FROM documents
+            ), lines AS (
+              SELECT doc_id, host, md5(trim(line)) AS h
+              FROM (SELECT doc_id, host,
+                           unnest(string_split(text, chr(10))) AS line
+                    FROM docs) q
+              WHERE trim(line) <> ''
+            ), hp AS (
+              SELECT host, count(*) AS host_pages FROM docs GROUP BY host
+            ), lp AS (
+              SELECT host, h, count(DISTINCT doc_id) AS line_pages
+              FROM lines GROUP BY host, h
+            ), boiler AS (
+              SELECT lp.host, list(lp.h) AS hs
+              FROM lp JOIN hp USING (host)
+              WHERE lp.line_pages >= 2
+                AND lp.line_pages * 100 >= hp.host_pages * 60
+              GROUP BY lp.host
+            )
+            SELECT d.doc_id,
+                   CAST(len(string_split(d.text, chr(10))) AS BIGINT)
+                     AS n_lines,
+                   CAST(len(list_filter(string_split(d.text, chr(10)),
+                        x -> trim(x) <> '' AND
+                             list_contains(coalesce(b.hs, []), md5(trim(x)))))
+                        AS BIGINT) AS n_lines_removed,
+                   -- duckdb's array_to_string of an EMPTY list is NULL;
+                   -- Spark's concat_ws is '' — coalesce to the Spark shape
+                   coalesce(array_to_string(
+                     list_filter(string_split(d.text, chr(10)),
+                       x -> trim(x) = '' OR
+                            NOT list_contains(coalesce(b.hs, []),
+                                              md5(trim(x)))),
+                     chr(10)), '') AS clean_text
+            FROM docs d LEFT JOIN boiler b USING (host)
         """,
         "q_url_parts": """
             -- EXPECTED parse output in closed form (urls are pure functions

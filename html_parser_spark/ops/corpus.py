@@ -354,6 +354,90 @@ def span_dedup(
     )
 
 
+def host_line_dedup(
+    docs: DataFrame,
+    host_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_pages: int = 2,
+    pct_pages: int = 0,
+) -> DataFrame:
+    """CCNet-style per-host repeated-line removal (Wenzek et al. 2020 §4.1
+    flavor): a non-blank line whose trimmed form recurs across many pages of
+    the SAME host is site furniture that survived per-page extraction —
+    cookie banners, nav remnants, footers — and is stripped from EVERY page
+    it appears on.
+
+    This is the cross-page complement of the per-page density heuristics
+    (``ops/boilerplate.py``) and differs from :func:`span_dedup` in both key
+    and policy: the key is (host, md5(trim(line))) — a line ubiquitous on
+    one site but meaningful elsewhere is only removed on that site — and
+    the policy removes ALL occurrences (boilerplate is junk everywhere),
+    not keep-first.
+
+    A line is host-boilerplate iff it appears on ``>= min_pages`` distinct
+    pages of the host AND ``line_pages * 100 >= host_pages * pct_pages``
+    (integer-exact threshold — no float ratio, so every engine agrees).
+    Blank/whitespace lines are never counted and never removed (they carry
+    the document's paragraph structure).
+
+    Returns (doc_id, n_lines, n_lines_removed, clean_text) with surviving
+    lines rejoined by ``\\n`` in original order.
+
+    Scale (100 TB): zipfian hot lines (one cookie banner, 10^9 pages) are
+    exactly why the plan is agg + equi-join, never a window over line text:
+
+        lines → groupBy(host, h) count-distinct pages   # partial agg; the
+                                                        # expand/dedup stage
+                                                        # collapses a doc's
+                                                        # repeats map-side
+              → filter line_pages >= min_pages          # BEFORE the dim
+              → join per-host page counts on host       # moves |repeated
+              → pct threshold → boiler (host, h)        # lines| rows only
+        lines ⟕ boiler on (host, h)                     # AQE skew-split
+              → groupBy(doc_id) ordered reassembly      # partial agg
+
+    The boiler side holds only lines that repeat within a host — orders of
+    magnitude smaller than the corpus — and md5 equality stands in for line
+    equality (same collision argument as :func:`span_dedup`).
+    """
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias("pos", "line"),
+    ).withColumn("h", F.md5(F.trim("line")))
+    host_pages = docs.groupBy(F.col(host_col).alias("host")).agg(
+        F.count("*").alias("host_pages")
+    )
+    line_pages = (
+        lines.filter(F.trim("line") != "")
+        .groupBy("host", "h")
+        .agg(F.count_distinct("doc_id").alias("line_pages"))
+    )
+    # threshold on min_pages BEFORE touching the host dim: it shrinks the
+    # big side to lines that repeat at all, so the host-count join moves
+    # |repeated lines| rows, not |distinct lines|.  The host dim is NOT
+    # force-broadcast — a web corpus has ~10^8 hosts, past any sane
+    # broadcast threshold — AQE downgrades to broadcast when it does fit
+    boiler = (
+        line_pages.filter(F.col("line_pages") >= F.lit(int(min_pages)))
+        .join(host_pages, "host")
+        .filter(F.col("line_pages") * 100 >= F.col("host_pages") * int(pct_pages))
+        .select("host", "h", F.lit(1).alias("_boiler"))
+    )
+    flagged = lines.join(boiler, ["host", "h"], "left")
+    kept = F.col("_boiler").isNull()
+    kept_struct = F.when(kept, F.struct("pos", "line"))
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.sum((~kept).cast("long")).alias("n_lines_removed"),
+        F.concat_ws(
+            "\n",
+            F.transform(F.array_sort(F.collect_list(kept_struct)), lambda s: s.line),
+        ).alias("clean_text"),
+    )
+
+
 def temperature_mix_plan(
     docs: DataFrame,
     alpha_pct: int = 50,

@@ -319,3 +319,70 @@ def test_build_vocab_counts_and_rank(spark):
     full = build_vocab(df, k=None, min_count=2)
     assert set(full.columns) == {"term", "term_count", "doc_count"}
     assert {r["term"] for r in full.collect()} == {"the", "a", "cat", "dog", "sat"}
+
+
+def test_host_line_dedup_strips_per_host_repeated_lines(spark):
+    """CCNet-style: the nav/cookie lines shared across a host's pages vanish
+    from EVERY page (all occurrences, not keep-first); unique content lines,
+    blank separators, and the same line on a DIFFERENT host all survive."""
+    from html_parser_spark.ops.corpus import host_line_dedup
+
+    nav = "Home | About | Contact"
+    cookie = "We use cookies"
+    rows = [
+        (1, "a.com", f"{nav}\nAlpha article body\n\n{cookie}"),
+        (2, "a.com", f"{nav}\nBeta article body\n{cookie}"),
+        (3, "a.com", f"{nav}\nGamma article body"),
+        # same nav line, different host with ONE page: never boilerplate
+        (4, "b.com", f"{nav}\nDelta article body"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = {r["doc_id"]: r for r in host_line_dedup(docs).collect()}
+    assert out[1]["clean_text"] == "Alpha article body\n"
+    assert out[1]["n_lines"] == 4 and out[1]["n_lines_removed"] == 2
+    assert out[2]["clean_text"] == "Beta article body"
+    assert out[3]["clean_text"] == "Gamma article body"
+    assert out[4]["clean_text"] == f"{nav}\nDelta article body"
+    assert out[4]["n_lines_removed"] == 0
+
+
+def test_host_line_dedup_pct_threshold_and_trim_key(spark):
+    """pct_pages gates on the integer-exact share of the host's pages, and
+    the line key is the TRIMMED form (indented copies still count)."""
+    from html_parser_spark.ops.corpus import host_line_dedup
+
+    rows = [
+        (1, "a.com", "shared line\nunique one"),
+        (2, "a.com", "  shared line  \nunique two"),
+        (3, "a.com", "unique three"),
+        (4, "a.com", "unique four"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    # 2/4 pages = 50%: stripped at pct<=50 (trim-keyed, both spellings go)
+    out = {r["doc_id"]: r["clean_text"]
+           for r in host_line_dedup(docs, pct_pages=50).collect()}
+    assert out[1] == "unique one" and out[2] == "unique two"
+    # at pct=51 the 50% share no longer qualifies
+    out = {r["doc_id"]: r["clean_text"]
+           for r in host_line_dedup(docs, pct_pages=51).collect()}
+    assert out[1] == "shared line\nunique one"
+    assert out[2] == "  shared line  \nunique two"
+
+
+def test_host_line_dedup_plan_no_window_no_forced_broadcast(spark):
+    """Hot lines are zipfian: the plan must be partial-agg + equi-join —
+    never a Window over line text — and must not force-broadcast the
+    per-host dim (a web corpus has ~10^8 hosts)."""
+    from html_parser_spark.ops.corpus import host_line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a.com", "x\ny"), (2, "a.com", "x\nz")],
+        ["doc_id", "source", "text"],
+    )
+    plan = (
+        host_line_dedup(docs)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "Window" not in plan
+    # ResolvedHint would mark a forced broadcast surviving to the optimized plan
+    assert "broadcast" not in plan.lower()

@@ -178,6 +178,17 @@ def main():
         )
     )
 
+    p = plan_of(entrymod.q_host_line_dedup(spark, sf_dir))
+    checks.append(
+        (
+            "q_host_line_dedup — partial-agg line counts + equi-joins, no window"
+            " over line text, no forced broadcast of the per-host dim",
+            p,
+            ["HashAggregate", "Join"],
+            ["Window", "CartesianProduct", "BroadcastNestedLoopJoin"],
+        )
+    )
+
     p = plan_of(entrymod.q_blocklist(spark, sf_dir))
     checks.append(
         (
