@@ -1605,6 +1605,75 @@ def q_host_line_dedup(spark, sf_dir):
     return host_line_dedup(docs, min_pages=2, pct_pages=60)
 
 
+def q_noindex_gate(spark, sf_dir):
+    """Page-level REP gate: <meta name=robots> through the DOM kernel
+    (lowercased raw directive) + JVM token interpretation — 'none' implies
+    noindex AND nofollow, unknown tokens (max-snippet:-1) are ignored,
+    absent tag means indexable.  Five closed-form cases by doc_id%5; the
+    oracle states the expected flags without parsing HTML."""
+    _ship_package(spark)
+    from html_parser_spark.ops.html_meta import extract_page_meta, noindex_flags
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    robots_meta = (
+        F.when(F.col("doc_id") % 5 == 0,
+               F.lit('<meta name="robots" content="noindex, follow">'))
+        .when(F.col("doc_id") % 5 == 1,
+              F.lit('<meta name="ROBOTS" content="NONE">'))
+        .when(F.col("doc_id") % 5 == 2,
+              F.lit('<meta name="robots" content="index, nofollow">'))
+        .when(F.col("doc_id") % 5 == 3, F.lit(""))
+        .otherwise(
+            F.lit('<meta name="robots" content="max-snippet:-1, noindex">')
+        )
+    )
+    html = F.concat(
+        F.lit("<html><head><title>t"), did, F.lit("</title>"), robots_meta,
+        F.lit("</head><body><p>body</p></body></html>"),
+    )
+    pages = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://n.example.com/"), did).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+    return noindex_flags(extract_page_meta(pages)).select(
+        "doc_id", "robots", "noindex", "nofollow"
+    )
+
+
+def q_recrawl_priority(spark, sf_dir):
+    """Change-rate recrawl scheduling over a synthesized 4-capture weekly
+    history per url: doc_id%3 picks the body-churn pattern (every capture /
+    never / every other), so n_changes, the integer-exact inter-change
+    estimate, clamping, and the due computation are all closed-form for
+    the oracle.  All-BIGINT outputs — bit-exact across engines."""
+    from html_parser_spark.ops.web import recrawl_priority
+
+    docs = _docs(spark, sf_dir)
+    week = 604800
+    caps = docs.crossJoin(
+        spark.range(4).withColumnRenamed("id", "capture")
+    ).select(
+        F.concat(
+            F.lit("https://r"), (F.col("doc_id") % 10).cast("string"),
+            F.lit(".com/p"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.timestamp_seconds(
+            F.lit(1704067200) + F.col("doc_id") + F.col("capture") * week
+        ).alias("warc_ts"),
+        F.concat(
+            "text",
+            F.lit(" v"),
+            F.when(F.col("doc_id") % 3 == 0, F.col("capture"))
+            .when(F.col("doc_id") % 3 == 1, F.lit(0).cast("long"))
+            .otherwise(F.expr("capture div 2"))
+            .cast("string"),
+        ).alias("body"),
+    )
+    return recrawl_priority(caps, asof_ts=1709251200)
+
+
 def _synth_urls(spark, sf_dir):
     """Deterministic varied urls over documents: scheme/host/tld/path/query
     all pure functions of (doc_id, source, lang) so the DuckDB oracle can
@@ -1906,9 +1975,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Round-3 checked positions 1-50 of the old order; this round leads with
     the 21 queries that had never had a driver row (survey-core
     q_extract_entries / q_migrate_v21 first, then the web-ingest tier),
-    followed by the 15 queries new or changed this round — leaving exactly
-    14 window slots, filled with round-3-green veterans (through
-    q_near_dup_pairs at position 50).  The 35 veterans past position 50 all
+    followed by the 17 queries new or changed this round — leaving exactly
+    12 window slots, filled with round-3-green veterans (through
+    q_pii_scan at position 50).  The 37 veterans past position 50 all
     carry green rows in CORRECTNESS_r03.json; rotate again next round so
     they cycle back through a driver window.
     """
@@ -1954,6 +2023,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver row on the new behavior
         "q_psl_domain": q_psl_domain,
         "q_host_line_dedup": q_host_line_dedup,
+        "q_noindex_gate": q_noindex_gate,
+        "q_recrawl_priority": q_recrawl_priority,
         # -- round-3-green veterans: the 15 remaining window slots
         #    (positions 36-50, ending q_dup_clusters) --
         "q_filter_project": q_filter_project,
@@ -1968,10 +2039,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_contamination": q_contamination,
         "q_chunk_plan": q_chunk_plan,
         "q_pii_scan": q_pii_scan,
-        "q_minhash_sig": q_minhash_sig,
-        "q_near_dup_pairs": q_near_dup_pairs,
         # -- round-3-green veterans rotated PAST the 50-query window
         #    (driver row from CORRECTNESS_r03; re-window next round) --
+        "q_minhash_sig": q_minhash_sig,
+        "q_near_dup_pairs": q_near_dup_pairs,
         "q_dup_clusters": q_dup_clusters,
         "q_cosine_topk": q_cosine_topk,
         "q_ivf_topk": q_ivf_topk,
@@ -2914,6 +2985,48 @@ def oracle_sql() -> dict[str, str]:
                                               md5(trim(x)))),
                      chr(10)), '') AS clean_text
             FROM docs d LEFT JOIN boiler b USING (host)
+        """,
+        "q_noindex_gate": """
+            -- EXPECTED flags in closed form (the robots meta is a pure
+            -- function of doc_id%5) — checks the DOM kernel's extraction
+            -- + the JVM REP-token interpretation, not a second parser
+            SELECT doc_id,
+                   CASE doc_id % 5
+                     WHEN 0 THEN 'noindex, follow'
+                     WHEN 1 THEN 'none'
+                     WHEN 2 THEN 'index, nofollow'
+                     WHEN 3 THEN NULL
+                     ELSE 'max-snippet:-1, noindex' END AS robots,
+                   CASE WHEN doc_id % 5 IN (0, 1, 4) THEN 1 ELSE 0 END
+                     AS noindex,
+                   CASE WHEN doc_id % 5 IN (1, 2) THEN 1 ELSE 0 END
+                     AS nofollow
+            FROM documents
+        """,
+        "q_recrawl_priority": """
+            WITH b AS (
+              SELECT 'https://r' || (doc_id % 10) || '.com/p' || doc_id
+                       AS url,
+                     1704067200 + doc_id + 3 * 604800 AS last_ts,
+                     CASE WHEN doc_id % 3 = 0 THEN 3
+                          WHEN doc_id % 3 = 1 THEN 0
+                          ELSE 1 END AS ch
+              FROM documents
+            ), e AS (
+              SELECT url, last_ts, ch,
+                     least(greatest(1814400 // greatest(ch, 1), 86400),
+                           2592000) AS est
+              FROM b
+            )
+            SELECT url,
+                   CAST(4 AS BIGINT) AS n_captures,
+                   CAST(ch AS BIGINT) AS n_changes,
+                   CAST(last_ts AS BIGINT) AS last_ts,
+                   CAST(est AS BIGINT) AS est_change_sec,
+                   CAST(last_ts + est AS BIGINT) AS next_due_ts,
+                   CAST(1709251200 - (last_ts + est) AS BIGINT)
+                     AS overdue_sec
+            FROM e
         """,
         "q_url_parts": """
             -- EXPECTED parse output in closed form (urls are pure functions

@@ -31,6 +31,7 @@ PAGE_META_TYPE = T.StructType(
         T.StructField("charset", T.StringType()),
         T.StructField("outlinks", T.ArrayType(T.StringType())),
         T.StructField("n_anchors", T.IntegerType()),
+        T.StructField("robots", T.StringType()),
     ]
 )
 
@@ -63,6 +64,7 @@ def extract_meta(html_bytes: bytes, base_url: str) -> dict:
 
     root = parse_html(decode_html_bytes(html_bytes if html_bytes else b""))
     title = description = canonical = og_title = og_desc = charset = None
+    robots = None
     outlinks: list[str] = []
     seen: set[str] = set()
     n_anchors = 0
@@ -81,6 +83,11 @@ def extract_meta(html_bytes: bytes, base_url: str) -> dict:
                 continue
             if description is None and name == "description":
                 description = _collapse(content)
+            elif robots is None and name == "robots":
+                # raw directive string, lowercased (RFC 9309 §2.3.1 REP tags
+                # are case-insensitive comma-separated tokens); token-level
+                # interpretation happens JVM-side in noindex_filter
+                robots = _collapse(content).lower()
             elif og_title is None and prop == "og:title":
                 og_title = _collapse(content)
             elif og_desc is None and prop == "og:description":
@@ -114,6 +121,7 @@ def extract_meta(html_bytes: bytes, base_url: str) -> dict:
         "charset": charset,
         "outlinks": outlinks,
         "n_anchors": n_anchors,
+        "robots": robots,
     }
 
 
@@ -140,6 +148,37 @@ def extract_page_meta(
     return out.select(
         *[c for c in pages.columns],
         *[F.col(f"_pm.{f.name}").alias(f.name) for f in PAGE_META_TYPE.fields],
+    )
+
+
+def noindex_flags(pages_meta: DataFrame, robots_col: str = "robots") -> DataFrame:
+    """+ ``noindex``/``nofollow`` (1/0) from the page's ``<meta
+    name="robots">`` directive string (``extract_page_meta``'s ``robots``
+    column, already lowercased by the kernel).
+
+    REP meta tags are comma-separated case-insensitive tokens; ``none`` is
+    the spec'd shorthand for ``noindex, nofollow``.  Absent tag → both 0
+    (indexable is the default).  Pure JVM expressions — split + exists —
+    zero Python, no shuffle."""
+    toks = F.split(F.coalesce(F.col(robots_col), F.lit("")), "[,\\s]+")
+    return pages_meta.withColumn(
+        "noindex",
+        F.exists(toks, lambda t: t.isin("noindex", "none")).cast("int"),
+    ).withColumn(
+        "nofollow",
+        F.exists(toks, lambda t: t.isin("nofollow", "none")).cast("int"),
+    )
+
+
+def noindex_filter(pages_meta: DataFrame, robots_col: str = "robots") -> DataFrame:
+    """Drop pages whose robots meta forbids indexing — the page-level twin
+    of the host-level robots.txt gate (``ops/robots.robots_filter``); a
+    curation pipeline honoring site operators needs BOTH.  Schema-
+    preserving; narrow filter, composes with any downstream op."""
+    return (
+        noindex_flags(pages_meta, robots_col)
+        .filter(F.col("noindex") == 0)
+        .drop("noindex", "nofollow")
     )
 
 

@@ -451,3 +451,84 @@ def soft_404_flags(
         short.cast("int").alias("short_body"),
         ((t_hit | h_hit) & short).cast("int").alias("soft404"),
     )
+
+
+def recrawl_priority(
+    captures: DataFrame,
+    asof_ts: int,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    body_col: str = "body",
+    min_interval_sec: int = 86400,
+    max_interval_sec: int = 30 * 86400,
+) -> DataFrame:
+    """Change-rate-aware recrawl scheduling (Cho & Garcia-Molina 2003's
+    uniform-vs-proportional insight, integer-exact): estimate each url's
+    inter-change interval from its capture history and derive when it is
+    next due.
+
+    Per url over its sorted captures: ``n_changes`` counts consecutive
+    capture pairs whose body md5 differs; ``est_change_sec`` is
+    ``span_sec / max(n_changes, 1)`` (integer division) clamped to
+    [``min_interval_sec``, ``max_interval_sec``] — a page never seen to
+    change estimates its full observed span (stability is only proven
+    over that span; long stable histories clamp to the max interval),
+    a churning page clamps to the min;
+    ``next_due_ts = last_ts + est_change_sec``; ``overdue_sec`` is relative
+    to the caller-supplied ``asof_ts`` (an explicit epoch argument, never
+    now(): schedules must be reproducible across engines and re-runs).
+
+    Returns (url, n_captures, n_changes, last_ts, est_change_sec,
+    next_due_ts, overdue_sec) — all BIGINT, no floats anywhere, so every
+    engine agrees bit-for-bit.
+
+    Scale: md5 digests are computed BEFORE the groupBy so the shuffle
+    carries (ts, 32-byte hash) pairs, never bodies.  ONE partial-agg
+    groupBy(url); per-url capture counts are bounded by crawl revisit
+    counts (tens), so the collected arrays are tiny and there is NO window
+    function — change counting is a JVM ``zip_with`` over the sorted
+    array against itself shifted by one.  Priority is a per-url value:
+    callers needing "top k most overdue" compute it without any global
+    sort here.
+    """
+    cap = captures.select(
+        F.col(url_col).alias("url"),
+        F.struct(
+            F.col(ts_col).cast("timestamp").cast("long").alias("ts"),
+            F.md5(F.encode(F.col(body_col).cast("string"), "UTF-8")).alias(
+                "digest"
+            ),
+        ).alias("c"),
+    )
+    per = cap.groupBy("url").agg(F.array_sort(F.collect_list("c")).alias("caps"))
+    n = F.size("caps")
+    prev = F.slice("caps", 1, n - 1)
+    nxt = F.slice("caps", 2, n - 1)
+    changes = F.size(
+        F.filter(
+            F.zip_with(prev, nxt, lambda a, b: a["digest"] != b["digest"]),
+            lambda x: x,
+        )
+    ).cast("long")
+    first_ts = F.element_at("caps", 1)["ts"]
+    last_ts = F.element_at("caps", -1)["ts"]
+    span = last_ts - first_ts
+    denom = F.greatest(changes, F.lit(1).cast("long"))
+    # exact integer quotient: subtract the modulus first so the double
+    # division is of an exact multiple (always representable), then cast —
+    # a bare span/denom would round in binary before the truncation
+    quot = ((span - F.pmod(span, denom)) / denom).cast("long")
+    est = F.least(
+        F.greatest(quot, F.lit(int(min_interval_sec)).cast("long")),
+        F.lit(int(max_interval_sec)).cast("long"),
+    )
+    next_due = last_ts + est
+    return per.select(
+        "url",
+        n.cast("long").alias("n_captures"),
+        changes.alias("n_changes"),
+        last_ts.alias("last_ts"),
+        est.alias("est_change_sec"),
+        next_due.alias("next_due_ts"),
+        (F.lit(int(asof_ts)) - next_due).cast("long").alias("overdue_sec"),
+    )

@@ -300,3 +300,41 @@ def test_graph_job_end_to_end(spark, tmp_path, capsys):
     got = {r["node"]: r for r in ranks.collect()}
     assert got["c.com"]["in_degree"] == 2 and got["c.com"]["out_degree"] == 0
     assert sum(r["quota"] for r in got.values()) <= 1000
+
+
+def test_meta_robots_and_noindex_gate(spark):
+    """<meta name=robots> surfaces through the kernel (lowercased, first
+    wins) and noindex_flags interprets REP tokens JVM-side: 'none' implies
+    both, unknown tokens (max-snippet:-1) are ignored, absent tag means
+    indexable, and noindex_filter drops exactly the noindex pages."""
+    from html_parser_spark.ops.html_meta import (
+        extract_page_meta,
+        noindex_filter,
+        noindex_flags,
+    )
+
+    def page(meta):
+        return f"<html><head>{meta}</head><body><p>x</p></body></html>".encode()
+
+    rows = [
+        (1, page('<meta name="robots" content="noindex, follow">')),
+        (2, page('<meta name="ROBOTS" content="NONE">')),
+        (3, page('<meta name="robots" content="index, nofollow">')),
+        (4, page("")),
+        (5, page('<meta name="robots" content="max-snippet:-1, noindex">')),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "html"]).withColumn(
+        "url", F.concat(F.lit("https://x.com/"), F.col("doc_id").cast("string"))
+    )
+    meta = noindex_flags(extract_page_meta(df))
+    got = {r["doc_id"]: r for r in meta.collect()}
+    assert got[1]["robots"] == "noindex, follow"
+    assert (got[1]["noindex"], got[1]["nofollow"]) == (1, 0)
+    assert got[2]["robots"] == "none"
+    assert (got[2]["noindex"], got[2]["nofollow"]) == (1, 1)
+    assert (got[3]["noindex"], got[3]["nofollow"]) == (0, 1)
+    assert got[4]["robots"] is None
+    assert (got[4]["noindex"], got[4]["nofollow"]) == (0, 0)
+    assert (got[5]["noindex"], got[5]["nofollow"]) == (1, 0)
+    kept = {r["doc_id"] for r in noindex_filter(extract_page_meta(df)).collect()}
+    assert kept == {3, 4}

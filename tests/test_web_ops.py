@@ -349,3 +349,66 @@ def test_surt_key_groups_subdomains_contiguously(spark):
     # contiguous: the example.com keys occupy one unbroken slice
     lo, hi = keys.index(ex[0]), keys.index(ex[-1])
     assert keys[lo:hi + 1] == ex and len(ex) == 3
+
+
+def test_recrawl_priority_change_rate_schedule(spark):
+    """Per-url inter-change estimate from capture history: a churning page
+    is due at its observed change interval, a static page settles at the
+    max interval, and clamping bounds both ends.  All-integer outputs."""
+    from html_parser_spark.ops.web import recrawl_priority
+
+    day = 86400
+    t0 = 1_704_067_200
+    rows = []
+    # u1 changes every capture (4 captures, weekly): est = span/3 = 7 days
+    for i in range(4):
+        rows.append(("https://u1.com/", t0 + i * 7 * day, f"body v{i}"))
+    # u2 never changes: est = full observed span (21 days — no change was
+    # seen over it, so it is the LOWER bound on the change interval);
+    # clamping to the 30-day max only kicks in for longer histories
+    for i in range(4):
+        rows.append(("https://u2.com/", t0 + i * 7 * day, "static"))
+    # u2b never changes over a 60-day history: est clamps DOWN to 30 days
+    for i in range(4):
+        rows.append(("https://u2b.com/", t0 + i * 20 * day, "static"))
+    # u3 churns hourly: est clamps UP to min_interval (1 day)
+    for i in range(4):
+        rows.append(("https://u3.com/", t0 + i * 3600, f"b{i}"))
+    # u4 single capture: span 0 -> clamped to min
+    rows.append(("https://u4.com/", t0, "x"))
+    caps = spark.createDataFrame(rows, ["url", "ts", "body"]).select(
+        "url", F.timestamp_seconds("ts").alias("warc_ts"), "body"
+    )
+    asof = t0 + 40 * day
+    out = {r["url"]: r for r in recrawl_priority(caps, asof).collect()}
+    u1 = out["https://u1.com/"]
+    assert (u1["n_captures"], u1["n_changes"]) == (4, 3)
+    assert u1["est_change_sec"] == 7 * day
+    assert u1["next_due_ts"] == t0 + 21 * day + 7 * day
+    assert u1["overdue_sec"] == asof - u1["next_due_ts"]
+    u2 = out["https://u2.com/"]
+    assert u2["n_changes"] == 0 and u2["est_change_sec"] == 21 * day
+    u2b = out["https://u2b.com/"]
+    assert u2b["n_changes"] == 0 and u2b["est_change_sec"] == 30 * day
+    u3 = out["https://u3.com/"]
+    assert u3["n_changes"] == 3 and u3["est_change_sec"] == day
+    u4 = out["https://u4.com/"]
+    assert (u4["n_captures"], u4["est_change_sec"]) == (1, day)
+
+
+def test_recrawl_priority_plan_no_window_digests_before_shuffle(spark):
+    """ONE partial-agg groupBy(url); change counting is zip_with over the
+    collected array — no Window — and md5 runs below the exchange so the
+    shuffle carries digests, not bodies."""
+    from html_parser_spark.ops.web import recrawl_priority
+
+    caps = spark.createDataFrame(
+        [("u", 1, "b")], ["url", "ts", "body"]
+    ).select("url", F.timestamp_seconds("ts").alias("warc_ts"), "body")
+    qe = recrawl_priority(caps, 2)._jdf.queryExecution()
+    plan = qe.executedPlan().toString()
+    assert "Window" not in plan
+    assert "partial_collect_list" in plan or "ObjectHashAggregate" in plan
+    # md5 must appear in the pre-shuffle (map-side) aggregate projection
+    before_exchange = plan.split("Exchange")[-1]  # bottom-most section
+    assert "md5" in before_exchange

@@ -189,6 +189,30 @@ def main():
         )
     )
 
+    p = plan_of(entrymod.q_noindex_gate(spark, sf_dir))
+    checks.append(
+        (
+            "q_noindex_gate — ONE Arrow meta kernel + JVM REP-token flags,"
+            " no shuffle at all",
+            p,
+            ["ArrowEvalPython"],
+            ["Exchange", "Window", "CartesianProduct"],
+        )
+    )
+
+    p = plan_of(entrymod.q_recrawl_priority(spark, sf_dir))
+    checks.append(
+        (
+            "q_recrawl_priority — digests below the exchange, ONE partial-agg"
+            " groupBy(url), zip_with change counting instead of a window"
+            " (the synth's 4-row capture crossJoin is fixture construction,"
+            " not the op)",
+            p,
+            ["md5", "HashAggregate"],
+            ["Window"],
+        )
+    )
+
     p = plan_of(entrymod.q_blocklist(spark, sf_dir))
     checks.append(
         (
