@@ -142,6 +142,15 @@ def extract_main(
     from html_parser_spark.dom import decode_html_bytes, parse_html
 
     root = parse_html(decode_html_bytes(html_bytes if html_bytes else b""))
+    return extract_main_from_root(root, min_text_len, max_link_density)
+
+
+def extract_main_from_root(
+    root, min_text_len: int = 25, max_link_density: float = 0.35
+) -> dict:
+    """The post-parse half of :func:`extract_main`, taking an already-parsed
+    DOM — so the fused page kernel (``ops/page_kernel.py``) can share ONE
+    parse per page with the metadata walk instead of parsing twice."""
     blocks = _collect_blocks(root)
     is_content = [
         len(text) >= min_text_len

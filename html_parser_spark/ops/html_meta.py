@@ -63,6 +63,13 @@ def extract_meta(html_bytes: bytes, base_url: str) -> dict:
     from html_parser_spark.dom import decode_html_bytes, parse_html
 
     root = parse_html(decode_html_bytes(html_bytes if html_bytes else b""))
+    return extract_meta_from_root(root, base_url)
+
+
+def extract_meta_from_root(root, base_url: str) -> dict:
+    """The post-parse half of :func:`extract_meta`, taking an already-parsed
+    DOM — shared with the fused page kernel (``ops/page_kernel.py``) so one
+    parse feeds both the metadata walk and the main-content walk."""
     title = description = canonical = og_title = og_desc = charset = None
     robots = None
     outlinks: list[str] = []

@@ -10,16 +10,20 @@ the whole extract→curate→graph chain as ONE resumable job:
 
 Stage DAG (each stage's scale shape documented at its op):
 
-  pages ──robots gate──▶ EXTRACT   main-content strip, chunk-level resume
-        │                          via CheckpointedExtraction (anti-join of
-        │                          done urls — a killed run re-does at most
-        │                          the in-flight chunk)  → <out>/extract/
-        └───────────────▶ GRAPH    outlinks → host edges → integer PageRank
-                                   [→ crawl budget]       → <out>/graph/
-  extract ─────────────▶ CURATE   canon url → latest capture → quality
-                                   gate [+Gopher] → [span dedup] → [PII]
-                                   → near-dup survivors → split
-                                                          → <out>/curate/docs
+  pages ──robots gate──▶ EXTRACT   FUSED kernel (ops/page_kernel.py): ONE
+                                   parse per page → main-content strip +
+                                   outlinks + meta robots; chunk-level
+                                   resume via CheckpointedExtraction
+                                   (anti-join of done urls — a killed run
+                                   re-does at most the in-flight chunk)
+                                                          → <out>/extract/
+  extract ─────────────▶ GRAPH    materialized outlinks → host edges →
+                                   integer PageRank [→ crawl budget] — no
+                                   second parse of any page → <out>/graph/
+  extract ─────────────▶ CURATE   noindex gate → canon url → latest
+                                   capture → quality gate [+Gopher] →
+                                   [span dedup] → [PII] → near-dup
+                                   survivors → split     → <out>/curate/docs
   curate ──────────────▶ CHUNKS   context-window chunk plan (optional)
                                                           → <out>/curate/chunks
 
@@ -125,7 +129,7 @@ def main(argv=None):
 
     from pyspark.sql import SparkSession, functions as F
 
-    from html_parser_spark.ops.boilerplate import extract_main_content
+    from html_parser_spark.ops.page_kernel import extract_page_full
     from html_parser_spark.spark.checkpoint import CheckpointedExtraction
     from html_parser_spark.spark.pipeline import salted_repartition
 
@@ -194,11 +198,16 @@ def main(argv=None):
             src = src.select("url", "warc_ts", "html", "lang")
             if args.partitions:
                 src = salted_repartition(src, args.partitions)
-            return extract_main_content(
+            # FUSED kernel: one parse per page feeds the main-content walk
+            # AND the metadata walk — outlinks materialize here so the
+            # graph stage never re-parses, and robots feeds the curate
+            # stage's noindex gate
+            return extract_page_full(
                 src, max_html_bytes=args.max_html_bytes or None
             ).select(
                 "url", "warc_ts", "lang", "main_text", "n_blocks",
                 "n_content_blocks", "content_chars", "boiler_chars",
+                "outlinks", "robots",
                 F.length("html").alias("n_bytes_in"),
             )
 
@@ -224,7 +233,6 @@ def main(argv=None):
         _append_stage_lineage(spark, args.output, "graph", "skipped",
                              fp_pages, 0, time.time() - t0)
     else:
-        from html_parser_spark.ops.html_meta import extract_page_meta
         from html_parser_spark.ops.linkgraph import (
             crawl_budget,
             host_edges,
@@ -232,9 +240,10 @@ def main(argv=None):
             pagerank_fixed_point,
         )
 
-        meta = extract_page_meta(pages.select("url", "html")).select(
-            "url", "outlinks"
-        )
+        # outlinks were materialized by the fused extract kernel — the
+        # graph stage is pure relational work over the extract output,
+        # no second parse of any page
+        meta = results.select("url", "outlinks")
         edges = host_edges(meta)
         edges.write.mode("overwrite").parquet(os.path.join(g_dir, "edges"))
         edges = spark.read.parquet(os.path.join(g_dir, "edges"))
@@ -271,8 +280,14 @@ def main(argv=None):
                              fp_extract, report["stages"]["curate"]["docs"],
                              time.time() - t0)
     else:
+        from html_parser_spark.ops.html_meta import noindex_filter
+
+        # honor page-level REP before training-data curation: a page whose
+        # meta robots says noindex is excluded the same way robots.txt-
+        # disallowed pages never entered the pipeline
         res = (
-            results.where(F.col("main_text").isNotNull())
+            noindex_filter(results)
+            .where(F.col("main_text").isNotNull())
             .select(
                 canonicalize_url("url").alias("url"),
                 "warc_ts",
