@@ -1930,6 +1930,48 @@ def q_warc_index(spark, sf_dir):
     return w.select("url", "rec_offset", "rec_length")
 
 
+def q_cdxj_roundtrip(spark, sf_dir):
+    """CDXJ capture index (sources/cdx.py): write sorted ``cdx-*.gz``
+    shards + cluster.idx from synthesized captures, read them back through
+    the JVM-side parser, and return the typed rows.  Every field is a
+    closed-form function of (doc_id, text) — the oracle restates them
+    (incl. the SURT key and ts14) without touching the files, so a hash
+    match proves format → shard sort → parse → casts are all exact."""
+    import shutil
+    import tempfile
+
+    _ship_package(spark)
+    from html_parser_spark.sources.cdx import read_cdxj, write_cdxj_files
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    caps = docs.select(
+        F.concat(
+            F.lit("https://s"), F.pmod("doc_id", F.lit(9)).cast("string"),
+            F.lit(".example.org/p/"), did,
+        ).alias("url"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id")).alias(
+            "warc_ts"
+        ),
+        F.lit("text/html").alias("mime"),
+        (F.lit(200) + F.pmod("doc_id", F.lit(3))).cast("int").alias("status"),
+        F.md5(F.encode("text", "UTF-8")).alias("digest"),
+        F.length(F.encode("text", "UTF-8")).cast("long").alias("length"),
+        (F.col("doc_id") * 1000).alias("offset"),
+        F.concat(
+            F.lit("part-0000"), F.pmod("doc_id", F.lit(2)).cast("string"),
+            F.lit(".warc.gz"),
+        ).alias("filename"),
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_cdxj_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    write_cdxj_files(caps, out, num_shards=4)
+    return read_cdxj(spark, os.path.join(out, "cdx-*.gz"))
+
+
 def q_extract_entries(spark, sf_dir):
     """Entry-struct check over the synthetic extraction: headword + counts."""
     _ship_package(spark)
@@ -1975,9 +2017,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Round-3 checked positions 1-50 of the old order; this round leads with
     the 21 queries that had never had a driver row (survey-core
     q_extract_entries / q_migrate_v21 first, then the web-ingest tier),
-    followed by the 17 queries new or changed this round — leaving exactly
-    12 window slots, filled with round-3-green veterans (through
-    q_pii_scan at position 50).  The 37 veterans past position 50 all
+    followed by the 18 queries new or changed this round — leaving exactly
+    11 window slots, filled with round-3-green veterans (through
+    q_chunk_plan at position 50).  The 38 veterans past position 50 all
     carry green rows in CORRECTNESS_r03.json; rotate again next round so
     they cycle back through a driver window.
     """
@@ -2025,6 +2067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_host_line_dedup": q_host_line_dedup,
         "q_noindex_gate": q_noindex_gate,
         "q_recrawl_priority": q_recrawl_priority,
+        "q_cdxj_roundtrip": q_cdxj_roundtrip,
         # -- round-3-green veterans: the 15 remaining window slots
         #    (positions 36-50, ending q_dup_clusters) --
         "q_filter_project": q_filter_project,
@@ -2038,9 +2081,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_data_split": q_data_split,
         "q_contamination": q_contamination,
         "q_chunk_plan": q_chunk_plan,
-        "q_pii_scan": q_pii_scan,
         # -- round-3-green veterans rotated PAST the 50-query window
         #    (driver row from CORRECTNESS_r03; re-window next round) --
+        "q_pii_scan": q_pii_scan,
         "q_minhash_sig": q_minhash_sig,
         "q_near_dup_pairs": q_near_dup_pairs,
         "q_dup_clusters": q_dup_clusters,
@@ -3027,6 +3070,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1709251200 - (last_ts + est) AS BIGINT)
                      AS overdue_sec
             FROM e
+        """,
+        "q_cdxj_roundtrip": """
+            -- every CDXJ field restated in closed form from documents —
+            -- never reading the shards — so the match proves the format
+            -- write -> range-sorted shards -> parse -> casts end-to-end
+            SELECT 'org,example,s' || (doc_id % 9) || ')/p/' || doc_id
+                     AS key,
+                   strftime(TIMESTAMP '2024-01-01 00:00:00'
+                              + to_seconds(doc_id), '%Y%m%d%H%M%S') AS ts14,
+                   'https://s' || (doc_id % 9) || '.example.org/p/' || doc_id
+                     AS url,
+                   'text/html' AS mime,
+                   CAST(200 + doc_id % 3 AS INTEGER) AS status,
+                   md5(text) AS digest,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS length,
+                   CAST(doc_id * 1000 AS BIGINT) AS "offset",
+                   'part-0000' || (doc_id % 2) || '.warc.gz' AS filename
+            FROM documents
         """,
         "q_url_parts": """
             -- EXPECTED parse output in closed form (urls are pure functions

@@ -189,6 +189,18 @@ def main():
         )
     )
 
+    p = plan_of(entrymod.q_cdxj_roundtrip(spark, sf_dir))
+    checks.append(
+        (
+            "q_cdxj_roundtrip — CDXJ read is a parallel text scan + JVM"
+            " regexp/from_json projection: zero Python, zero shuffle"
+            " (the ONE range exchange is paid at WRITE time, off this plan)",
+            p,
+            ["from_json"],
+            ["Exchange", "ArrowEvalPython", "BatchEvalPython", "Window"],
+        )
+    )
+
     p = plan_of(entrymod.q_noindex_gate(spark, sf_dir))
     checks.append(
         (
