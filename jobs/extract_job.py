@@ -53,6 +53,20 @@ def main(argv=None):
              "the Common-Crawl text format downstream consumers read",
     )
     ap.add_argument(
+        "--cdx", default="",
+        help="also publish a CDXJ capture index (sorted cdx-*.gz shards + "
+             "cluster.idx) of the ingest set into this dir; with a warc: "
+             "input the entries carry real record extents (offset/length/"
+             "filename) for range reads, otherwise digest-only entries. "
+             "Indexes the whole archive (ignores --limit/--robots — the "
+             "index describes what the archive CONTAINS, not what this "
+             "run processed)",
+    )
+    ap.add_argument(
+        "--cdx-shards", type=int, default=1,
+        help="number of range-sorted CDXJ shards (--cdx)",
+    )
+    ap.add_argument(
         "--max-html-bytes", type=int, default=8 * 1024 * 1024,
         help="route pages over this size around the parse as fmt='oversized' "
              "(bounds worst-case task time at crawl scale; 0 disables)",
@@ -88,6 +102,11 @@ def main(argv=None):
         )
     else:
         pages = spark.read.parquet(args.pages)
+
+    n_cdx = None
+    if args.cdx:
+        n_cdx = _publish_cdx_index(spark, pages, args)
+
     if args.limit:
         pages = pages.limit(args.limit)
 
@@ -148,6 +167,7 @@ def main(argv=None):
             **{k: int(row[k] or 0) for k in
                ("docs", "content_blocks", "bytes_in", "content_chars")},
             **({"wet_parts": n_wet} if n_wet is not None else {}),
+            **({"cdx_shards": n_cdx} if n_cdx is not None else {}),
         }))
         return
 
@@ -206,7 +226,48 @@ def main(argv=None):
             for k, v in metrics.items()
         },
         **({"wet_parts": n_wet} if n_wet is not None else {}),
+        **({"cdx_shards": n_cdx} if n_cdx is not None else {}),
     }))
+
+
+def _publish_cdx_index(spark, pages, args):
+    """--cdx: the queryable capture index of the ingest set.  warc: inputs
+    re-read with extents (a second archive pass is the honest cost of
+    offset-bearing entries — Common Crawl's indexer pays the same);
+    parquet/synth inputs get digest-only entries (no physical extents
+    exist).  Returns the shard count."""
+    from pyspark.sql import functions as F
+
+    from html_parser_spark.sources.cdx import write_cdxj_files
+
+    if args.pages.startswith("warc:"):
+        from html_parser_spark.sources.warc import read_warc
+
+        recs = read_warc(
+            spark, args.pages.split(":", 1)[1], with_offsets=True
+        ).where(F.col("warc_type") == "response")
+        idx = recs.select(
+            "url",
+            "warc_ts",
+            F.col("content_type").alias("mime"),
+            F.col("http_status").alias("status"),
+            F.md5("html").alias("digest"),
+            F.col("rec_length").alias("length"),
+            F.col("rec_offset").alias("offset"),
+            F.element_at(F.split("source_file", "/"), -1).alias("filename"),
+        )
+    else:
+        idx = pages.select(
+            "url",
+            "warc_ts",
+            F.lit("text/html").alias("mime"),
+            F.lit(200).cast("int").alias("status"),
+            F.md5("html").alias("digest"),
+            F.length("html").cast("long").alias("length"),
+            F.lit(None).cast("long").alias("offset"),
+            F.lit(None).cast("string").alias("filename"),
+        )
+    return write_cdxj_files(idx, args.cdx, num_shards=args.cdx_shards)
 
 
 def _write_wet_sidecar(results, text_col: str, out_dir: str):
