@@ -21,9 +21,10 @@ Stage DAG (each stage's scale shape documented at its op):
                                    integer PageRank [→ crawl budget] — no
                                    second parse of any page → <out>/graph/
   extract ─────────────▶ CURATE   noindex gate → canon url → latest
-                                   capture → quality gate [+Gopher] →
-                                   [span dedup] → [PII] → near-dup
-                                   survivors → split     → <out>/curate/docs
+                                   capture → [host-line dedup] → quality
+                                   gate [+Gopher] → [span dedup] → [PII]
+                                   → near-dup survivors → split
+                                                          → <out>/curate/docs
   curate ──────────────▶ CHUNKS   context-window chunk plan (optional)
                                                           → <out>/curate/chunks
 
@@ -117,6 +118,17 @@ def main(argv=None):
     ap.add_argument("--gopher", action="store_true")
     ap.add_argument("--scrub-pii", action="store_true")
     ap.add_argument("--span-dedup-tokens", type=int, default=0)
+    ap.add_argument(
+        "--host-line-dedup", action="store_true",
+        help="strip lines repeated across a host's pages (CCNet-style "
+             "cross-page boilerplate, ops/corpus.host_line_dedup) before "
+             "the quality gates",
+    )
+    ap.add_argument(
+        "--host-line-pct", type=int, default=5,
+        help="a line is host-boilerplate when on >=2 pages AND >= this "
+             "percent of the host's pages (--host-line-dedup)",
+    )
     ap.add_argument("--chunk-tokens", type=int, default=0)
     ap.add_argument("--num-hashes", type=int, default=8)
     ap.add_argument("--bands", type=int, default=4)
@@ -296,6 +308,34 @@ def main(argv=None):
             )
         )
         res = latest_capture(res)
+        n_host_lines = None
+        if args.host_line_dedup:
+            from pyspark import StorageLevel as _SL
+
+            from html_parser_spark.ops.corpus import host_line_dedup
+
+            # url is unique after latest_capture, so it is the line-dedup
+            # doc id; host comes straight off it.  Persist before the two
+            # consumers (metric agg + join) so the three-shuffle dedup
+            # plan runs once
+            hosted = res.withColumn(
+                "_host", F.parse_url(F.col("url"), F.lit("HOST"))
+            )
+            hld = host_line_dedup(
+                hosted, host_col="_host", id_col="url",
+                text_col="extracted_text",
+                min_pages=2, pct_pages=args.host_line_pct,
+            ).persist(_SL.MEMORY_AND_DISK)
+            n_host_lines = int(
+                hld.agg(F.sum("n_lines_removed")).collect()[0][0] or 0
+            )
+            res = res.drop("extracted_text").join(
+                hld.select(
+                    F.col("doc_id").alias("url"),
+                    F.col("clean_text").alias("extracted_text"),
+                ),
+                "url",
+            )
         docs = res.select(
             F.xxhash64("url").alias("doc_id"),
             F.col("extracted_text").alias("text"),
@@ -314,8 +354,11 @@ def main(argv=None):
         final = spark.read.schema(curated.schema).parquet(out_docs)
         n_final = final.count()
         _write_marker(cu_dir, fp_extract, **funnel)
-        report["stages"]["curate"] = {"action": "ran", **funnel,
-                                      "docs": n_final}
+        report["stages"]["curate"] = {
+            "action": "ran", **funnel, "docs": n_final,
+            **({"host_lines_removed": n_host_lines}
+               if n_host_lines is not None else {}),
+        }
         _append_stage_lineage(spark, args.output, "curate", "ran",
                              fp_extract, n_final, time.time() - t0)
     if finish("curate"):

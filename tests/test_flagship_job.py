@@ -111,3 +111,40 @@ def test_source_growth_invalidates_downstream(spark, tmp_path, capsys):
     assert ex["docs_new"] == 12  # chunked resume: only the delta parsed
     assert second["stages"]["curate"]["action"] == "ran"
     pages.unpersist()
+
+
+def test_host_line_dedup_stage(spark, tmp_path, capsys):
+    """--host-line-dedup strips cross-page host furniture from the curated
+    corpus: a banner injected into every page of the synthetic host
+    vanishes from the final docs, and the report counts the removals."""
+    import jobs.flagship_job as fj
+
+    from html_parser_spark.data.pages import synthetic_pages_df
+
+    banner = "SUBSCRIBE TO OUR NEWSLETTER TODAY"
+    pages = synthetic_pages_df(spark, SF_DIR, paragraphs=1).limit(20).select(
+        "url", "warc_ts",
+        # inject the banner as a real DOM paragraph long enough for the
+        # extractor to keep it, on EVERY page of the (single-host) corpus
+        F.to_binary(
+            F.regexp_replace(
+                F.decode("html", "UTF-8"),
+                "<body>",
+                f"<body><p>{banner} {banner.lower()} please</p>",
+            ),
+            F.lit("utf8"),
+        ).alias("html"),
+        "lang",
+    )
+    src = str(tmp_path / "pages")
+    pages.write.parquet(src)
+    out = str(tmp_path / "out")
+    fj.main([
+        "--pages", src, "--output", out, "--partitions", "4",
+        "--min-tokens", "5", "--host-line-dedup", "--host-line-pct", "50",
+    ])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["stages"]["curate"]["host_lines_removed"] >= 20
+    docs = spark.read.parquet(os.path.join(out, "curate", "docs"))
+    assert docs.filter(F.col("text").contains(banner)).count() == 0
+    assert docs.count() > 0  # the real content survived
