@@ -2009,6 +2009,103 @@ def q_migrate_v21(spark, sf_dir):
     )
 
 
+def q_markdown(spark, sf_dir):
+    """HTML→Markdown conversion (ops/markdown.py) over synthesized pages
+    exercising every block family: heading, paragraph with bold/link
+    inline, nested ul + ol, blockquote, fenced pre (whitespace preserved),
+    header table with separator row, hr.  The DuckDB oracle reconstructs
+    the expected markdown string symbolically from ``documents.text`` — a
+    hash match proves block order, inline rendering, list indentation,
+    whitespace collapse, and the empty-block drop are all byte-exact."""
+    _ship_package(spark)
+    from html_parser_spark.data.pages import _esc
+    from html_parser_spark.ops.markdown import to_markdown
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    s1 = _esc(F.substring("text", 1, 60))
+    s2 = _esc(F.substring("text", 61, 30))
+    s3 = _esc(F.substring("text", 91, 30))
+    s4 = _esc(F.substring("text", 121, 20))
+    html = F.concat(
+        F.lit(
+            "<html><head><title>t</title><script>var x=1;</script></head>"
+            "<body>\n<h1>Doc "
+        ),
+        did,
+        F.lit("</h1>\n<p>"),
+        s1,
+        F.lit(" <b>bold"),
+        did,
+        F.lit('</b> and <a href="https://x.org/'),
+        did,
+        F.lit('">link '),
+        did,
+        F.lit("</a>.</p>\n<ul><li>alpha "),
+        s2,
+        F.lit("</li><li>beta <i>it"),
+        did,
+        F.lit("</i><ul><li>nested "),
+        did,
+        F.lit("</li></ul></li></ul>\n<blockquote>"),
+        s3,
+        F.lit("</blockquote>\n<pre>code  "),
+        did,
+        F.lit("\n  line2</pre>\n<ol><li>first</li><li>second "),
+        did,
+        F.lit("</li></ol>\n<table><tr><th>k</th><th>v</th></tr><tr><td>"),
+        did,
+        F.lit("</td><td>"),
+        s4,
+        F.lit("</td></tr></table>\n<hr>\n</body></html>"),
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://md.example.org/"), did).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+    return to_markdown(pages).select("url", "markdown", "md_chars", "n_blocks")
+
+
+def q_warc_revisit(spark, sf_dir):
+    """WARC 1.1 revisit classification (sources/warc.revisit_plan): the
+    digest-dedup plan web archives use to store each payload once.  41
+    payload groups × repeat captures with deliberate timestamp ties; the
+    original is the min (warc_ts, url) struct per sha1 digest.  The DuckDB
+    oracle replays the rule with a window over the symbolic group key —
+    the payload is a pure function of ``doc_id % 41``, so grouping by that
+    key IS grouping by digest."""
+    _ship_package(spark)
+    from html_parser_spark.sources.warc import revisit_plan
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    caps = docs.select(
+        F.concat(
+            F.lit("https://w"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(".example.org/p"),
+            did,
+        ).alias("url"),
+        F.timestamp_seconds(
+            F.lit(1704067200) + (F.col("doc_id") % 7) * 86400
+        ).alias("warc_ts"),
+        F.encode(
+            F.concat(F.lit("payload-"), (F.col("doc_id") % 41).cast("string")),
+            "UTF-8",
+        ).alias("html"),
+    )
+    planned = revisit_plan(caps)
+    return planned.select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("warc_date"),
+        "is_revisit",
+        "refers_to_url",
+        F.date_format("refers_to_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias(
+            "refers_to_date"
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-query CORRECTNESS window rotates coverage.
 
@@ -2017,9 +2114,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Round-3 checked positions 1-50 of the old order; this round leads with
     the 21 queries that had never had a driver row (survey-core
     q_extract_entries / q_migrate_v21 first, then the web-ingest tier),
-    followed by the 18 queries new or changed this round — leaving exactly
-    11 window slots, filled with round-3-green veterans (through
-    q_chunk_plan at position 50).  The 38 veterans past position 50 all
+    followed by the 20 queries new or changed this round — leaving exactly
+    9 window slots, filled with round-3-green veterans (through
+    q_data_split at position 50).  The veterans past position 50 all
     carry green rows in CORRECTNESS_r03.json; rotate again next round so
     they cycle back through a driver window.
     """
@@ -2048,6 +2145,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_image_headers": q_image_headers,
         # -- new in round 4 --
         # (insert new queries here so they land inside the driver window)
+        "q_markdown": q_markdown,
+        "q_warc_revisit": q_warc_revisit,
         "q_audio_headers": q_audio_headers,
         "q_image_dhash": q_image_dhash,
         "q_stratified_sample": q_stratified_sample,
@@ -2068,8 +2167,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_noindex_gate": q_noindex_gate,
         "q_recrawl_priority": q_recrawl_priority,
         "q_cdxj_roundtrip": q_cdxj_roundtrip,
-        # -- round-3-green veterans: the 15 remaining window slots
-        #    (positions 36-50, ending q_dup_clusters) --
+        # -- round-3-green veterans: the 9 remaining window slots
+        #    (positions 42-50, ending q_data_split) --
         "q_filter_project": q_filter_project,
         "q_agg_pricing": q_agg_pricing,
         "q_window_order_check": q_window_order_check,
@@ -2079,10 +2178,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_score": q_quality_score,
         "q_tfidf": q_tfidf,
         "q_data_split": q_data_split,
-        "q_contamination": q_contamination,
-        "q_chunk_plan": q_chunk_plan,
         # -- round-3-green veterans rotated PAST the 50-query window
         #    (driver row from CORRECTNESS_r03; re-window next round) --
+        "q_contamination": q_contamination,
+        "q_chunk_plan": q_chunk_plan,
         "q_pii_scan": q_pii_scan,
         "q_minhash_sig": q_minhash_sig,
         "q_near_dup_pairs": q_near_dup_pairs,
@@ -3710,6 +3809,76 @@ def oracle_sql() -> dict[str, str]:
                    'conversion' AS warc_type,
                    'text/plain' AS content_type
             FROM documents
+        """,
+        "q_markdown": """
+            -- rebuild the expected markdown symbolically: every block is a
+            -- deterministic function of doc_id and collapsed text slices;
+            -- the blockquote is the one block that can collapse to empty
+            -- (and must then be DROPPED, like the kernel does)
+            WITH c AS (
+              SELECT doc_id,
+                     trim(regexp_replace(substr(text, 1, 60),
+                          '\\s+', ' ', 'g')) AS c1,
+                     trim(regexp_replace(substr(text, 61, 30),
+                          '\\s+', ' ', 'g')) AS c2,
+                     trim(regexp_replace(substr(text, 91, 30),
+                          '\\s+', ' ', 'g')) AS c3,
+                     trim(regexp_replace(substr(text, 121, 20),
+                          '\\s+', ' ', 'g')) AS c4
+              FROM documents
+            ), b AS (
+              SELECT doc_id,
+                     list_filter([
+                       '# Doc ' || doc_id,
+                       trim(c1 || ' **bold' || doc_id || '** and [link '
+                            || doc_id || '](https://x.org/' || doc_id
+                            || ').'),
+                       '- ' || trim('alpha ' || c2) || chr(10)
+                           || '- beta *it' || doc_id || '*' || chr(10)
+                           || '  - nested ' || doc_id,
+                       CASE WHEN c3 <> '' THEN '> ' || c3 END,
+                       '```' || chr(10) || 'code  ' || doc_id || chr(10)
+                           || '  line2' || chr(10) || '```',
+                       '1. first' || chr(10) || '2. second ' || doc_id,
+                       '| k | v |' || chr(10) || '| --- | --- |' || chr(10)
+                           || '| ' || doc_id || ' | ' || c4 || ' |',
+                       '---'
+                     ], x -> x IS NOT NULL) AS blocks
+              FROM c
+            )
+            SELECT 'https://md.example.org/' || doc_id AS url,
+                   array_to_string(blocks, chr(10) || chr(10)) AS markdown,
+                   CAST(length(array_to_string(blocks, chr(10) || chr(10)))
+                        AS INTEGER) AS md_chars,
+                   CAST(len(blocks) AS INTEGER) AS n_blocks
+            FROM b
+        """,
+        "q_warc_revisit": """
+            -- the payload is a pure function of doc_id % 41, so the digest
+            -- groups ARE the % 41 groups; original = min (ts, url), replayed
+            -- with a window (ties on ts are real: ts is doc_id % 7 days)
+            WITH caps AS (
+              SELECT 'https://w' || (doc_id % 5) || '.example.org/p'
+                         || doc_id AS url,
+                     TIMESTAMP '2024-01-01 00:00:00'
+                         + (doc_id % 7) * INTERVAL 1 DAY AS ts,
+                     doc_id % 41 AS grp
+              FROM documents
+            ), w AS (
+              SELECT url, ts,
+                     row_number() OVER win AS rn,
+                     first_value(url) OVER win AS furl,
+                     first_value(ts) OVER win AS fts
+              FROM caps
+              WINDOW win AS (PARTITION BY grp ORDER BY ts, url)
+            )
+            SELECT url,
+                   strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+                   (rn > 1) AS is_revisit,
+                   CASE WHEN rn > 1 THEN furl END AS refers_to_url,
+                   CASE WHEN rn > 1 THEN strftime(fts, '%Y-%m-%dT%H:%M:%SZ')
+                        END AS refers_to_date
+            FROM w
         """,
         "q_audio_headers": """
             -- closed-form expected fields per payload family: k=0 WAV

@@ -176,6 +176,7 @@ def run_queries(spark) -> dict[str, float]:
         "q_cosine_topk",
         "q_quality_score",
         "q_main_content",
+        "q_markdown",
         "q_pagerank",
     ]
     qs = entrymod.queries()

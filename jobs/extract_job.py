@@ -47,6 +47,19 @@ def main(argv=None):
              "emits (url, warc_ts, lang, main_text, block stats) per page",
     )
     ap.add_argument(
+        "--markdown", action="store_true",
+        help="generic-crawl mode: HTML→Markdown structured-text conversion "
+             "(ops/markdown.py) instead of dictionary-format parsing — "
+             "emits (url, warc_ts, lang, markdown, md_chars, n_blocks)",
+    )
+    ap.add_argument(
+        "--dedup-warc", default="",
+        help="also repack the ingest set as a digest-deduplicated WARC "
+             "archive into this dir: each distinct payload stored once, "
+             "repeat captures as WARC 1.1 revisit records "
+             "(sources/warc.write_warc_files dedup=True)",
+    )
+    ap.add_argument(
         "--wet", default="",
         help="also write the extracted text as a WET conversion-record "
              "sidecar (*.warc.wet.gz part per partition) into this dir — "
@@ -107,6 +120,16 @@ def main(argv=None):
     if args.cdx:
         n_cdx = _publish_cdx_index(spark, pages, args)
 
+    n_dedup_warc = None
+    if args.dedup_warc:
+        from html_parser_spark.sources.warc import write_warc_files
+
+        # like --cdx, the repack describes the whole ingest set (archive
+        # semantics), so it runs before --limit/--robots trims
+        n_dedup_warc = write_warc_files(
+            pages.select("url", "warc_ts", "html"), args.dedup_warc, dedup=True
+        )
+
     if args.limit:
         pages = pages.limit(args.limit)
 
@@ -124,6 +147,51 @@ def main(argv=None):
         pages = robots_filter(
             pages, parse_robots(robots), groups=robots_groups(robots)
         )
+
+    if args.markdown:
+        from pyspark.sql import functions as F
+
+        from html_parser_spark.ops.markdown import to_markdown
+        from html_parser_spark.spark.pipeline import salted_repartition
+
+        def _md_transform(src):
+            src = src.select("url", "warc_ts", "html", "lang")
+            if args.partitions:
+                src = salted_repartition(src, args.partitions)
+            return to_markdown(
+                src, max_html_bytes=args.max_html_bytes or None
+            ).select(
+                "url", "warc_ts", "lang", "markdown", "md_chars", "n_blocks",
+                F.length("html").alias("n_bytes_in"),
+            )
+
+        if args.resume:
+            from html_parser_spark.spark.checkpoint import CheckpointedExtraction
+
+            ck = CheckpointedExtraction(spark, args.output)
+            ck.run(pages, transform=_md_transform)
+            out = ck.results()
+        else:
+            out = _md_transform(pages)
+            out.write.mode("overwrite").parquet(os.path.join(args.output, "data"))
+            out = spark.read.parquet(os.path.join(args.output, "data"))
+        n_wet = _write_wet_sidecar(out, "markdown", args.wet)
+        row = out.agg(
+            F.count("*").alias("docs"),
+            F.sum("n_blocks").alias("blocks"),
+            F.sum("n_bytes_in").alias("bytes_in"),
+            F.sum("md_chars").alias("md_chars"),
+        ).collect()[0]
+        print(json.dumps({
+            "job": "extract-markdown",
+            **{k: int(row[k] or 0) for k in
+               ("docs", "blocks", "bytes_in", "md_chars")},
+            **({"wet_parts": n_wet} if n_wet is not None else {}),
+            **({"cdx_shards": n_cdx} if n_cdx is not None else {}),
+            **({"dedup_warc_parts": n_dedup_warc}
+               if n_dedup_warc is not None else {}),
+        }))
+        return
 
     if args.main_content:
         from pyspark.sql import functions as F
@@ -168,6 +236,8 @@ def main(argv=None):
                ("docs", "content_blocks", "bytes_in", "content_chars")},
             **({"wet_parts": n_wet} if n_wet is not None else {}),
             **({"cdx_shards": n_cdx} if n_cdx is not None else {}),
+            **({"dedup_warc_parts": n_dedup_warc}
+               if n_dedup_warc is not None else {}),
         }))
         return
 
@@ -227,6 +297,8 @@ def main(argv=None):
         },
         **({"wet_parts": n_wet} if n_wet is not None else {}),
         **({"cdx_shards": n_cdx} if n_cdx is not None else {}),
+        **({"dedup_warc_parts": n_dedup_warc}
+           if n_dedup_warc is not None else {}),
     }))
 
 

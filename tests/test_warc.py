@@ -462,3 +462,198 @@ def test_wat_roundtrip_and_null_field_omission(spark, tmp_path):
     two = back["https://a.example.org/2"]
     assert "title" not in two and "outlinks" in two and two["n_anchors"] == 0
     assert two["url"] == "https://a.example.org/2"
+
+
+def _revisit_rows():
+    """Payload group X captured three times (one ts tie, url tie-break; one
+    later date), a unique payload, and ONE url serving different bytes at
+    two dates (two originals — record ids must stay distinct)."""
+    from datetime import datetime
+
+    t0 = datetime(2024, 5, 1, 12, 0, 0)
+    t1 = datetime(2024, 6, 1, 12, 0, 0)
+    # large enough that ONE stored copy + two ~350-byte revisit records is
+    # clearly smaller than three stored copies
+    shared = b"shared-payload \r\n\r\nWARC/1.0 x" * 100
+    return [
+        ("https://r.example.org/a", t0, shared),
+        ("https://r.example.org/b", t0, shared),
+        ("https://r.example.org/c", t1, shared),
+        ("https://r.example.org/u", t0, b"unique-payload"),
+        ("https://r.example.org/m", t0, b"moving-v1"),
+        ("https://r.example.org/m", t1, b"moving-v2"),
+    ]
+
+
+def test_revisit_plan_classification(spark):
+    """Original per digest = min (warc_ts, url) struct: ts tie broken by
+    url, later capture of the same bytes → revisit; distinct payloads from
+    ONE url stay two originals."""
+    from html_parser_spark.sources.warc import revisit_plan
+
+    pages = _pages(spark, _revisit_rows()).repartition(3)
+    got = {
+        (r["url"], str(r["warc_ts"])): r
+        for r in revisit_plan(pages).collect()
+    }
+    t0, t1 = "2024-05-01 12:00:00", "2024-06-01 12:00:00"
+    assert not got[("https://r.example.org/a", t0)]["is_revisit"]
+    for url, ts in [("https://r.example.org/b", t0), ("https://r.example.org/c", t1)]:
+        r = got[(url, ts)]
+        assert r["is_revisit"]
+        assert r["refers_to_url"] == "https://r.example.org/a"
+        assert str(r["refers_to_ts"]) == t0
+    for url, ts in [
+        ("https://r.example.org/u", t0),
+        ("https://r.example.org/m", t0),
+        ("https://r.example.org/m", t1),
+    ]:
+        r = got[(url, ts)]
+        assert not r["is_revisit"]
+        assert r["refers_to_url"] is None and r["refers_to_ts"] is None
+
+
+def test_warc_dedup_roundtrip_and_resolution(spark, tmp_path):
+    """dedup=True stores each payload once + zero-body revisits; reading
+    with with_revisits=True and resolve_revisits() reconstructs every
+    capture's bytes exactly; record ids stay unique; the dedup archive is
+    smaller than the plain one."""
+    from html_parser_spark.sources.warc import (
+        read_warc,
+        resolve_revisits,
+        write_warc_files,
+    )
+
+    pages = _pages(spark, _revisit_rows()).repartition(2)
+    out_d = str(tmp_path / "dedup")
+    out_p = str(tmp_path / "plain")
+    write_warc_files(pages, out_d, compress=False, dedup=True)
+    write_warc_files(pages, out_p, compress=False)
+
+    back = read_warc(spark, os.path.join(out_d, "*.warc"), with_revisits=True)
+    rows = back.collect()
+    assert len(rows) == 6
+    by_type = {t: [r for r in rows if r["warc_type"] == t] for t in
+               ("response", "revisit")}
+    assert len(by_type["response"]) == 4  # one per distinct payload
+    assert len(by_type["revisit"]) == 2
+    assert len({r["record_id"] for r in rows}) == 6
+    for r in by_type["revisit"]:
+        assert bytes(r["html"] or b"") == b""
+        assert r["payload_digest"].startswith("sha1:")
+        assert r["refers_to_url"] == "https://r.example.org/a"
+    for r in by_type["response"]:
+        assert r["payload_digest"] is None and r["refers_to_url"] is None
+
+    resolved = resolve_revisits(back).collect()
+    got = sorted((r["url"], str(r["warc_ts"]), bytes(r["html"])) for r in resolved)
+    want = sorted((u, str(t), b) for u, t, b in _revisit_rows())
+    assert got == want
+    # revisit rows remain identifiable post-resolution
+    assert sum(r["warc_type"] == "revisit" for r in resolved) == 2
+
+    size = lambda d: sum(
+        os.path.getsize(os.path.join(d, n)) for n in os.listdir(d)
+    )
+    assert size(out_d) < size(out_p)
+
+
+def test_revisit_reader_default_schema_unchanged(spark, tmp_path):
+    """A dedup archive read WITHOUT with_revisits keeps the standard page
+    schema: revisit rows surface with empty bodies, nothing crashes."""
+    from html_parser_spark.sources.warc import (
+        WARC_PAGE_SCHEMA,
+        read_warc,
+        write_warc_files,
+    )
+
+    pages = _pages(spark, _revisit_rows())
+    out = str(tmp_path / "dedup_gz")
+    write_warc_files(pages, out, compress=True, dedup=True)
+    back = read_warc(spark, os.path.join(out, "*.warc.gz"))
+    assert [f.name for f in back.schema.fields] == [
+        f.name for f in WARC_PAGE_SCHEMA.fields
+    ]
+    assert back.where("warc_type = 'revisit'").count() == 2
+
+
+def test_extract_job_markdown_mode_and_dedup_warc(spark, tmp_path, capsys):
+    """--markdown converts the crawl to structured text; --dedup-warc
+    repacks the ingest set with revisit records (dupes in the crawl →
+    fewer stored responses)."""
+    import json
+
+    import jobs.extract_job as ej
+    from html_parser_spark.sources.warc import (
+        read_warc,
+        resolve_revisits,
+        write_warc_files,
+    )
+
+    pages = _pages(spark, _revisit_rows())
+    crawl = str(tmp_path / "crawl")
+    write_warc_files(pages.repartition(2), crawl)
+    out = str(tmp_path / "md_out")
+    dd = str(tmp_path / "dedup")
+    ej.main([
+        "--pages", f"warc:{crawl}/*.warc.gz",
+        "--output", out,
+        "--partitions", "2",
+        "--markdown",
+        "--dedup-warc", dd,
+    ])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["job"] == "extract-markdown"
+    assert stats["docs"] == 6 and stats["dedup_warc_parts"] >= 1
+    res = spark.read.parquet(f"{out}/data")
+    got = {r["url"]: r for r in res.collect()}
+    assert len(got) == 5  # /m appears twice; parquet keeps both rows
+    assert res.count() == 6
+    # payload bytes aren't valid HTML tags, so they flatten to one paragraph
+    assert all(r["n_blocks"] >= 1 and r["md_chars"] > 0 for r in got.values())
+
+    # the dedup archive re-inflates to the exact ingest set
+    back = read_warc(spark, os.path.join(dd, "*.warc.gz"), with_revisits=True)
+    assert back.where("warc_type = 'revisit'").count() == 2
+    resolved = resolve_revisits(back)
+    want = sorted((u, str(t)) for u, t, _ in _revisit_rows())
+    assert sorted((r["url"], str(r["warc_ts"])) for r in resolved.collect()) == want
+
+
+def test_warcinfo_leader_record(spark, tmp_path):
+    """warcinfo_ts=... opens every part with a warcinfo file-description
+    record; readers surface it and responses are untouched; parts still
+    concatenate into a valid archive."""
+    from datetime import datetime
+
+    from html_parser_spark.sources.warc import read_warc, write_warc_files
+
+    pages = _pages(spark, _adversarial_rows()).repartition(2)
+    out = str(tmp_path / "wi")
+    n = write_warc_files(
+        pages, out, compress=True, warcinfo_ts=datetime(2024, 5, 1)
+    )
+    back = read_warc(spark, os.path.join(out, "*.warc.gz"))
+    rows = back.collect()
+    info = [r for r in rows if r["warc_type"] == "warcinfo"]
+    assert len(info) == n  # one leader per part file
+    assert all(b"software: html-parser-spark" in bytes(r["html"]) for r in info)
+    assert all(r["url"] is None for r in info)
+    resp = [r for r in rows if r["warc_type"] == "response"]
+    assert sorted(bytes(r["html"]) for r in resp) == sorted(
+        b for _, _, b in _adversarial_rows()
+    )
+    # concatenated parts (leaders included) still parse record-for-record
+    from html_parser_spark.sources.warc import iter_warc_records
+
+    blob = b"".join(
+        open(os.path.join(out, p), "rb").read() for p in sorted(os.listdir(out))
+    )
+    import zlib
+
+    inflated, buf = b"", blob
+    while buf:
+        d = zlib.decompressobj(31)
+        inflated += d.decompress(buf) + d.flush()
+        buf = d.unused_data
+    assert len(list(iter_warc_records(inflated))) == len(rows)

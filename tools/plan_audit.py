@@ -422,6 +422,28 @@ def main():
         )
     )
 
+    p = plan_of(entrymod.q_markdown(spark, sf_dir))
+    checks.append(
+        (
+            "q_markdown — ONE Arrow markdown-render stage, zero shuffle",
+            p,
+            ["ArrowEvalPython"],
+            ["Exchange", "BatchEvalPython", "Window", "Join"],
+        )
+    )
+
+    p = plan_of(entrymod.q_warc_revisit(spark, sf_dir))
+    checks.append(
+        (
+            "q_warc_revisit — digest dedup: ONE sha1 shuffle (map-side "
+            "partial_min of the (ts,url) struct; SortAggregate — struct min "
+            "is not hash-aggregable) + equi-join back, no window, zero Python",
+            p,
+            ["partial_min", "Exchange hashpartitioning(payload_digest"],
+            ["ArrowEvalPython", "BatchEvalPython", "Window", "CartesianProduct"],
+        )
+    )
+
     p = plan_of(entrymod.q_robots_sitemaps(spark, sf_dir))
     checks.append(
         (
