@@ -2106,6 +2106,112 @@ def q_warc_revisit(spark, sf_dir):
     )
 
 
+def q_paragraph_dedup(spark, sf_dir):
+    """Global exact paragraph dedup (RefinedWeb §G.2 / Dolma paragraph
+    pass): the sf corpus is single-line, so paragraphs are synthesized as
+    the 5-token chunk_plan tiles (the same tiling q_chunk_plan already
+    proves cross-engine), rebuilt into '\\n\\n'-joined text, then
+    deduplicated keep-first by global (doc_id, pos) minimum.  Returning
+    clean_text makes the hash byte-exact on the ordered reassembly."""
+    from html_parser_spark.ops.corpus import chunk_plan, paragraph_dedup
+
+    tiles = chunk_plan(_docs(spark, sf_dir), chunk_tokens=5)
+    para_docs = tiles.groupBy("doc_id").agg(
+        F.concat_ws(
+            "\n\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk_text"))),
+                lambda s: s.chunk_text,
+            ),
+        ).alias("text")
+    )
+    return paragraph_dedup(para_docs)
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) over the embeddings table: centroids
+    Lloyd-trained for ONE iteration (decimal-exact means — bit-reproducible
+    cross-engine, the q_ivf_topk machinery), pair scan bounded to each
+    cluster, drop every vector with a lower-id in-cluster duplicate at
+    cosine >= 0.35 (4 dp round before the compare).  The oracle replays
+    training, assignment, and the in-cluster pair scan symbolically."""
+    from html_parser_spark.ops.similarity import semantic_dedup
+
+    return semantic_dedup(
+        _tbl(spark, sf_dir, "embeddings"),
+        n_centroids=16,
+        train_iters=1,
+        threshold=0.35,
+    )
+
+
+def q_charset(spark, sf_dir):
+    """Charset sniff + decode battery (ops/encoding.py): seven body
+    families by doc_id%7 — UTF-8 BOM, <meta> cp1251, <?xml koi8-r,
+    unlabeled valid UTF-8, unlabeled invalid UTF-8 → windows-1252 default,
+    latin-1 alias fold via http-equiv, UTF-16LE BOM — built as binary
+    literals plus JVM-encoded ASCII / UTF-16LE per-doc markers, so the
+    decoded text varies per row.  Detection is pure JVM codegen; decode is
+    ONE Arrow kernel.  The oracle states charset and decoded text in
+    closed form (no second decoder)."""
+    from html_parser_spark.ops.encoding import decode_pages
+
+    did = F.col("doc_id").cast("string")
+    mark = F.concat(F.lit(" #"), did)
+    ascii_mark = F.encode(mark, "US-ASCII")
+    case = F.col("doc_id") % 7
+    body = (
+        F.when(
+            case == 0,
+            F.concat(
+                F.lit(b"\xef\xbb\xbf"),
+                F.encode(F.concat(F.lit("привет мир"), mark), "UTF-8"),
+            ),
+        )
+        .when(
+            case == 1,
+            F.concat(
+                F.lit(b'<html><head><meta charset="windows-1251"></head><body>'),
+                F.lit("привет мир".encode("cp1251")),
+                ascii_mark,
+                F.lit(b"</body></html>"),
+            ),
+        )
+        .when(
+            case == 2,
+            F.concat(
+                F.lit(b"<?xml version='1.0' encoding='koi8-r'?><d>"),
+                F.lit("мир".encode("koi8-r")),
+                ascii_mark,
+                F.lit(b"</d>"),
+            ),
+        )
+        .when(case == 3, F.encode(F.concat(F.lit("naïve café"), mark), "UTF-8"))
+        .when(case == 4, F.concat(F.lit(b"caf\xe9 premium"), ascii_mark))
+        .when(
+            case == 5,
+            F.concat(
+                F.lit(
+                    b'<meta http-equiv="Content-Type" content="text/html; '
+                    b'charset=latin-1"><p>d\xe9j\xe0'
+                ),
+                ascii_mark,
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit(b"\xff\xfe"),
+                F.encode(F.concat(F.lit("utf16 text"), mark), "UTF-16LE"),
+            )
+        )
+    )
+    pages = _docs(spark, sf_dir).select("doc_id", body.alias("body"))
+    out = decode_pages(pages)
+    return out.select(
+        "doc_id", "charset", "text", F.length("text").cast("long").alias("n_chars")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-query CORRECTNESS window rotates coverage.
 
@@ -2147,6 +2253,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (insert new queries here so they land inside the driver window)
         "q_markdown": q_markdown,
         "q_warc_revisit": q_warc_revisit,
+        "q_paragraph_dedup": q_paragraph_dedup,
+        "q_semantic_dedup": q_semantic_dedup,
+        "q_charset": q_charset,
         "q_audio_headers": q_audio_headers,
         "q_image_dhash": q_image_dhash,
         "q_stratified_sample": q_stratified_sample,
@@ -2167,19 +2276,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_noindex_gate": q_noindex_gate,
         "q_recrawl_priority": q_recrawl_priority,
         "q_cdxj_roundtrip": q_cdxj_roundtrip,
-        # -- round-3-green veterans: the 9 remaining window slots
-        #    (positions 42-50, ending q_data_split) --
+        # -- round-3-green veterans: the 6 remaining window slots
+        #    (positions 45-50, ending q_token_stats) --
         "q_filter_project": q_filter_project,
         "q_agg_pricing": q_agg_pricing,
         "q_window_order_check": q_window_order_check,
         "q_merge_by_key": q_merge_by_key,
         "q_exact_dedup": q_exact_dedup,
         "q_token_stats": q_token_stats,
+        # -- round-3-green veterans rotated PAST the 50-query window
+        #    (driver row from CORRECTNESS_r03; re-window next round) --
         "q_quality_score": q_quality_score,
         "q_tfidf": q_tfidf,
         "q_data_split": q_data_split,
-        # -- round-3-green veterans rotated PAST the 50-query window
-        #    (driver row from CORRECTNESS_r03; re-window next round) --
         "q_contamination": q_contamination,
         "q_chunk_plan": q_chunk_plan,
         "q_pii_scan": q_pii_scan,
@@ -3127,6 +3236,139 @@ def oracle_sql() -> dict[str, str]:
                                               md5(trim(x)))),
                      chr(10)), '') AS clean_text
             FROM docs d LEFT JOIN boiler b USING (host)
+        """,
+        "q_paragraph_dedup": """
+            -- paragraphs = the 5-token chunk_plan tiles (same tiling the
+            -- q_chunk_plan oracle proves), then global keep-first by the
+            -- (doc_id, pos) struct minimum and ordered reassembly
+            WITH t AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+              FROM documents
+            ), c AS (
+              SELECT doc_id, w,
+                     unnest(generate_series(
+                       0, CAST(ceil(len(w) / 5.0) AS BIGINT) - 1)) AS pos
+              FROM t
+            ), paras AS (
+              SELECT doc_id, pos,
+                     array_to_string(
+                       list_slice(w, pos * 5 + 1, pos * 5 + 5), ' ') AS para
+              FROM c
+            ), ph AS (
+              SELECT doc_id, pos, para, md5(trim(para)) AS h
+              FROM paras WHERE trim(para) <> ''
+            ), firsts AS (
+              SELECT h, min(struct_pack(doc_id := doc_id, pos := pos)) AS fmin
+              FROM ph GROUP BY h
+            ), flagged AS (
+              SELECT ph.doc_id, ph.pos, ph.para,
+                     struct_pack(doc_id := ph.doc_id, pos := ph.pos) = f.fmin
+                       AS kept
+              FROM ph JOIN firsts f USING (h)
+            )
+            SELECT doc_id,
+                   count(*) AS n_paras,
+                   CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_paras_kept,
+                   coalesce(string_agg(CASE WHEN kept THEN para END,
+                                       chr(10) || chr(10) ORDER BY pos), '')
+                     AS clean_text
+            FROM flagged GROUP BY doc_id
+        """,
+        "q_semantic_dedup": """
+            -- SemDeDup: the q_ivf_topk training/assignment CTE (one Lloyd
+            -- iteration, DECIMAL(30,15) means — bit-identical with Spark),
+            -- then in-cluster pairs only; drop-if-lower-id-duplicate at
+            -- round(cosine,4) >= 0.35
+            WITH e AS (SELECT vec_id, embedding FROM embeddings),
+            seed AS (SELECT vec_id AS cent_id,
+                            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+                     FROM e WHERE vec_id < 16),
+            asg0 AS (
+              SELECT vec_id, cent_id, embedding FROM (
+                SELECT a.vec_id, c.cent_id, a.embedding,
+                       row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                         (list_dot_product(a.embedding, c.cv) /
+                          (sqrt(list_dot_product(a.embedding, a.embedding)) *
+                           sqrt(list_dot_product(c.cv, c.cv)))) DESC,
+                         c.cent_id ASC) AS rn
+                FROM e a CROSS JOIN seed c) WHERE rn = 1
+            ),
+            ex AS (
+              SELECT cent_id,
+                     unnest(range(1, len(embedding) + 1)) AS pos,
+                     unnest(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+                       AS val
+              FROM asg0
+            ),
+            sums AS (
+              SELECT cent_id, pos,
+                     sum(CAST(val AS DECIMAL(30,15))) AS s, count(*) AS c
+              FROM ex GROUP BY 1, 2
+            ),
+            refined AS (
+              SELECT cent_id, list(CAST(s AS DOUBLE) / c ORDER BY pos) AS cv
+              FROM sums GROUP BY cent_id
+            ),
+            cents AS (
+              SELECT s.cent_id, coalesce(r.cv, s.cv) AS cv
+              FROM seed s LEFT JOIN refined r USING (cent_id)
+            ),
+            assign AS (
+              SELECT vec_id, cent_id FROM (
+                SELECT a.vec_id, c.cent_id,
+                       row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                         (list_dot_product(a.embedding, c.cv) /
+                          (sqrt(list_dot_product(a.embedding, a.embedding)) *
+                           sqrt(list_dot_product(c.cv, c.cv)))) DESC,
+                         c.cent_id ASC) AS rn
+                FROM e a CROSS JOIN cents c) WHERE rn = 1
+            ),
+            sides AS (
+              SELECT a.vec_id, a.cent_id, e.embedding,
+                     sqrt(list_dot_product(e.embedding, e.embedding)) AS nrm
+              FROM assign a JOIN e USING (vec_id)
+            ),
+            dropped AS (
+              SELECT DISTINCT y.vec_id
+              FROM sides x JOIN sides y
+                ON x.cent_id = y.cent_id AND x.vec_id < y.vec_id
+              WHERE round(list_dot_product(x.embedding, y.embedding) /
+                          (x.nrm * y.nrm), 4) >= 0.35
+            )
+            SELECT a.vec_id, a.cent_id, (d.vec_id IS NULL) AS kept
+            FROM assign a LEFT JOIN dropped d USING (vec_id)
+        """,
+        "q_charset": """
+            -- EXPECTED charset + decoded text in closed form (each body is
+            -- a pure function of doc_id%7) — checks the JVM sniff chain and
+            -- the Arrow decode kernel without a second decoder
+            WITH x AS (
+              SELECT doc_id,
+                     CASE doc_id % 7
+                       WHEN 0 THEN 'utf-8'
+                       WHEN 1 THEN 'windows-1251'
+                       WHEN 2 THEN 'koi8-r'
+                       WHEN 3 THEN 'utf-8'
+                       WHEN 4 THEN 'windows-1252'
+                       WHEN 5 THEN 'windows-1252'
+                       ELSE 'utf-16le' END AS charset,
+                     CASE doc_id % 7
+                       WHEN 0 THEN 'привет мир #' || doc_id
+                       WHEN 1 THEN '<html><head><meta charset="windows-1251">'
+                                   || '</head><body>привет мир #' || doc_id
+                                   || '</body></html>'
+                       WHEN 2 THEN '<?xml version=''1.0'' encoding=''koi8-r''?>'
+                                   || '<d>мир #' || doc_id || '</d>'
+                       WHEN 3 THEN 'naïve café #' || doc_id
+                       WHEN 4 THEN 'café premium #' || doc_id
+                       WHEN 5 THEN '<meta http-equiv="Content-Type" content='
+                                   || '"text/html; charset=latin-1"><p>déjà #'
+                                   || doc_id
+                       ELSE 'utf16 text #' || doc_id END AS text
+              FROM documents
+            )
+            SELECT doc_id, charset, text, length(text) AS n_chars FROM x
         """,
         "q_noindex_gate": """
             -- EXPECTED flags in closed form (the robots meta is a pure

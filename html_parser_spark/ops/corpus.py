@@ -438,6 +438,69 @@ def host_line_dedup(
     )
 
 
+def paragraph_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """GLOBAL exact paragraph dedup (RefinedWeb, Penedo et al. 2023 §G.2;
+    Dolma toolkit's paragraph-level pass): a paragraph — text between blank
+    lines, i.e. a ``\\n\\n``-separated block — whose trimmed form occurs
+    anywhere else in the corpus keeps only its FIRST occurrence (smallest
+    ``(doc_id, pos)``); every other occurrence, in other documents or later
+    in the same one, is dropped, and each document is reassembled from its
+    surviving paragraphs.
+
+    Completes the three-granularity dedup family, each with a distinct key
+    and policy:
+
+    * :func:`span_dedup` — fixed token windows, global keep-first (C4);
+    * :func:`host_line_dedup` — per-host line key, remove ALL (CCNet);
+    * this — natural paragraph boundaries, global keep-first.
+
+    Returns ``(doc_id, n_paras, n_paras_kept, clean_text)`` with surviving
+    paragraphs rejoined by ``\\n\\n`` in original order.  Blank paragraphs
+    are dropped (the joiner reintroduces the structure); a document whose
+    text has no non-blank paragraph disappears from the output.
+
+    Scale (100 TB): same shape as :func:`span_dedup`, for the same reason —
+    paragraph frequency is zipfian (one cookie-consent paragraph → 10^9
+    rows), so the plan is NEVER a window over paragraph text:
+
+        paras → groupBy(md5(trim(para))) . min(struct(doc_id, pos))
+              → join back on the 16-byte hash (AQE skew-split)
+              → keep rows equal to their paragraph's minimum
+              → groupBy(doc_id) ordered reassembly (partial agg)
+
+    The map-side partial min collapses hot paragraphs to one row per map
+    partition; the shuffle moves |distinct paragraphs| keys; md5 equality
+    stands in for paragraph equality (collision odds ~n²/2^128).
+    """
+    paras = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(F.col(text_col), "\n\n", -1)).alias("pos", "para"),
+        )
+        .filter(F.trim("para") != "")
+        .withColumn("h", F.md5(F.trim("para")))
+    )
+    firsts = paras.groupBy("h").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first")
+    )
+    flagged = paras.join(firsts, "h").withColumn(
+        "kept",
+        (F.col("first.doc_id") == F.col("doc_id"))
+        & (F.col("first.pos") == F.col("pos")),
+    )
+    kept_struct = F.when(F.col("kept"), F.struct("pos", "para"))
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_paras"),
+        F.sum(F.col("kept").cast("long")).alias("n_paras_kept"),
+        F.concat_ws(
+            "\n\n",
+            F.transform(F.array_sort(F.collect_list(kept_struct)), lambda s: s.para),
+        ).alias("clean_text"),
+    )
+
+
 def temperature_mix_plan(
     docs: DataFrame,
     alpha_pct: int = 50,

@@ -1,0 +1,187 @@
+"""Charset sniffing + decode for raw web payloads.
+
+A real crawl ingests BYTES: WARC response bodies arrive in whatever
+encoding the origin served — a 100 TB Common Crawl slice is ~5-10 %
+non-UTF-8 (windows-125x, koi8-r, shift_jis, gbk, …) — and every
+downstream text operator in this engine assumes decoded Unicode.  The
+reference never faced this (puppeteer decodes inside Chromium); the
+Spark-first replacement splits the step in two so only the irreducible
+part leaves the JVM:
+
+* **detection** (:func:`charset_of`) — pure JVM column expression,
+  whole-stage codegen, zero Python: BOM probe on the leading bytes, a
+  latin-1 byte-preserving decode of the head for ``<meta charset>`` /
+  ``<meta http-equiv=content-type>`` / ``<?xml encoding>`` labels, a
+  WHATWG alias fold, then a UTF-8 validity probe
+  (``is_valid_utf8(cast(body AS string))`` — the binary→string cast
+  wraps the raw bytes unvalidated and Spark 4's validity predicate
+  checks well-formedness), falling back to windows-1252 (the WHATWG
+  default for unlabeled legacy content).
+* **decode** (:func:`decode_pages`) — ONE Arrow-batched kernel
+  (``codecs`` covers the long tail of encodings Spark's JVM ``decode``
+  does not expose), ``errors='replace'`` so malformed bytes can never
+  fail a 1000-executor stage, leading BOM stripped.
+
+Documented simplifications vs the full WHATWG encoding sniff: no
+UTF-32 BOM probe (``FF FE 00 00`` reads as utf-16le), no
+``x-user-defined``, no frequency-based guessing beyond the UTF-8
+validity test, and the label scan is a regexp over the first
+``scan_bytes`` bytes rather than a stateful tokenizer.  Detection
+precedence (BOM > declared label > content sniff) follows the spec.
+
+Scale: detection is a narrow projection fused into the scan stage;
+decode is the same single-ArrowEvalPython shape as the parse kernel —
+no shuffle anywhere.
+"""
+
+from __future__ import annotations
+
+import codecs
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+# WHATWG encoding-standard label → canonical name, restricted to labels a
+# crawler actually meets.  iso-8859-1/ascii fold to windows-1252 per the
+# spec (§4.2: "latin1" et al. are labels OF windows-1252).
+WHATWG_ALIASES: dict[str, str] = {
+    "utf8": "utf-8",
+    "utf-8": "utf-8",
+    "unicode-1-1-utf-8": "utf-8",
+    "us-ascii": "windows-1252",
+    "ascii": "windows-1252",
+    "iso-8859-1": "windows-1252",
+    "iso8859-1": "windows-1252",
+    "latin1": "windows-1252",
+    "latin-1": "windows-1252",
+    "l1": "windows-1252",
+    "cp1252": "windows-1252",
+    "windows-1252": "windows-1252",
+    "cp1251": "windows-1251",
+    "windows-1251": "windows-1251",
+    "koi8-r": "koi8-r",
+    "koi8": "koi8-r",
+    "iso-8859-2": "iso-8859-2",
+    "latin2": "iso-8859-2",
+    "iso-8859-15": "iso-8859-15",
+    "shift_jis": "shift_jis",
+    "shift-jis": "shift_jis",
+    "sjis": "shift_jis",
+    "euc-jp": "euc-jp",
+    "gb2312": "gbk",
+    "gbk": "gbk",
+    "gb18030": "gb18030",
+    "big5": "big5",
+    "euc-kr": "euc-kr",
+    "utf-16": "utf-16le",
+    "utf-16le": "utf-16le",
+    "utf-16be": "utf-16be",
+}
+
+_BOM_UTF8 = bytes([0xEF, 0xBB, 0xBF])
+_BOM_UTF16LE = bytes([0xFF, 0xFE])
+_BOM_UTF16BE = bytes([0xFE, 0xFF])
+
+# charset label inside <meta charset=...> or <meta http-equiv=content-type
+# content="...; charset=...">; [^>]* keeps the scan inside one tag
+_META_RE = r'<meta[^>]*charset\s*=\s*["\']?\s*([a-z0-9._:-]+)'
+_XML_RE = r'<\?xml[^>]*encoding\s*=\s*["\']([a-z0-9._:-]+)["\']'
+
+
+def _alias_fold(label: Column) -> Column:
+    """Fold a declared label through the WHATWG alias table (JVM map
+    literal); unknown labels pass through for the decode kernel's own
+    ``codecs.lookup`` fallback."""
+    pairs: list[Column] = []
+    for k, v in WHATWG_ALIASES.items():
+        pairs.append(F.lit(k))
+        pairs.append(F.lit(v))
+    return F.coalesce(F.element_at(F.create_map(*pairs), label), label)
+
+
+def charset_of(body: Column, scan_bytes: int = 1024) -> Column:
+    """Detected charset of a binary payload — pure JVM expression.
+
+    Precedence: BOM (utf-8 / utf-16le / utf-16be) > declared ``<meta>`` /
+    ``<?xml>`` label within the first ``scan_bytes`` bytes (WHATWG alias
+    fold applied) > UTF-8 validity roundtrip > windows-1252.
+    """
+    # latin-1 maps every byte to the same code point, so the head scan
+    # sees the raw bytes as characters without any decode failure
+    head = F.lower(F.decode(F.substring(body, 1, scan_bytes), "ISO-8859-1"))
+    meta = F.regexp_extract(head, _META_RE, 1)
+    xml = F.regexp_extract(head, _XML_RE, 1)
+    declared = F.when(meta != "", meta).when(xml != "", xml)
+    # cast(binary AS string) wraps the raw bytes unvalidated; is_valid_utf8
+    # (Spark 4.0+) then checks well-formedness without the decode() path,
+    # which in Spark 4 THROWS on malformed input instead of substituting
+    utf8_ok = F.is_valid_utf8(body.cast("string"))
+    return (
+        F.when(body.isNull(), F.lit(None).cast("string"))
+        .when(F.substring(body, 1, 3) == F.lit(_BOM_UTF8), "utf-8")
+        .when(F.substring(body, 1, 2) == F.lit(_BOM_UTF16LE), "utf-16le")
+        .when(F.substring(body, 1, 2) == F.lit(_BOM_UTF16BE), "utf-16be")
+        .when(declared.isNotNull(), _alias_fold(declared))
+        .when(utf8_ok, "utf-8")
+        .otherwise("windows-1252")
+    )
+
+
+def sniff_charset(
+    df: DataFrame, body_col: str = "body", scan_bytes: int = 1024
+) -> DataFrame:
+    """Adds a ``charset`` column (see :func:`charset_of`).  Narrow — fuses
+    into whatever stage reads ``body_col``."""
+    return df.withColumn("charset", charset_of(F.col(body_col), scan_bytes))
+
+
+def decode_text_udf() -> "F.pandas_udf":
+    """(body, charset) → decoded text: ONE Arrow-batched kernel.
+
+    ``codecs`` resolves the canonical charset name (covering the legacy
+    tail Spark's JVM ``decode`` does not expose: cp1251, koi8-r,
+    shift_jis, …); unknown labels fall back to cp1252 — a single-byte
+    codec that never raises — and ``errors='replace'`` guarantees the
+    kernel cannot fail a stage on malformed bytes.  A leading U+FEFF
+    (decoded BOM) is stripped.
+    """
+
+    @F.pandas_udf(T.StringType())
+    def _dec(bodies: pd.Series, charsets: pd.Series) -> pd.Series:
+        lookup_cache: dict[str, str] = {}
+
+        def one(b, cs):
+            if b is None:
+                return None
+            key = cs or "utf-8"
+            codec = lookup_cache.get(key)
+            if codec is None:
+                try:
+                    codec = codecs.lookup(key).name
+                except LookupError:
+                    codec = "cp1252"
+                lookup_cache[key] = codec
+            s = bytes(b).decode(codec, errors="replace")
+            return s[1:] if s[:1] == "\ufeff" else s
+
+        return pd.Series(
+            [one(b, cs) for b, cs in zip(bodies, charsets)], dtype="object"
+        )
+
+    return _dec
+
+
+def decode_pages(
+    df: DataFrame,
+    body_col: str = "body",
+    out_col: str = "text",
+    scan_bytes: int = 1024,
+) -> DataFrame:
+    """The full ingest-side decode: detect (JVM) + decode (one Arrow
+    stage).  Output rows carry ``charset`` and the decoded ``out_col``;
+    no shuffle is introduced."""
+    sniffed = sniff_charset(df, body_col, scan_bytes)
+    return sniffed.withColumn(
+        out_col, decode_text_udf()(F.col(body_col), F.col("charset"))
+    )

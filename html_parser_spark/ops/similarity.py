@@ -273,6 +273,73 @@ def ivf_assign(
     )
 
 
+def semantic_dedup(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    train_iters: int = 1,
+    threshold: float = 0.35,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup over
+    an embedding corpus — k-means-cluster the vectors, compare pairs ONLY
+    inside each cluster, and drop every vector whose cluster holds a
+    lower-id vector with cosine ≥ ``threshold``.  Returns
+    ``(vec_id, cent_id, kept)`` for every input vector.
+
+    The clustering IS the scale trick (the paper's central point): a 100 TB
+    corpus never runs all-pairs cosine.  With k clusters the pair cost is
+    O(Σ |cluster|²) and every pair group is a plain equi-join on
+    ``cent_id`` — the same bounded-bucket shape as the MinHash bands and
+    hyperplane buckets in ``ops/dedup.py``.  Centroids are Lloyd-trained
+    with order-independent DECIMAL means (:func:`ivf_train`) and broadcast,
+    so training adds no data-sized shuffle; AQE splits any fat cluster at
+    the pair join.
+
+    Determinism: cosines round to 4 dp before the threshold compare (every
+    engine agrees at the boundary), and the keep policy is "lowest vec_id
+    among semantic duplicates survives" — the paper keeps one
+    representative per ε-group; min-id is the deterministic choice (no RNG,
+    no partition-order dependence).  A chain a~b, b~c (a≁c) keeps only a:
+    the drop test is "∃ lower-id duplicate in my cluster", documented
+    rather than transitive-closure grouping (for that, feed the pairs to
+    ``dedup.near_dup_components``).
+    """
+    trained = ivf_train(embeddings, n_centroids, train_iters, vec_col)
+    assign = ivf_assign(embeddings, n_centroids, vec_col, centroids=trained)
+    sides = assign.join(
+        embeddings.select(
+            "vec_id",
+            F.col(vec_col).alias("v"),
+            _norm(F.col(vec_col)).alias("vn"),
+        ),
+        "vec_id",
+    )
+    a = sides.select(
+        "cent_id",
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("vn").alias("na"),
+    )
+    b = sides.select(
+        "cent_id",
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("vn").alias("nb"),
+    )
+    cos = F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4)
+    dropped = (
+        a.join(b, "cent_id")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(cos >= F.lit(float(threshold)))
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    return assign.join(dropped, "vec_id", "left").select(
+        "vec_id", "cent_id", F.col("_dup").isNull().alias("kept")
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_ids_below: int = 5,

@@ -386,3 +386,45 @@ def test_host_line_dedup_plan_no_window_no_forced_broadcast(spark):
     assert "Window" not in plan
     # ResolvedHint would mark a forced broadcast surviving to the optimized plan
     assert "broadcast" not in plan.lower()
+
+
+def test_paragraph_dedup_global_keep_first(spark):
+    """A paragraph keeps only its global first (doc_id, pos) occurrence —
+    later copies in other docs AND later in the same doc are dropped; blank
+    paragraphs never count; a fully-deduped doc keeps an empty row."""
+    from html_parser_spark.ops.corpus import paragraph_dedup
+
+    dup = "cookie consent banner"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{dup}\n\nunique alpha"),
+            (2, f"intro beta\n\n{dup}\n\n{dup}"),
+            (3, "   \n\nmiddle gamma"),
+            (4, dup),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in paragraph_dedup(docs).collect()}
+    assert out[1]["n_paras_kept"] == 2
+    assert out[1]["clean_text"] == f"{dup}\n\nunique alpha"
+    # cross-doc copy AND the within-doc repeat both go
+    assert (out[2]["n_paras"], out[2]["n_paras_kept"]) == (3, 1)
+    assert out[2]["clean_text"] == "intro beta"
+    # the blank paragraph is neither counted nor kept
+    assert (out[3]["n_paras"], out[3]["n_paras_kept"]) == (1, 1)
+    assert out[3]["clean_text"] == "middle gamma"
+    # every paragraph deduped away -> row survives with empty text
+    assert (out[4]["n_paras"], out[4]["n_paras_kept"]) == (1, 0)
+    assert out[4]["clean_text"] == ""
+
+
+def test_paragraph_dedup_plan_no_window(spark):
+    """Paragraph frequency is zipfian (one consent banner, 10^9 pages):
+    the plan must be groupBy-min + equi-join, never a window over text."""
+    from html_parser_spark.ops.corpus import paragraph_dedup
+
+    docs = spark.createDataFrame([(1, "a\n\nb")], ["doc_id", "text"])
+    plan = (
+        paragraph_dedup(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan

@@ -1,0 +1,80 @@
+"""Charset sniffing + decode (ops/encoding.py): detection precedence,
+WHATWG alias folding, UTF-8 validity fallback, and the Arrow decode
+kernel's legacy-codec / replacement behavior."""
+
+from pyspark.sql import functions as F
+
+
+def _detect(spark, body):
+    from html_parser_spark.ops.encoding import charset_of
+
+    df = spark.createDataFrame([(body,)], "body binary")
+    return df.select(charset_of(F.col("body")).alias("c")).first()["c"]
+
+
+def test_bom_beats_declared_label(spark):
+    assert _detect(spark, b"\xef\xbb\xbf<meta charset='koi8-r'>") == "utf-8"
+    assert _detect(spark, b"\xff\xfeX\x00") == "utf-16le"
+    assert _detect(spark, b"\xfe\xff\x00X") == "utf-16be"
+
+
+def test_declared_label_and_alias_fold(spark):
+    assert _detect(spark, b'<meta charset="Windows-1251">x') == "windows-1251"
+    # WHATWG: latin1 / iso-8859-1 / ascii are labels OF windows-1252
+    assert _detect(spark, b"<meta charset=latin1>x") == "windows-1252"
+    assert _detect(spark, b"<meta charset='iso-8859-1'>x") == "windows-1252"
+    assert (
+        _detect(spark, b'<?xml version="1.0" encoding="Shift_JIS"?>')
+        == "shift_jis"
+    )
+    assert (
+        _detect(
+            spark,
+            b'<meta http-equiv="Content-Type" '
+            b'content="text/html; charset=EUC-JP">',
+        )
+        == "euc-jp"
+    )
+    # unknown labels pass through (the decode kernel's codecs fallback owns them)
+    assert _detect(spark, b'<meta charset="x-mystery">x') == "x-mystery"
+
+
+def test_utf8_validity_roundtrip_and_1252_default(spark):
+    assert _detect(spark, "höhenmesser".encode("utf-8")) == "utf-8"
+    # 0xE9 + space is not valid UTF-8 -> the WHATWG legacy default
+    assert _detect(spark, b"caf\xe9 premium") == "windows-1252"
+    assert _detect(spark, None) is None
+
+
+def test_decode_pages_legacy_codecs_and_replacement(spark):
+    from html_parser_spark.ops.encoding import decode_pages
+
+    rows = [
+        (0, b'<meta charset="windows-1251">' + "привет".encode("cp1251")),
+        (1, b"\xef\xbb\xbf" + "мир".encode("utf-8")),  # BOM stripped
+        (2, b"tr\xffnc"),  # invalid UTF-8, unlabeled -> cp1252: \xff = U+00FF
+        (3, b'<meta charset="x-mystery">caf\xe9'),  # unknown label -> cp1252
+        (4, b"bad\x81byte"),  # 0x81 undefined in cp1252 -> U+FFFD, never fails
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, body binary")
+    out = {r["doc_id"]: r for r in decode_pages(df).collect()}
+    assert out[0]["charset"] == "windows-1251"
+    assert out[0]["text"] == '<meta charset="windows-1251">привет'
+    assert out[1]["text"] == "мир"  # no leading U+FEFF
+    assert out[2]["text"] == "trÿnc"
+    assert out[3]["text"] == '<meta charset="x-mystery">café'
+    assert out[4]["text"] == "bad�byte"
+    assert out[5]["text"] is None
+
+
+def test_decode_plan_is_one_arrow_stage_no_shuffle(spark):
+    from html_parser_spark.ops.encoding import decode_pages
+
+    df = spark.createDataFrame([(1, b"x")], "doc_id long, body binary")
+    plan = (
+        decode_pages(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("ArrowEvalPython") == 1
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan

@@ -456,3 +456,48 @@ def test_components_from_pairs_chain_and_stars(spark):
     assert by_doc[10].is_canonical == 1 and by_doc[19].is_canonical == 0
     assert by_doc[10].cluster_size == 10 and by_doc[3].cluster_size == 4
     assert len(rows) == 16  # only vertices that appear in some pair
+
+
+def test_semantic_dedup_in_cluster_drop_policy(spark):
+    """SemDeDup with untrained orthogonal seeds (closed-form assignment):
+    a vector is dropped iff a lower-id vector in ITS cluster has cosine >=
+    threshold; cross-cluster near-dups are never compared."""
+    from html_parser_spark.ops.similarity import semantic_dedup
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),  # seed centroid 0
+            (1, [0.0, 1.0, 0.0, 0.0]),  # seed centroid 1
+            (2, [2.0, 0.0, 0.0, 0.0]),  # cluster 0, cos(0,2)=1 -> dropped
+            (3, [0.0, 0.5, 0.0, 0.0]),  # cluster 1, cos(1,3)=1 -> dropped
+            (4, [0.6, 0.8, 0.0, 0.0]),  # cluster 1, cos(1,4)=0.8 < 0.9 -> kept
+        ],
+        ["vec_id", "embedding"],
+    )
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(
+            emb, n_centroids=2, train_iters=0, threshold=0.9
+        ).collect()
+    }
+    assert {v: out[v]["kept"] for v in range(5)} == {
+        0: True, 1: True, 2: False, 3: False, 4: True
+    }
+    assert {v: out[v]["cent_id"] for v in range(5)} == {
+        0: 0, 1: 1, 2: 0, 3: 1, 4: 1
+    }
+
+
+def test_semantic_dedup_plan_equi_join_no_cartesian(spark):
+    """The pair scan must be an equi-join on cent_id (cluster-bounded,
+    the paper's scale trick) — never a cartesian all-pairs."""
+    from html_parser_spark.ops.similarity import semantic_dedup
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(6)], ["vec_id", "embedding"]
+    )
+    plan = (
+        semantic_dedup(emb, n_centroids=2, train_iters=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan

@@ -444,6 +444,42 @@ def main():
         )
     )
 
+    p = plan_of(entrymod.q_paragraph_dedup(spark, sf_dir))
+    checks.append(
+        (
+            "q_paragraph_dedup — global keep-first: groupBy(md5(para)) with "
+            "map-side partial_min of the (doc_id,pos) struct + equi-join "
+            "back on the 16-byte hash; NEVER a window over paragraph text "
+            "(zipfian hot paragraphs), zero Python",
+            p,
+            ["partial_min", "Exchange hashpartitioning(h#"],
+            ["ArrowEvalPython", "BatchEvalPython", "Window", "CartesianProduct"],
+        )
+    )
+
+    p = plan_of(entrymod.q_semantic_dedup(spark, sf_dir))
+    checks.append(
+        (
+            "q_semantic_dedup — SemDeDup: broadcast centroids (tiny trained "
+            "set), cluster-bounded pair scan as an EQUI-join on cent_id — "
+            "never an all-pairs cartesian; zero Python",
+            p,
+            ["BroadcastExchange", "Exchange hashpartitioning(cent_id"],
+            ["CartesianProduct", "ArrowEvalPython", "BatchEvalPython"],
+        )
+    )
+
+    p = plan_of(entrymod.q_charset(spark, sf_dir))
+    checks.append(
+        (
+            "q_charset — charset sniff is pure JVM codegen fused into the "
+            "scan projection; decode is ONE Arrow kernel; zero shuffle",
+            p,
+            ["ArrowEvalPython"],
+            ["Exchange", "BatchEvalPython", "Window", "Join"],
+        )
+    )
+
     p = plan_of(entrymod.q_robots_sitemaps(spark, sf_dir))
     checks.append(
         (
