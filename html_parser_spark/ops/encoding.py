@@ -87,6 +87,8 @@ _BOM_UTF16BE = bytes([0xFE, 0xFF])
 # content="...; charset=...">; [^>]* keeps the scan inside one tag
 _META_RE = r'<meta[^>]*charset\s*=\s*["\']?\s*([a-z0-9._:-]+)'
 _XML_RE = r'<\?xml[^>]*encoding\s*=\s*["\']([a-z0-9._:-]+)["\']'
+# charset parameter of an HTTP Content-Type header value
+_CTYPE_RE = r'charset\s*=\s*["\']?\s*([a-z0-9._:-]+)'
 
 
 def _alias_fold(label: Column) -> Column:
@@ -100,12 +102,17 @@ def _alias_fold(label: Column) -> Column:
     return F.coalesce(F.element_at(F.create_map(*pairs), label), label)
 
 
-def charset_of(body: Column, scan_bytes: int = 1024) -> Column:
+def charset_of(
+    body: Column, scan_bytes: int = 1024, content_type: Column | None = None
+) -> Column:
     """Detected charset of a binary payload — pure JVM expression.
 
-    Precedence: BOM (utf-8 / utf-16le / utf-16be) > declared ``<meta>`` /
-    ``<?xml>`` label within the first ``scan_bytes`` bytes (WHATWG alias
-    fold applied) > UTF-8 validity roundtrip > windows-1252.
+    Precedence (WHATWG): BOM (utf-8 / utf-16le / utf-16be) > transport
+    layer (``charset=`` parameter of the HTTP ``Content-Type`` header,
+    when a ``content_type`` column is supplied — e.g. the WARC reader's)
+    > declared ``<meta>`` / ``<?xml>`` label within the first
+    ``scan_bytes`` bytes > UTF-8 validity probe > windows-1252.  Every
+    declared label goes through the WHATWG alias fold.
     """
     # latin-1 maps every byte to the same code point, so the head scan
     # sees the raw bytes as characters without any decode failure
@@ -113,6 +120,11 @@ def charset_of(body: Column, scan_bytes: int = 1024) -> Column:
     meta = F.regexp_extract(head, _META_RE, 1)
     xml = F.regexp_extract(head, _XML_RE, 1)
     declared = F.when(meta != "", meta).when(xml != "", xml)
+    if content_type is not None:
+        http = F.regexp_extract(
+            F.lower(F.coalesce(content_type, F.lit(""))), _CTYPE_RE, 1
+        )
+        declared = F.when(http != "", http).otherwise(declared)
     # cast(binary AS string) wraps the raw bytes unvalidated; is_valid_utf8
     # (Spark 4.0+) then checks well-formedness without the decode() path,
     # which in Spark 4 THROWS on malformed input instead of substituting
@@ -129,11 +141,18 @@ def charset_of(body: Column, scan_bytes: int = 1024) -> Column:
 
 
 def sniff_charset(
-    df: DataFrame, body_col: str = "body", scan_bytes: int = 1024
+    df: DataFrame,
+    body_col: str = "body",
+    scan_bytes: int = 1024,
+    ctype_col: str | None = None,
 ) -> DataFrame:
     """Adds a ``charset`` column (see :func:`charset_of`).  Narrow — fuses
-    into whatever stage reads ``body_col``."""
-    return df.withColumn("charset", charset_of(F.col(body_col), scan_bytes))
+    into whatever stage reads ``body_col``.  Pass ``ctype_col`` (e.g. the
+    WARC reader's ``content_type``) to honor the transport-layer label."""
+    ctype = F.col(ctype_col) if ctype_col else None
+    return df.withColumn(
+        "charset", charset_of(F.col(body_col), scan_bytes, content_type=ctype)
+    )
 
 
 def decode_text_udf() -> "F.pandas_udf":
@@ -177,11 +196,75 @@ def decode_pages(
     body_col: str = "body",
     out_col: str = "text",
     scan_bytes: int = 1024,
+    ctype_col: str | None = None,
 ) -> DataFrame:
     """The full ingest-side decode: detect (JVM) + decode (one Arrow
     stage).  Output rows carry ``charset`` and the decoded ``out_col``;
     no shuffle is introduced."""
-    sniffed = sniff_charset(df, body_col, scan_bytes)
+    sniffed = sniff_charset(df, body_col, scan_bytes, ctype_col)
     return sniffed.withColumn(
         out_col, decode_text_udf()(F.col(body_col), F.col("charset"))
+    )
+
+
+def transcode_utf8_udf() -> "F.pandas_udf":
+    """(body, charset) → UTF-8 bytes: the ingest-boundary normalizer.
+
+    Already-valid UTF-8 without a BOM passes through UNCOPIED (the
+    dominant case on a modern crawl — no decode cost for ~90 % of
+    pages); everything else decodes via :func:`decode_text_udf`
+    semantics (codecs, ``errors='replace'``, BOM strip) and re-encodes
+    as UTF-8.
+    """
+
+    @F.pandas_udf(T.BinaryType())
+    def _tc(bodies: pd.Series, charsets: pd.Series) -> pd.Series:
+        lookup_cache: dict[str, str] = {}
+
+        def one(b, cs):
+            if b is None:
+                return None
+            raw = bytes(b)
+            if (cs is None or cs == "utf-8") and not raw.startswith(
+                b"\xef\xbb\xbf"
+            ):
+                return raw
+            key = cs or "utf-8"
+            codec = lookup_cache.get(key)
+            if codec is None:
+                try:
+                    codec = codecs.lookup(key).name
+                except LookupError:
+                    codec = "cp1252"
+                lookup_cache[key] = codec
+            s = raw.decode(codec, errors="replace")
+            if s[:1] == "\ufeff":
+                s = s[1:]
+            return s.encode("utf-8")
+
+        return pd.Series(
+            [one(b, cs) for b, cs in zip(bodies, charsets)], dtype="object"
+        )
+
+    return _tc
+
+
+def normalize_to_utf8(
+    df: DataFrame,
+    body_col: str = "body",
+    scan_bytes: int = 1024,
+    ctype_col: str | None = None,
+) -> DataFrame:
+    """Normalize a binary page column to UTF-8 at the ingest boundary:
+    detect (JVM), transcode (one Arrow stage), REPLACE ``body_col`` with
+    UTF-8 bytes and record the original ``charset``.
+
+    This is how a 100 TB crawl keeps every downstream kernel (parse,
+    main-content, markdown, WET) on the single-encoding fast path: the
+    legacy-encoding tail is paid for once, here, and the rest of the
+    pipeline never branches on charset again.  No shuffle is introduced.
+    """
+    sniffed = sniff_charset(df, body_col, scan_bytes, ctype_col)
+    return sniffed.withColumn(
+        body_col, transcode_utf8_udf()(F.col(body_col), F.col("charset"))
     )

@@ -80,6 +80,16 @@ def main(argv=None):
         help="number of range-sorted CDXJ shards (--cdx)",
     )
     ap.add_argument(
+        "--transcode", action="store_true",
+        help="normalize warc: page bytes to UTF-8 at the ingest boundary "
+             "(ops/encoding.normalize_to_utf8: BOM/HTTP-header/meta charset "
+             "sniff + one Arrow transcode; valid UTF-8 passes through "
+             "uncopied) so every downstream kernel stays on the "
+             "single-encoding fast path; adds a 'charset' column. "
+             "Runs AFTER --cdx/--dedup-warc (archive side outputs keep the "
+             "original payload bytes and digests)",
+    )
+    ap.add_argument(
         "--max-html-bytes", type=int, default=8 * 1024 * 1024,
         help="route pages over this size around the parse as fmt='oversized' "
              "(bounds worst-case task time at crawl scale; 0 disables)",
@@ -111,7 +121,11 @@ def main(argv=None):
         # the parse directly; lang is unknown at ingest (lang-ID is a
         # downstream curation op)
         pages = read_warc(spark, args.pages.split(":", 1)[1]).select(
-            "url", "warc_ts", "html", F.lit(None).cast("string").alias("lang")
+            "url",
+            "warc_ts",
+            "html",
+            "content_type",
+            F.lit(None).cast("string").alias("lang"),
         )
     else:
         pages = spark.read.parquet(args.pages)
@@ -128,6 +142,15 @@ def main(argv=None):
         # semantics), so it runs before --limit/--robots trims
         n_dedup_warc = write_warc_files(
             pages.select("url", "warc_ts", "html"), args.dedup_warc, dedup=True
+        )
+
+    if args.transcode:
+        if "content_type" not in pages.columns:
+            raise SystemExit("--transcode requires a warc: input")
+        from html_parser_spark.ops.encoding import normalize_to_utf8
+
+        pages = normalize_to_utf8(
+            pages, body_col="html", ctype_col="content_type"
         )
 
     if args.limit:

@@ -78,3 +78,55 @@ def test_decode_plan_is_one_arrow_stage_no_shuffle(spark):
     assert plan.count("ArrowEvalPython") == 1
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_http_header_charset_precedence(spark):
+    """WHATWG: BOM > transport (Content-Type charset) > in-body meta."""
+    from html_parser_spark.ops.encoding import charset_of
+
+    def det(body, ctype):
+        df = spark.createDataFrame(
+            [(body, ctype)], "body binary, content_type string"
+        )
+        return df.select(
+            charset_of(
+                F.col("body"), content_type=F.col("content_type")
+            ).alias("c")
+        ).first()["c"]
+
+    assert (
+        det(b'<meta charset="koi8-r">x', "text/html; charset=windows-1251")
+        == "windows-1251"
+    )
+    assert det(b"\xef\xbb\xbfx", "text/html; charset=koi8-r") == "utf-8"
+    # unparameterized header falls through to the meta label
+    assert det(b'<meta charset="koi8-r">x', "text/html") == "koi8-r"
+    # header alias folds like any declared label
+    assert det(b"x", "text/plain; charset=Latin-1") == "windows-1252"
+
+
+def test_normalize_to_utf8_transcode_and_passthrough(spark):
+    from html_parser_spark.ops.encoding import normalize_to_utf8
+
+    rows = [
+        (0, "привет".encode("cp1251"), "text/html; charset=windows-1251"),
+        (1, "already utf-8 ü".encode("utf-8"), "text/html"),
+        (2, b"\xef\xbb\xbf" + "bom".encode("utf-8"), "text/html"),
+        (3, None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, html binary, content_type string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in normalize_to_utf8(
+            df, body_col="html", ctype_col="content_type"
+        ).collect()
+    }
+    assert bytes(out[0]["html"]).decode("utf-8") == "привет"
+    assert out[0]["charset"] == "windows-1251"
+    # valid UTF-8 without BOM passes through byte-identical
+    assert bytes(out[1]["html"]) == "already utf-8 ü".encode("utf-8")
+    # UTF-8 BOM is stripped by the normalizer
+    assert bytes(out[2]["html"]) == b"bom"
+    assert out[3]["html"] is None
