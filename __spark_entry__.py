@@ -2212,6 +2212,46 @@ def q_charset(spark, sf_dir):
     )
 
 
+def q_inverted_index(spark, sf_dir):
+    """Flat inverted index (term, doc_id, tf) — posting lists as rows,
+    never collect_list arrays (a stopword's posting list at 100 TB is
+    10^9 entries).  One explode + ONE partial-agg groupBy."""
+    from html_parser_spark.ops.search import inverted_index
+
+    return inverted_index(_docs(spark, sf_dir))
+
+
+def q_keyword_search(spark, sf_dir):
+    """Conjunctive keyword query over the inverted index: docs containing
+    BOTH 'table' AND 'spark', integer tf ranking, doc_id tie-break,
+    TakeOrderedAndProject top-10 (never a full sort)."""
+    from html_parser_spark.ops.search import inverted_index, keyword_search
+
+    idx = inverted_index(_docs(spark, sf_dir))
+    return keyword_search(idx, ["table", "spark"], k=10)
+
+
+def q_bloom_seen(spark, sf_dir):
+    """Bloom-filter crawl seen-set: build a 65536-bit filter over the
+    first 400 synthetic URLs (salted-md5 positions, 62-bit words — both
+    engines agree bit-for-bit), probe all 500.  No false negatives by
+    construction; any false positive is deterministic and reproduced by
+    the oracle's identical arithmetic."""
+    from html_parser_spark.ops.bloom import bloom_build, bloom_probe
+
+    docs = _docs(spark, sf_dir)
+    url = F.concat(
+        F.lit("https://s"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit(".com/p"),
+        F.col("doc_id").cast("string"),
+    )
+    seen = docs.filter(F.col("doc_id") < 400).select(url.alias("url"))
+    cand = docs.select(url.alias("url"))
+    bits = bloom_build(seen, m_bits=65536, k_hashes=5)
+    return bloom_probe(bits, cand, m_bits=65536, k_hashes=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-query CORRECTNESS window rotates coverage.
 
@@ -2256,6 +2296,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_paragraph_dedup": q_paragraph_dedup,
         "q_semantic_dedup": q_semantic_dedup,
         "q_charset": q_charset,
+        "q_inverted_index": q_inverted_index,
+        "q_keyword_search": q_keyword_search,
+        "q_bloom_seen": q_bloom_seen,
         "q_audio_headers": q_audio_headers,
         "q_image_dhash": q_image_dhash,
         "q_stratified_sample": q_stratified_sample,
@@ -2276,16 +2319,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_noindex_gate": q_noindex_gate,
         "q_recrawl_priority": q_recrawl_priority,
         "q_cdxj_roundtrip": q_cdxj_roundtrip,
-        # -- round-3-green veterans: the 6 remaining window slots
-        #    (positions 45-50, ending q_token_stats) --
+        # -- round-3-green veterans: the 3 remaining window slots
+        #    (positions 48-50, ending q_window_order_check) --
         "q_filter_project": q_filter_project,
         "q_agg_pricing": q_agg_pricing,
         "q_window_order_check": q_window_order_check,
+        # -- round-3-green veterans rotated PAST the 50-query window
+        #    (driver row from CORRECTNESS_r03; re-window next round) --
         "q_merge_by_key": q_merge_by_key,
         "q_exact_dedup": q_exact_dedup,
         "q_token_stats": q_token_stats,
-        # -- round-3-green veterans rotated PAST the 50-query window
-        #    (driver row from CORRECTNESS_r03; re-window next round) --
         "q_quality_score": q_quality_score,
         "q_tfidf": q_tfidf,
         "q_data_split": q_data_split,
@@ -3369,6 +3412,71 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             SELECT doc_id, charset, text, length(text) AS n_chars FROM x
+        """,
+        "q_inverted_index": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+              FROM documents
+            )
+            SELECT term, doc_id, count(*) AS tf
+            FROM toks WHERE term <> '' GROUP BY term, doc_id
+        """,
+        "q_keyword_search": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+              FROM documents
+            ), idx AS (
+              SELECT term, doc_id, count(*) AS tf
+              FROM toks WHERE term <> '' GROUP BY term, doc_id
+            ), scored AS (
+              SELECT doc_id, count(DISTINCT term) AS n_terms,
+                     CAST(sum(tf) AS BIGINT) AS score
+              FROM idx WHERE term IN ('table', 'spark')
+              GROUP BY doc_id HAVING count(DISTINCT term) = 2
+            )
+            SELECT doc_id, n_terms, score FROM scored
+            ORDER BY score DESC, doc_id LIMIT 10
+        """,
+        "q_bloom_seen": """
+            -- the Bloom filter's exact bit arithmetic replayed: salted-md5
+            -- 32-bit positions, 62-bit words (1<<63 overflows DuckDB's
+            -- signed BIGINT — both engines cap the in-word shift at 61)
+            WITH seen AS (
+              SELECT 'https://s' || (doc_id % 50) || '.com/p' || doc_id AS url
+              FROM documents WHERE doc_id < 400
+            ), spos AS (
+              SELECT list_reduce(list_transform(range(1, 9), j ->
+                       CAST(strpos('0123456789abcdef',
+                            substring(md5(url || '_' || i), j, 1)) - 1
+                            AS BIGINT)),
+                     (a, b) -> a * 16 + b) % 65536 AS p
+              FROM (SELECT url, unnest(range(0, 5)) AS i FROM seen)
+            ), words AS (
+              SELECT p // 62 AS word_idx,
+                     bit_or(CAST(1 AS BIGINT) << CAST(p % 62 AS INT)) AS word
+              FROM spos GROUP BY 1
+            ), cand AS (
+              SELECT 'https://s' || (doc_id % 50) || '.com/p' || doc_id AS url
+              FROM documents
+            ), cpos AS (
+              SELECT url,
+                     list_reduce(list_transform(range(1, 9), j ->
+                       CAST(strpos('0123456789abcdef',
+                            substring(md5(url || '_' || i), j, 1)) - 1
+                            AS BIGINT)),
+                     (a, b) -> a * 16 + b) % 65536 AS p
+              FROM (SELECT url, unnest(range(0, 5)) AS i FROM cand)
+            ), cj AS (
+              SELECT c.url,
+                     CASE WHEN w.word IS NOT NULL AND
+                          (w.word & (CAST(1 AS BIGINT)
+                                     << CAST(c.p % 62 AS INT))) <> 0
+                          THEN 1 ELSE 0 END AS hit
+              FROM cpos c LEFT JOIN words w ON c.p // 62 = w.word_idx
+            )
+            SELECT url, min(hit) = 1 AS maybe_seen FROM cj GROUP BY url
         """,
         "q_noindex_gate": """
             -- EXPECTED flags in closed form (the robots meta is a pure

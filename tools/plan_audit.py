@@ -480,6 +480,42 @@ def main():
         )
     )
 
+    p = plan_of(entrymod.q_inverted_index(spark, sf_dir))
+    checks.append(
+        (
+            "q_inverted_index — FLAT (term, doc_id, tf) rows: explode + ONE "
+            "partial-agg groupBy; never collect_list posting arrays, zero "
+            "Python",
+            p,
+            ["HashAggregate", "Exchange hashpartitioning(term"],
+            ["ArrowEvalPython", "BatchEvalPython", "Window", "CartesianProduct"],
+        )
+    )
+
+    p = plan_of(entrymod.q_keyword_search(spark, sf_dir))
+    checks.append(
+        (
+            "q_keyword_search — conjunctive query: IN-filter before the agg, "
+            "top-k via TakeOrderedAndProject (per-partition heaps), never a "
+            "global Sort",
+            p,
+            ["TakeOrderedAndProject"],
+            ["ArrowEvalPython", "BatchEvalPython", "Window", "CartesianProduct"],
+        )
+    )
+
+    p = plan_of(entrymod.q_bloom_seen(spark, sf_dir))
+    checks.append(
+        (
+            "q_bloom_seen — distributed bitset: bit_or partial aggregation "
+            "into (word_idx, word) rows, probe is an equi-join on word_idx "
+            "(AQE broadcasts the tiny bitset), zero Python",
+            p,
+            ["bit_or", "Exchange hashpartitioning(word_idx"],
+            ["ArrowEvalPython", "BatchEvalPython", "Window", "CartesianProduct"],
+        )
+    )
+
     p = plan_of(entrymod.q_robots_sitemaps(spark, sf_dir))
     checks.append(
         (
