@@ -1972,6 +1972,34 @@ def q_cdxj_roundtrip(spark, sf_dir):
     return read_cdxj(spark, os.path.join(out, "cdx-*.gz"))
 
 
+def q_pdf_text(spark, sf_dir):
+    """Native PDF text extraction (ops/pdf.py — the north rule's
+    "PDF/layout parse" leg): each doc's text becomes a real 2-page PDF via
+    the deterministic writer (doc_id % 4 cycles the operator/string style:
+    Td+literal escapes, TL+' moves, Tm+hex+TJ kerning, split runs + mixed
+    encodings — Flate-compressed streams on variants 1/3), then
+    ``pdf_text`` parses the binary back.  Extraction is closed-form — 40-char
+    lines joined by newlines — so the DuckDB oracle reconstructs the
+    expected text symbolically from ``documents.text``; a hash match proves
+    object scan, FlateDecode, all four operator styles, string escapes,
+    UTF-16BE handling, kern-space rule, and geometric line assembly are
+    byte-exact."""
+    _ship_package(spark)
+    from html_parser_spark.ops.pdf import make_text_pdf_udf, pdf_text
+
+    docs = _docs(spark, sf_dir)
+    make = make_text_pdf_udf()
+    pdfs = docs.select(
+        "doc_id",
+        make(F.col("text"), F.pmod("doc_id", F.lit(4)).cast("int")).alias(
+            "payload"
+        ),
+    )
+    return pdf_text(pdfs).select(
+        "doc_id", "pdf_version", "n_pages", "n_chars", "pdf_text"
+    )
+
+
 def q_extract_entries(spark, sf_dir):
     """Entry-struct check over the synthetic extraction: headword + counts."""
     _ship_package(spark)
@@ -2319,6 +2347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_noindex_gate": q_noindex_gate,
         "q_recrawl_priority": q_recrawl_priority,
         "q_cdxj_roundtrip": q_cdxj_roundtrip,
+        "q_pdf_text": q_pdf_text,
         # -- round-3-green veterans: the 3 remaining window slots
         #    (positions 48-50, ending q_window_order_check) --
         "q_filter_project": q_filter_project,
@@ -3536,6 +3565,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS BIGINT) AS length,
                    CAST(doc_id * 1000 AS BIGINT) AS "offset",
                    'part-0000' || (doc_id % 2) || '.warc.gz' AS filename
+            FROM documents
+        """,
+        "q_pdf_text": """
+            -- expected extraction restated symbolically from the SOURCE
+            -- text (writer input), never from the PDF bytes — a hash match
+            -- proves the binary parse (objects, FlateDecode, 4 operator
+            -- styles, escapes, UTF-16BE, kerning, line assembly) round-trips
+            SELECT doc_id,
+                   '1.4' AS pdf_version,
+                   CAST(2 AS INTEGER) AS n_pages,
+                   CAST(length(substr(text, 1, 120)) + 2 AS INTEGER)
+                     AS n_chars,
+                   substr(text, 1, 40) || chr(10) || substr(text, 41, 40)
+                     || chr(10) || substr(text, 81, 40) AS pdf_text
             FROM documents
         """,
         "q_url_parts": """

@@ -432,6 +432,17 @@ def main():
         )
     )
 
+    p = plan_of(entrymod.q_pdf_text(spark, sf_dir))
+    checks.append(
+        (
+            "q_pdf_text — PDF binary parse: fixture-writer UDF + ONE Arrow "
+            "extract stage back-to-back in the same pipeline, zero shuffle",
+            p,
+            ["ArrowEvalPython"],
+            ["Exchange", "BatchEvalPython", "Window", "Join"],
+        )
+    )
+
     p = plan_of(entrymod.q_warc_revisit(spark, sf_dir))
     checks.append(
         (
