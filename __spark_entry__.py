@@ -2000,6 +2000,68 @@ def q_pdf_text(spark, sf_dir):
     )
 
 
+def q_mime_sniff(spark, sf_dir):
+    """Magic-byte content-type sniffing (ops/mime.mime_sniff — the router
+    gate in front of the mixed-corpus extractor): 12 payload families
+    cycled by doc_id % 12 (PDF, PNG, GIF, JPEG, RIFF/WAVE, gzip, zip,
+    whitespace-led HTML, <?xml, plain text, ID3, and control-byte junk),
+    built as real bytes via latin-1 encode.  The sniff is pure JVM codegen;
+    the oracle states the expected label per family in closed form."""
+    from html_parser_spark.ops.mime import mime_sniff
+
+    docs = _docs(spark, sf_dir)
+    k = F.pmod("doc_id", F.lit(12))
+    s = F.substring("text", 1, 30)
+    raw = (
+        F.when(k == 0, F.lit("%PDF-1.5 obj junk"))
+        .when(k == 1, F.lit("\x89PNG\r\n\x1a\nIHDRrest"))
+        .when(k == 2, F.concat(F.lit("GIF89a"), s))
+        .when(k == 3, F.lit("\xff\xd8\xff\xe0JFIF"))
+        .when(k == 4, F.lit("RIFF\x24\x00\x00\x00WAVEfmt "))
+        .when(k == 5, F.lit("\x1f\x8b\x08\x00deflated"))
+        .when(k == 6, F.lit("PK\x03\x04zipentry"))
+        .when(k == 7, F.concat(F.lit("  \n\t<!DOCTYPE HTML><html><body>"), s))
+        .when(k == 8, F.lit('<?xml version="1.0"?><root/>'))
+        .when(k == 9, F.concat(F.lit("plain: "), s))
+        .when(k == 10, F.lit("ID3\x04\x00tagged"))
+        .otherwise(F.lit("\x00\x01\x02 control junk"))
+    )
+    payloads = docs.select(
+        "doc_id", F.encode(raw, "ISO-8859-1").alias("payload")
+    )
+    return payloads.select(
+        "doc_id", mime_sniff(F.col("payload")).alias("mime")
+    )
+
+
+def q_exact_substring(spark, sf_dir):
+    """Exact-substring dedup (ops/corpus.exact_substring_dedup — Lee et
+    al. 2022): overlapping 8-token windows, keep-first, interval merge.
+    Every doc gets a 10-token cookie-banner prefix (dup across ALL docs)
+    and every third doc a 9-token newsletter suffix (dup across a third)
+    — so the check exercises keep-first election (doc 0 keeps both),
+    single- and multi-interval merges, and boundary windows straddling
+    into unique text (which must NOT be cut).  The DuckDB oracle replays
+    the full semantics (windows → min-occurrence → gaps-and-islands →
+    cut) over the same synthesized text."""
+    from html_parser_spark.ops.corpus import exact_substring_dedup
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit(
+                "cookie banner accept all our terms and privacy policy today "
+            ),
+            F.col("text"),
+            F.when(
+                F.pmod("doc_id", F.lit(3)) == 0,
+                F.lit(" subscribe to our newsletter for more updates daily"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return exact_substring_dedup(docs, window_tokens=8)
+
+
 def q_extract_entries(spark, sf_dir):
     """Entry-struct check over the synthetic extraction: headword + counts."""
     _ship_package(spark)
@@ -2348,6 +2410,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_recrawl_priority": q_recrawl_priority,
         "q_cdxj_roundtrip": q_cdxj_roundtrip,
         "q_pdf_text": q_pdf_text,
+        "q_mime_sniff": q_mime_sniff,
+        "q_exact_substring": q_exact_substring,
         # -- round-3-green veterans: the 3 remaining window slots
         #    (positions 48-50, ending q_window_order_check) --
         "q_filter_project": q_filter_project,
@@ -3580,6 +3644,107 @@ def oracle_sql() -> dict[str, str]:
                    substr(text, 1, 40) || chr(10) || substr(text, 41, 40)
                      || chr(10) || substr(text, 81, 40) AS pdf_text
             FROM documents
+        """,
+        "q_mime_sniff": """
+            -- expected label per payload family in closed form — the match
+            -- proves every magic-byte branch + the html tag scan + the
+            -- binary-byte text/plain split fire on REAL bytes
+            SELECT doc_id,
+                   CASE doc_id % 12
+                     WHEN 0 THEN 'application/pdf'
+                     WHEN 1 THEN 'image/png'
+                     WHEN 2 THEN 'image/gif'
+                     WHEN 3 THEN 'image/jpeg'
+                     WHEN 4 THEN 'audio/wav'
+                     WHEN 5 THEN 'application/gzip'
+                     WHEN 6 THEN 'application/zip'
+                     WHEN 7 THEN 'text/html'
+                     WHEN 8 THEN 'text/xml'
+                     WHEN 9 THEN 'text/plain'
+                     WHEN 10 THEN 'audio/mpeg'
+                     ELSE 'application/octet-stream'
+                   END AS mime
+            FROM documents
+        """,
+        "q_exact_substring": """
+            -- full semantic replay: overlapping 8-token windows -> md5 ->
+            -- global min-occurrence election -> gaps-and-islands interval
+            -- merge -> token cut -> ordered reassembly
+            WITH base AS (
+              SELECT doc_id,
+                     'cookie banner accept all our terms and privacy policy today '
+                     || text
+                     || CASE WHEN doc_id % 3 = 0
+                          THEN ' subscribe to our newsletter for more updates daily'
+                          ELSE '' END AS t
+              FROM documents
+            ),
+            docs2 AS (
+              SELECT doc_id, regexp_split_to_array(trim(t), '\\s+') AS arr
+              FROM base
+            ),
+            grams AS (
+              SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+                     md5(array_to_string(arr[u.i+1 : u.i+8], ' ')) AS h
+              FROM docs2,
+                   LATERAL (SELECT unnest(range(0, len(arr) - 7)) AS i) AS u
+              WHERE len(arr) >= 8
+            ),
+            firsts AS (
+              SELECT h, count(*) AS c,
+                     min(doc_id * 1000000 + pos) AS mk
+              FROM grams GROUP BY h
+            ),
+            dups AS (
+              SELECT g.doc_id, g.pos AS s, g.pos + 8 AS e
+              FROM grams g JOIN firsts f USING (h)
+              WHERE f.c > 1 AND g.doc_id * 1000000 + g.pos <> f.mk
+            ),
+            flag AS (
+              SELECT doc_id, s, e,
+                     CASE WHEN s > coalesce(max(e) OVER (
+                              PARTITION BY doc_id ORDER BY s, e
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), -1)
+                          THEN 1 ELSE 0 END AS ng
+              FROM dups
+            ),
+            grp AS (
+              SELECT doc_id, s, e,
+                     sum(ng) OVER (PARTITION BY doc_id ORDER BY s, e
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND CURRENT ROW) AS gid
+              FROM flag
+            ),
+            islands AS (
+              SELECT doc_id, min(s) AS s, max(e) AS e
+              FROM grp GROUP BY doc_id, gid
+            ),
+            toks AS (
+              SELECT doc_id,
+                     CAST(generate_subscripts(arr, 1) - 1 AS BIGINT) AS i,
+                     unnest(arr) AS tok
+              FROM docs2
+            ),
+            kept AS (
+              SELECT t.doc_id, t.i, t.tok
+              FROM toks t LEFT JOIN islands v
+                ON t.doc_id = v.doc_id AND t.i >= v.s AND t.i < v.e
+              WHERE v.doc_id IS NULL
+            )
+            SELECT d.doc_id,
+                   CAST(len(d.arr) AS BIGINT) AS n_tokens,
+                   CAST(len(d.arr) - coalesce(kc.nk, 0) AS BIGINT)
+                     AS n_dropped,
+                   CAST(coalesce(iv.n_iv, 0) AS BIGINT) AS n_intervals,
+                   coalesce(kt.txt, '') AS clean_text
+            FROM docs2 d
+            LEFT JOIN (SELECT doc_id, count(*) AS n_iv FROM islands
+                       GROUP BY doc_id) iv USING (doc_id)
+            LEFT JOIN (SELECT doc_id, count(*) AS nk FROM kept
+                       GROUP BY doc_id) kc USING (doc_id)
+            LEFT JOIN (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS txt
+                       FROM kept GROUP BY doc_id) kt USING (doc_id)
         """,
         "q_url_parts": """
             -- EXPECTED parse output in closed form (urls are pure functions

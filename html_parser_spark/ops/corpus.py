@@ -354,6 +354,131 @@ def span_dedup(
     )
 
 
+_IV_T = "array<struct<s:bigint,e:bigint>>"
+
+
+def exact_substring_dedup(
+    docs: DataFrame, text_col: str = "text", window_tokens: int = 8
+) -> DataFrame:
+    """Exact-substring dedup à la Lee et al. 2022 ("Deduplicating Training
+    Data Makes Language Models Better"): every duplicated run of ≥
+    ``window_tokens`` tokens is removed from all but its FIRST occurrence
+    (smallest (doc_id, position)), with overlapping duplicated windows
+    merged into maximal intervals before cutting — so a 60-token cloned
+    paragraph disappears as one interval, not as 53 ragged window hits.
+
+    Returns (doc_id, n_tokens, n_dropped, n_intervals, clean_text).
+
+    The suffix-array machinery of the paper exists to FIND duplicated
+    spans on one big machine; in Spark the equivalent discovery is the
+    overlapping k-gram window (the same observation that drives
+    MinHash shingles): a duplicated substring of length ≥ k duplicates
+    every k-window inside it, and merging the flagged windows recovers
+    the maximal span exactly.  Differences vs ``span_dedup`` (C4-style):
+    spans there are a disjoint tiling (cheap, but a duplicate straddling
+    a tile boundary survives); here windows OVERLAP, so duplicated runs
+    are caught at every alignment — strictly stronger, one extra join.
+
+    Plan at 100 TB: windows → groupBy(md5) with map-side partial
+    (min-occurrence struct + count — a 10^9-page cookie banner collapses
+    to one row per map partition), equi-join back on the 16-byte hash
+    (AQE splits residual skew), per-doc interval merge as a JVM
+    ``aggregate`` over the sorted interval array (NO window function —
+    per-doc arrays, never a corpus-wide sort), and one doc_id equi-join
+    to bring intervals to the token arrays.  No O(n²) pair stage exists;
+    cost is O(total tokens × window) strings hashed + two key shuffles."""
+    k = window_tokens
+    toked = docs.select(
+        "doc_id", F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks")
+    )
+    n = F.size("_toks")
+    # sequence(0, n-k) DESCENDS when n < k (the 1..0 trap chunk_plan
+    # guards): short docs must produce zero windows
+    grams = toked.select(
+        "doc_id",
+        F.explode(
+            F.when(n >= k, F.transform(
+                F.sequence(F.lit(0), (n - k).cast("long")),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.md5(
+                        F.concat_ws(" ", F.slice("_toks", (i + 1).cast("int"), k))
+                    ).alias("h"),
+                ),
+            )).otherwise(F.array().cast(
+                "array<struct<pos:bigint,h:string>>"
+            ))
+        ).alias("g"),
+    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+    firsts = grams.groupBy("h").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    marked = (
+        grams.join(firsts, "h")
+        .filter(
+            (F.col("c") > 1)
+            & ~(
+                (F.col("first.doc_id") == F.col("doc_id"))
+                & (F.col("first.pos") == F.col("pos"))
+            )
+        )
+        .select(
+            "doc_id",
+            F.col("pos").alias("s"),
+            (F.col("pos") + k).alias("e"),
+        )
+    )
+    ints = marked.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("ivs")
+    )
+
+    def _merge_step(acc, iv):
+        last = F.element_at(acc, -1)
+        return (
+            F.when(F.size(acc) == 0, F.array(iv))
+            .when(iv["s"] > last["e"], F.concat(acc, F.array(iv)))
+            .otherwise(
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(
+                        F.struct(
+                            last["s"].alias("s"),
+                            F.greatest(last["e"], iv["e"]).alias("e"),
+                        )
+                    ),
+                )
+            )
+        )
+
+    joined = toked.join(ints, "doc_id", "left")
+    merged = F.aggregate(
+        F.coalesce(F.col("ivs"), F.array().cast(_IV_T)),
+        F.array().cast(_IV_T),
+        _merge_step,
+    )
+    withm = joined.select("doc_id", "_toks", merged.alias("merged"))
+    indexed = F.transform(
+        F.col("_toks"), lambda t, i: F.struct(t.alias("tok"), i.alias("i"))
+    )
+    kept = F.filter(
+        indexed,
+        lambda s: ~F.exists(
+            F.col("merged"),
+            lambda m: (m["s"] <= s["i"]) & (s["i"] < m["e"]),
+        ),
+    )
+    return withm.select(
+        "doc_id",
+        F.size("_toks").cast("long").alias("n_tokens"),
+        (F.size("_toks") - F.size(kept)).cast("long").alias("n_dropped"),
+        F.size("merged").cast("long").alias("n_intervals"),
+        F.concat_ws(" ", F.transform(kept, lambda s: s["tok"])).alias(
+            "clean_text"
+        ),
+    )
+
+
 def host_line_dedup(
     docs: DataFrame,
     host_col: str = "source",

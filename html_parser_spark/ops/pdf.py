@@ -618,6 +618,54 @@ def pdf_text(
     return pruned.mapInPandas(batches, PDF_TEXT_SCHEMA)
 
 
+PDF_PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("pdf_version", T.StringType()),
+        T.StructField("n_pages", T.IntegerType()),
+        T.StructField("n_bytes_in", T.IntegerType()),
+        T.StructField("pdf_text", T.StringType()),
+    ]
+)
+
+
+def pdf_text_pages(pages: DataFrame) -> DataFrame:
+    """Page-schema variant of :func:`pdf_text` for the mixed-corpus router
+    (`ops/mime.extract_any`): pages(url, warc_ts, html, lang) → one row per
+    page with the crawl keys passed through.  Same single-Arrow-stage,
+    zero-shuffle shape."""
+    pruned = pages.select("url", "warc_ts", "html", "lang")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in PDF_PAGES_SCHEMA.fields]
+        for pdf in it:
+            rows = []
+            for url, ts, payload, lang in zip(
+                pdf["url"], pdf["warc_ts"], pdf["html"], pdf["lang"]
+            ):
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    parsed = extract_pdf(raw)
+                except Exception:
+                    parsed = None
+                rows.append(
+                    {
+                        "url": url,
+                        "warc_ts": ts,
+                        "lang": lang,
+                        "pdf_version": parsed["version"] if parsed else None,
+                        "n_pages": parsed["n_pages"] if parsed else 0,
+                        "n_bytes_in": len(raw),
+                        "pdf_text": parsed["text"] if parsed else None,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return pruned.mapInPandas(batches, PDF_PAGES_SCHEMA)
+
+
 # --- deterministic PDF writer (test/oracle fixture) --------------------------
 
 

@@ -428,3 +428,78 @@ def test_paragraph_dedup_plan_no_window(spark):
         paragraph_dedup(docs)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Window" not in plan
+
+
+# --- exact-substring dedup (Lee et al. 2022 shape) -------------------------
+
+
+def _esd(spark, rows, k=4):
+    from html_parser_spark.ops.corpus import exact_substring_dedup
+
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    return {
+        r["doc_id"]: r
+        for r in exact_substring_dedup(docs, window_tokens=k).collect()
+    }
+
+
+def test_exact_substring_keep_first_and_cut(spark):
+    # doc 0 and doc 1 share a 6-token run; k=4 -> windows at 3 alignments
+    # merge into ONE maximal interval, removed from doc 1 only
+    shared = "alpha beta gamma delta epsilon zeta"
+    out = _esd(
+        spark,
+        [(0, shared + " tail0 unique0"), (1, "head1 " + shared + " tail1")],
+    )
+    assert out[0]["n_dropped"] == 0
+    assert out[0]["clean_text"] == shared + " tail0 unique0"
+    assert out[1]["n_dropped"] == 6
+    assert out[1]["n_intervals"] == 1
+    assert out[1]["clean_text"] == "head1 tail1"
+
+
+def test_exact_substring_short_docs_and_no_dups(spark):
+    out = _esd(
+        spark,
+        [(0, "one two three"), (1, "totally different words here now")],
+    )
+    assert out[0]["n_dropped"] == 0 and out[0]["n_intervals"] == 0
+    assert out[1]["n_dropped"] == 0
+    assert out[1]["clean_text"] == "totally different words here now"
+
+
+def test_exact_substring_within_doc_repeat(spark):
+    # the same 4-token phrase twice in ONE doc: second occurrence cut
+    t = "a b c d XX a b c d"
+    out = _esd(spark, [(7, t)])
+    assert out[7]["n_dropped"] == 4
+    assert out[7]["clean_text"] == "a b c d XX"
+
+
+def test_exact_substring_multiple_intervals(spark):
+    # two separate shared runs in doc 1 -> two merged intervals
+    out = _esd(
+        spark,
+        [
+            (0, "p q r s MID1 w x y z"),
+            (1, "p q r s OTHER w x y z"),
+        ],
+    )
+    assert out[1]["n_intervals"] == 2
+    assert out[1]["n_dropped"] == 8
+    assert out[1]["clean_text"] == "OTHER"
+    assert out[0]["n_dropped"] == 0
+
+
+def test_exact_substring_plan_no_window_no_python(spark):
+    from html_parser_spark.ops.corpus import exact_substring_dedup
+
+    docs = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+    plan = (
+        exact_substring_dedup(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan

@@ -443,6 +443,30 @@ def main():
         )
     )
 
+    p = plan_of(entrymod.q_mime_sniff(spark, sf_dir))
+    checks.append(
+        (
+            "q_mime_sniff — magic-byte sniff is pure JVM codegen: no "
+            "Python stage, no shuffle, fused into the scan's stage",
+            p,
+            ["codegen id"],
+            ["Exchange", "ArrowEvalPython", "BatchEvalPython", "Join"],
+        )
+    )
+
+    p = plan_of(entrymod.q_exact_substring(spark, sf_dir))
+    checks.append(
+        (
+            "q_exact_substring — overlapping-window dedup: groupBy(md5) "
+            "with map-side partials + equi-joins; interval merge is a JVM "
+            "aggregate over per-doc arrays — no Window, no Python, no "
+            "cartesian",
+            p,
+            ["HashAggregate"],
+            ["Window", "ArrowEvalPython", "BatchEvalPython", "CartesianProduct"],
+        )
+    )
+
     p = plan_of(entrymod.q_warc_revisit(spark, sf_dir))
     checks.append(
         (
