@@ -107,7 +107,11 @@ _ENTRIES_T = (
 )
 
 
-def extract_any(pages: DataFrame, num_partitions: int | None = None) -> DataFrame:
+def extract_any(
+    pages: DataFrame,
+    num_partitions: int | None = None,
+    max_html_bytes: int | None = None,
+) -> DataFrame:
     """Mixed-corpus extraction: pages(url, warc_ts, html, lang) with
     arbitrary payload bytes in ``html`` → the extract_pages result schema
     (url, warc_ts, lang, fmt, extracted_text, entries, n_entries,
@@ -130,10 +134,31 @@ def extract_any(pages: DataFrame, num_partitions: int | None = None) -> DataFram
     html_out = None
     for m in ("text/html", "text/xml", "text/plain"):
         part = extract_pages(
-            src.filter(F.col("mime") == m).drop("mime")
+            src.filter(F.col("mime") == m).drop("mime"),
+            max_html_bytes=max_html_bytes,
         ).withColumn("mime", F.lit(m))
         html_out = part if html_out is None else html_out.unionByName(part)
     pdfs = src.filter(F.col("mime") == "application/pdf")
+    if max_html_bytes:
+        # same filter+union oversized guard as the HTML kernel: a
+        # pathological PDF must bound task time, not stall it
+        big_pdfs = pdfs.filter(F.length("html") > max_html_bytes).select(
+            "url",
+            "warc_ts",
+            "lang",
+            F.lit("oversized").alias("fmt"),
+            F.lit(None).cast("string").alias("extracted_text"),
+            F.array().cast(_ENTRIES_T).alias("entries"),
+            F.lit(0).alias("n_entries"),
+            F.length("html").alias("n_bytes_in"),
+            F.concat(
+                F.lit("oversized: "),
+                F.length("html").cast("string"),
+                F.lit(" bytes"),
+            ).alias("error"),
+            F.lit("application/pdf").alias("mime"),
+        )
+        pdfs = pdfs.filter(F.length("html") <= max_html_bytes)
     pdf_out = pdf_text_pages(pdfs).select(
         "url",
         "warc_ts",
@@ -166,4 +191,7 @@ def extract_any(pages: DataFrame, num_partitions: int | None = None) -> DataFram
         F.lit(None).cast("string").alias("error"),
         "mime",
     )
-    return html_out.unionByName(pdf_out).unionByName(other)
+    out = html_out.unionByName(pdf_out).unionByName(other)
+    if max_html_bytes:
+        out = out.unionByName(big_pdfs)
+    return out

@@ -53,6 +53,13 @@ def main(argv=None):
              "emits (url, warc_ts, lang, markdown, md_chars, n_blocks)",
     )
     ap.add_argument(
+        "--mixed", action="store_true",
+        help="mixed-corpus mode: magic-byte sniff every payload "
+             "(ops/mime.py), route text mimes through the DOM kernel, "
+             "application/pdf through the native PDF parser, media/"
+             "archives through as typed binary rows; adds a 'mime' column",
+    )
+    ap.add_argument(
         "--dedup-warc", default="",
         help="also repack the ingest set as a digest-deduplicated WARC "
              "archive into this dir: each distinct payload stored once, "
@@ -209,6 +216,49 @@ def main(argv=None):
             "job": "extract-markdown",
             **{k: int(row[k] or 0) for k in
                ("docs", "blocks", "bytes_in", "md_chars")},
+            **({"wet_parts": n_wet} if n_wet is not None else {}),
+            **({"cdx_shards": n_cdx} if n_cdx is not None else {}),
+            **({"dedup_warc_parts": n_dedup_warc}
+               if n_dedup_warc is not None else {}),
+        }))
+        return
+
+    if args.mixed:
+        from pyspark.sql import functions as F
+
+        from html_parser_spark.ops.mime import extract_any
+
+        def _mx_transform(src):
+            return extract_any(
+                src,
+                num_partitions=args.partitions or None,
+                max_html_bytes=args.max_html_bytes or None,
+            )
+
+        if args.resume:
+            from html_parser_spark.spark.checkpoint import CheckpointedExtraction
+
+            ck = CheckpointedExtraction(spark, args.output)
+            ck.run(pages, transform=_mx_transform)
+            out = ck.results()
+        else:
+            out = _mx_transform(pages)
+            out.write.mode("overwrite").parquet(os.path.join(args.output, "data"))
+            out = spark.read.parquet(os.path.join(args.output, "data"))
+        n_wet = _write_wet_sidecar(out, "extracted_text", args.wet)
+        mimes = {
+            r["mime"]: r["count"]
+            for r in out.groupBy("mime").count().collect()
+        }
+        row = out.agg(
+            F.count("*").alias("docs"),
+            F.sum("n_bytes_in").alias("bytes_in"),
+            F.sum(F.length("extracted_text")).alias("text_chars"),
+        ).collect()[0]
+        print(json.dumps({
+            "job": "extract-mixed",
+            **{k: int(row[k] or 0) for k in ("docs", "bytes_in", "text_chars")},
+            "mimes": {k: int(v) for k, v in sorted(mimes.items())},
             **({"wet_parts": n_wet} if n_wet is not None else {}),
             **({"cdx_shards": n_cdx} if n_cdx is not None else {}),
             **({"dedup_warc_parts": n_dedup_warc}

@@ -146,3 +146,44 @@ def test_extract_any_schema_matches_kernel(spark, mixed_pages):
     base = [f.name for f in extract_pages(mixed_pages).schema.fields]
     got = [f.name for f in extract_any(mixed_pages).schema.fields]
     assert got == base + ["mime"]
+
+
+def test_extract_job_mixed_mode(spark, tmp_path):
+    from jobs.extract_job import main as extract_main
+
+    pages = spark.createDataFrame(
+        [
+            ("https://m.org/a", None, b"<html><p>alpha beta</p></html>", "en"),
+            ("https://m.org/b", None, make_text_pdf([["pdf body text"]], 2), "en"),
+            ("https://m.org/c", None, b"\x89PNG\r\n\x1a\nIHDR", "en"),
+        ],
+        "url string, warc_ts timestamp, html binary, lang string",
+    )
+    src = str(tmp_path / "pages")
+    out = str(tmp_path / "out")
+    pages.write.parquet(src)
+    extract_main(["--pages", src, "--output", out, "--mixed",
+                  "--partitions", "2"])
+    got = {r["url"]: r for r in spark.read.parquet(out + "/data").collect()}
+    assert got["https://m.org/b"]["extracted_text"] == "pdf body text"
+    assert got["https://m.org/b"]["mime"] == "application/pdf"
+    assert got["https://m.org/c"]["fmt"] == "binary"
+    assert got["https://m.org/a"]["mime"] == "text/html"
+
+
+def test_extract_any_oversized_pdf_guard(spark):
+    small = make_text_pdf([["tiny pdf"]], 0)
+    pages = spark.createDataFrame(
+        [
+            ("https://m.org/small", None, small, "en"),
+            ("https://m.org/big", None, b"%PDF-" + b"x" * 4096, "en"),
+        ],
+        "url string, warc_ts timestamp, html binary, lang string",
+    )
+    got = {
+        r["url"]: r
+        for r in extract_any(pages, max_html_bytes=2048).collect()
+    }
+    assert got["https://m.org/small"]["extracted_text"] == "tiny pdf"
+    big = got["https://m.org/big"]
+    assert big["fmt"] == "oversized" and "oversized" in big["error"]
