@@ -887,6 +887,60 @@ def q_vocab(spark, sf_dir):
     return build_vocab(docs, k=50)
 
 
+# Fixed seed word-frequency table for the BPE contract query: the merge
+# list is a pure function of this literal (train_bpe is deterministic —
+# ties break to the lexicographically smallest pair), so the Spark query
+# and the DuckDB oracle derive the IDENTICAL merges independently.  The
+# corpus-trained path (word_freqs over the real table -> train_bpe) is
+# exercised in tests/test_bpe.py; the contract query pins the corpus-scale
+# ENCODE stage, which is the part that runs at 10^12 rows.
+_BPE_SEED_FREQS = [
+    ("the", 60),
+    ("table", 50),
+    ("value", 45),
+    ("data", 40),
+    ("spark", 35),
+    ("window", 30),
+    ("query", 26),
+    ("batch", 22),
+    ("stream", 19),
+    ("filter", 16),
+    ("scan", 13),
+    ("customer", 11),
+    ("partition", 9),
+    ("merge", 7),
+]
+_BPE_SEED_N_MERGES = 16
+
+
+def _bpe_seed_merges() -> list[tuple[str, str]]:
+    from html_parser_spark.ops.bpe import train_bpe
+
+    return train_bpe(_BPE_SEED_FREQS, n_merges=_BPE_SEED_N_MERGES)
+
+
+def q_bpe_encode(spark, sf_dir):
+    """Learned-subword (BPE) corpus encoding (ops/bpe.bpe_encode): apply a
+    deterministic seed-trained merge list to every document — ONE
+    mapInPandas stage, zero shuffle, merges shipped in the closure (the
+    broadcast-dim pattern), per-batch word memoization riding Zipf.
+    Returns (doc_id, n_words, n_tokens, bpe_text).  The oracle replays the
+    encode symbolically in DuckDB: each word becomes a ``‖``-delimited
+    symbol string and the merges are applied as a rank-ordered replace
+    chain — exact because (a) left-to-right replace-all equals the
+    kernel's non-overlapping merge order and (b) for a BPE-trained merge
+    list, sequential exhaustive application in rank order is equivalent to
+    priority-queue encoding (every merge's components are created only by
+    earlier-ranked merges, and merging never creates an adjacency an
+    earlier pair could consume)."""
+    from html_parser_spark.ops.bpe import bpe_encode
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.regexp_replace("text", "‖", "").alias("text")
+    )
+    return bpe_encode(docs, _bpe_seed_merges())
+
+
 def q_temperature_mix(spark, sf_dir):
     """Temperature-based mixture rebalancing (ops/corpus.temperature_mix_plan,
     the XLM-R/mT5 α-sampling rule at α=0.5): per-language sampling
@@ -2412,6 +2466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pdf_text": q_pdf_text,
         "q_mime_sniff": q_mime_sniff,
         "q_exact_substring": q_exact_substring,
+        "q_bpe_encode": q_bpe_encode,
         # -- round-3-green veterans: the 3 remaining window slots
         #    (positions 48-50, ending q_window_order_check) --
         "q_filter_project": q_filter_project,
@@ -2546,7 +2601,42 @@ def oracle_sql() -> dict[str, str]:
     pii_total = " + ".join(
         f"len(regexp_extract_all(text, '{pat}'))" for pat in PII_PATTERNS.values()
     )
+    # Symbolic BPE encode: a word becomes '‖c1‖‖c2‖…‖</w>‖' and each merge
+    # (a,b) is a left-to-right replace of '‖a‖‖b‖' with '‖ab‖', applied in
+    # rank order (innermost = rank 0).  The merge literals are ASCII from
+    # the fixed seed table, so no SQL-quoting hazard; the delimiter char is
+    # stripped from the input on BOTH engines.
+    bpe_word = (
+        "list_aggregate(list_transform(regexp_split_to_array(w, ''),"
+        " c -> '‖' || c || '‖'), 'string_agg', '') || '‖</w>‖'"
+    )
+    for _a, _b in _bpe_seed_merges():
+        bpe_word = f"replace({bpe_word}, '‖{_a}‖‖{_b}‖', '‖{_a}{_b}‖')"
     return {
+        "q_bpe_encode": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(
+                       regexp_split_to_array(
+                         lower(trim(replace(text, '‖', ''))), '\\s+'),
+                       x -> len(x) > 0) AS words
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                     CAST(len(words) AS BIGINT) AS n_words,
+                     coalesce(list_aggregate(
+                       list_transform(words, w -> {bpe_word}),
+                       'string_agg', ''), '') AS stream
+              FROM d
+            )
+            SELECT doc_id, n_words,
+                   CAST((len(stream) - len(replace(stream, '‖', ''))) // 2
+                        AS BIGINT) AS n_tokens,
+                   CASE WHEN stream = '' THEN ''
+                        ELSE replace(trim(stream, '‖'), '‖‖', ' ')
+                   END AS bpe_text
+            FROM s
+        """,
         "q_filter_project": """
             SELECT l_orderkey, l_linenumber, l_quantity,
                    l_extendedprice * (1 - l_discount) AS revenue

@@ -679,6 +679,17 @@ def main():
         )
     )
 
+    p = plan_of(entrymod.q_bpe_encode(spark, sf_dir))
+    checks.append(
+        (
+            "q_bpe_encode — learned-subword corpus encode: scan → single "
+            "mapInPandas (merges in the closure), zero shuffle",
+            p,
+            ["MapInPandas"],
+            ["Exchange", "Window", "Join", "BatchEvalPython"],
+        )
+    )
+
     failures = []
     out = ["# Physical-plan audit (generated by tools/plan_audit.py)\n"]
     out.append(
