@@ -1157,6 +1157,21 @@ def q_pack_shards(spark, sf_dir):
     return pack_shards(docs, shard_bytes=262144, num_partitions=8)
 
 
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style concat-and-split sequence packing
+    (ops/corpus.pack_sequences): every doc's whitespace tokens + one EOD
+    slot laid end-to-end in doc_id order, cut into 128-slot training
+    sequences — docs span boundaries, zero padding except the tail.  Same
+    distributed prefix-sum as q_pack_shards below the fan-out; the oracle
+    replays the sequential semantics with a global running sum +
+    generate_series per covered sequence — hash match proves offsets AND
+    the per-(seq, doc) slice arithmetic."""
+    from html_parser_spark.ops.corpus import pack_sequences
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return pack_sequences(docs, seq_len=128, num_partitions=8)
+
+
 def q_surt_key(spark, sf_dir):
     """SURT capture-index keys (ops/web.surt_key — the sort key CDX
     indexes range-scan by): six url families built in closed form from
@@ -2404,11 +2419,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Round-3 checked positions 1-50 of the old order; this round leads with
     the 21 queries that had never had a driver row (survey-core
     q_extract_entries / q_migrate_v21 first, then the web-ingest tier),
-    followed by the 20 queries new or changed this round — leaving exactly
-    9 window slots, filled with round-3-green veterans (through
-    q_data_split at position 50).  The veterans past position 50 all
-    carry green rows in CORRECTNESS_r03.json; rotate again next round so
-    they cycle back through a driver window.
+    followed by the queries new or changed this round.  That makes 52
+    no-prior-row queries for 50 slots: q_keyword_search and
+    q_wat_roundtrip sit just past the window (their shared machinery is
+    window-covered by siblings — see the inline comment) and stay green on
+    the strict local oracle.  Every query past position 52 carries a green
+    row in CORRECTNESS_r03.json; rotate again next round.
     """
     return {
         # -- never driver-checked before round 4 (survey-core first) --
@@ -2441,7 +2457,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semantic_dedup": q_semantic_dedup,
         "q_charset": q_charset,
         "q_inverted_index": q_inverted_index,
-        "q_keyword_search": q_keyword_search,
         "q_bloom_seen": q_bloom_seen,
         "q_audio_headers": q_audio_headers,
         "q_image_dhash": q_image_dhash,
@@ -2455,7 +2470,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_surt_key": q_surt_key,
         "q_pack_shards": q_pack_shards,
         "q_robots_sitemaps": q_robots_sitemaps,
-        "q_wat_roundtrip": q_wat_roundtrip,
         # changed this round (full-PSL default + ccTLD branches): keep a
         # driver row on the new behavior
         "q_psl_domain": q_psl_domain,
@@ -2467,6 +2481,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mime_sniff": q_mime_sniff,
         "q_exact_substring": q_exact_substring,
         "q_bpe_encode": q_bpe_encode,
+        "q_pack_sequences": q_pack_sequences,
+        # 52 no-prior-driver-row queries compete for the 50-slot window;
+        # these two sit out THIS round because their shared machinery is
+        # already window-covered by siblings (q_inverted_index builds the
+        # same index keyword_search queries; the WARC record writer is
+        # exercised by q_warc_roundtrip/q_wet_roundtrip/q_warc_index/
+        # q_warc_revisit/q_cdxj_roundtrip).  Both stay green on the strict
+        # local oracle (tools/oracle_check.py); window them next round.
+        "q_keyword_search": q_keyword_search,
+        "q_wat_roundtrip": q_wat_roundtrip,
         # -- round-3-green veterans: the 3 remaining window slots
         #    (positions 48-50, ending q_window_order_check) --
         "q_filter_project": q_filter_project,
@@ -4420,6 +4444,42 @@ def oracle_sql() -> dict[str, str]:
                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                         ), 0) // 262144 AS BIGINT) AS shard_id
             FROM s
+        """,
+        "q_pack_sequences": """
+            -- sequential packing semantics: global running slot sum in
+            -- doc_id order (n_tokens + 1 EOD slot per doc), one row per
+            -- sequence the doc's slot span [start, start+n_slots) covers
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len(list_filter(
+                       regexp_split_to_array(trim(coalesce(text, '')), '\\s+'),
+                       x -> len(x) > 0)) + 1 AS BIGINT) AS n_slots
+              FROM documents
+            ), o AS (
+              SELECT doc_id, n_slots,
+                     CAST(COALESCE(sum(n_slots) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS BIGINT) AS start_offset
+              FROM t
+            ), e AS (
+              SELECT doc_id, n_slots, start_offset,
+                     unnest(generate_series(start_offset // 128,
+                                            (start_offset + n_slots - 1) // 128))
+                       AS seq_id
+              FROM o
+            )
+            SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+                   CAST(greatest(start_offset, seq_id * 128) - seq_id * 128
+                        AS BIGINT) AS seq_off,
+                   CAST(greatest(start_offset, seq_id * 128) - start_offset
+                        AS BIGINT) AS doc_off,
+                   CAST(least(start_offset + n_slots, (seq_id + 1) * 128)
+                        - greatest(start_offset, seq_id * 128)
+                        AS BIGINT) AS slice_len,
+                   least(start_offset + n_slots, (seq_id + 1) * 128)
+                     = start_offset + n_slots AS eod
+            FROM e
         """,
         "q_surt_key": """
             -- expected SURT key per family, stated in closed form:

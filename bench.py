@@ -182,6 +182,7 @@ def run_queries(spark) -> dict[str, float]:
         "q_main_content",
         "q_markdown",
         "q_pagerank",
+        "q_bpe_encode",
     ]
     qs = entrymod.queries()
     # untimed warm-up: JVM JIT + parquet footer cache + Python worker spawn

@@ -802,16 +802,32 @@ def pack_shards(
     Every full-data stage is a plain hash/range exchange; the only
     single-partition window runs over P rows.
     """
-    if num_partitions is None:
-        num_partitions = int(
-            docs.sparkSession.conf.get("spark.sql.shuffle.partitions")
-        )
     sizes = docs.select(
         F.col(id_col).alias("doc_id"),
         F.octet_length(F.coalesce(F.col(text_col), F.lit(""))).cast("long").alias(
             "n_bytes"
         ),
     )
+    return _running_offsets(sizes, "n_bytes", num_partitions).select(
+        "doc_id",
+        "n_bytes",
+        "start_offset",
+        # `div` (IntegralDivide), not float `/` + cast: at 10^14-byte
+        # running offsets float division rounds before the truncation
+        F.expr(f"start_offset div {int(shard_bytes)}").alias("shard_id"),
+    )
+
+
+def _running_offsets(
+    sizes: DataFrame, size_col: str, num_partitions: int | None
+) -> DataFrame:
+    """(doc_id, <size_col>) → + exclusive ``start_offset`` in doc_id order
+    via the distributed prefix-sum (see :func:`pack_shards` for the scale
+    rationale; shared by the byte-sharding and sequence-packing planners)."""
+    if num_partitions is None:
+        num_partitions = int(
+            sizes.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
     # Persist the ranged projection: `_p` (spark_partition_id) feeds BOTH
     # the totals branch and the probe side of the offset join, and without
     # a shared materialization each branch would carry its own range
@@ -830,33 +846,82 @@ def pack_shards(
     )
     # exclusive per-range offsets: P rows — the window over them is single
     # partition BY CONSTRUCTION (P ≈ thousands at crawl scale, not 10^12)
-    totals = ranged.groupBy("_p").agg(F.sum("n_bytes").alias("_range_bytes"))
+    totals = ranged.groupBy("_p").agg(F.sum(size_col).alias("_range_units"))
     w_off = Window.orderBy("_p").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.select(
         "_p",
-        F.coalesce(F.sum("_range_bytes").over(w_off), F.lit(0)).alias("_offset"),
+        F.coalesce(F.sum("_range_units").over(w_off), F.lit(0)).alias("_offset"),
     )
     w_local = (
         Window.partitionBy("_p")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    return (
-        ranged.join(F.broadcast(offsets), "_p")
-        .select(
-            "doc_id",
-            "n_bytes",
-            (
-                F.col("_offset")
-                + F.coalesce(F.sum("n_bytes").over(w_local), F.lit(0))
-            ).alias("start_offset"),
-        )
-        .select(
-            "doc_id",
-            "n_bytes",
-            "start_offset",
-            # `div` (IntegralDivide), not float `/` + cast: at 10^14-byte
-            # running offsets float division rounds before the truncation
-            F.expr(f"start_offset div {int(shard_bytes)}").alias("shard_id"),
-        )
+    return ranged.join(F.broadcast(offsets), "_p").select(
+        "doc_id",
+        size_col,
+        (
+            F.col("_offset") + F.coalesce(F.sum(size_col).over(w_local), F.lit(0))
+        ).alias("start_offset"),
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """GPT-style concat-and-split sequence-packing plan: every document's
+    whitespace tokens plus ONE end-of-document slot are laid end-to-end in
+    doc_id order, and the resulting global token stream is cut into
+    fixed-length training sequences of ``seq_len`` slots.  This is the
+    standard LM pretraining packing rule (concatenate with EOD separators,
+    split every L tokens — documents may span sequence boundaries), the
+    cross-document complement of per-document :func:`chunk_plan`.
+
+    Returns one row per (sequence, document-slice) overlap:
+    (seq_id, doc_id, seq_off, doc_off, slice_len, eod) — the loader-side
+    recipe: place ``slice_len`` slots of doc ``doc_id`` starting at token
+    ``doc_off`` (slot index ``n_tokens`` IS the EOD) into sequence
+    ``seq_id`` at position ``seq_off``.  Every sequence except the last
+    packs to exactly ``seq_len`` with zero padding.
+
+    Scale shape: the global offsets come from the same distributed
+    prefix-sum as :func:`pack_shards` (range partitions → local cumsums →
+    P-row rollup, never a single-partition window over the corpus); the
+    seq fan-out is a narrow posexplode over ``O(n_slots / L + 1)``
+    elements per doc, carrying only three longs through the Generate.
+    Deterministic and partition-independent: integer arithmetic only."""
+    L = int(seq_len)
+    if L <= 0:
+        raise ValueError("seq_len must be positive")
+    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    n_tokens = F.size(F.filter(toks, lambda x: F.length(x) > 0)).cast("long")
+    sizes = docs.select(
+        F.col(id_col).alias("doc_id"), (n_tokens + 1).alias("n_slots")
+    )
+    offs = _running_offsets(sizes, "n_slots", num_partitions)
+    start = F.col("start_offset")
+    fanned = offs.select(
+        "doc_id",
+        "n_slots",
+        "start_offset",
+        F.explode(
+            F.sequence(
+                F.expr(f"start_offset div {L}"),
+                F.expr(f"(start_offset + n_slots - 1) div {L}"),
+            )
+        ).alias("seq_id"),
+    )
+    seg_start = F.greatest(start, F.col("seq_id") * L)
+    seg_end = F.least(start + F.col("n_slots"), (F.col("seq_id") + 1) * L)
+    return fanned.select(
+        "seq_id",
+        "doc_id",
+        (seg_start - F.col("seq_id") * L).alias("seq_off"),
+        (seg_start - start).alias("doc_off"),
+        (seg_end - seg_start).alias("slice_len"),
+        (seg_end == start + F.col("n_slots")).alias("eod"),
     )

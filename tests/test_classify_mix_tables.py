@@ -301,3 +301,101 @@ def test_tables_kernel_survives_deep_nesting():
     assert rows == [
         {"table_idx": 0, "row_idx": 0, "is_header": False, "cells": ["deep"]}
     ]
+
+
+def _sequential_pack(token_counts, L):
+    """Pure-Python packing reference: doc tokens + 1 EOD slot concatenated
+    in id order, cut every L slots."""
+    out, off = [], 0
+    for did in sorted(token_counts):
+        n_slots = token_counts[did] + 1
+        start, end = off, off + n_slots
+        s = start // L
+        while s * L < end:
+            seg_start = max(start, s * L)
+            seg_end = min(end, (s + 1) * L)
+            out.append(
+                (s, did, seg_start - s * L, seg_start - start,
+                 seg_end - seg_start, seg_end == end)
+            )
+            s += 1
+        off = end
+    return sorted(out)
+
+
+def test_pack_sequences_hand_example(spark):
+    """L=4, docs of 3/4/0 tokens: doc0 fills seq0 exactly (eod at slot 3),
+    doc1 (5 slots) spans seq1+seq2, the empty doc is a lone EOD slot."""
+    from html_parser_spark.ops.corpus import pack_sequences
+
+    df = spark.createDataFrame(
+        [(0, "a b c"), (1, "d e f g"), (2, None)],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r["seq_id"], r["doc_id"], r["seq_off"], r["doc_off"],
+         r["slice_len"], r["eod"])
+        for r in pack_sequences(df, seq_len=4, num_partitions=2).collect()
+    )
+    assert got == [
+        (0, 0, 0, 0, 4, True),   # 3 tokens + EOD == one full sequence
+        (1, 1, 0, 0, 4, False),  # first 4 of doc1's 5 slots
+        (2, 1, 0, 4, 1, True),   # doc1's EOD spills into seq2
+        (2, 2, 1, 0, 1, True),   # empty doc == a lone EOD slot
+    ]
+
+
+def test_pack_sequences_matches_sequential_and_partition_independent(spark):
+    from html_parser_spark.ops.corpus import pack_sequences
+
+    rows = [(i, " ".join(f"t{j}" for j in range((i * 13) % 40))) for i in range(60)]
+    rows[5] = (5, None)
+    rows[11] = (11, "   ")
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    counts = {i: (len(t.split()) if t else 0) for i, t in rows}
+    expect = _sequential_pack(counts, 16)
+    for p in (1, 3, 8):
+        got = sorted(
+            (r["seq_id"], r["doc_id"], r["seq_off"], r["doc_off"],
+             r["slice_len"], r["eod"])
+            for r in pack_sequences(df, seq_len=16, num_partitions=p).collect()
+        )
+        assert got == expect, f"num_partitions={p}"
+
+
+def test_pack_sequences_invariants(spark):
+    """Every sequence except the last holds exactly L slots with no gaps;
+    each doc's slices cover [0, n_tokens+1) contiguously and flag eod on
+    the final slice only."""
+    from collections import defaultdict
+
+    from html_parser_spark.ops.corpus import pack_sequences
+
+    rows = [(i, "w " * ((i * 7) % 23)) for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    L = 32
+    recs = pack_sequences(df, seq_len=L, num_partitions=4).collect()
+    per_seq = defaultdict(list)
+    per_doc = defaultdict(list)
+    for r in recs:
+        assert r["slice_len"] > 0
+        per_seq[r["seq_id"]].append((r["seq_off"], r["slice_len"]))
+        per_doc[r["doc_id"]].append((r["doc_off"], r["slice_len"], r["eod"]))
+    last = max(per_seq)
+    for sid, segs in per_seq.items():
+        segs.sort()
+        pos = 0
+        for o, ln in segs:
+            assert o == pos, (sid, segs)
+            pos += ln
+        if sid != last:
+            assert pos == L, (sid, pos)
+    for did, segs in per_doc.items():
+        segs.sort()
+        n_slots = ((did * 7) % 23) + 1
+        pos = 0
+        for o, ln, eod in segs:
+            assert o == pos
+            pos += ln
+            assert eod == (pos == n_slots)
+        assert pos == n_slots

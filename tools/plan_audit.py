@@ -574,6 +574,19 @@ def main():
         )
     )
 
+    p = plan_of(entrymod.q_pack_sequences(spark, sf_dir))
+    checks.append(
+        (
+            "q_pack_sequences — concat-and-split packing: same distributed "
+            "prefix-sum as pack_shards, then a narrow Generate fan-out "
+            "(no extra shuffle, no Python stage)",
+            p,
+            ["Window", "BroadcastHashJoin", "Generate"],
+            ["CartesianProduct", "SortMergeJoin", "ArrowEvalPython",
+             "BatchEvalPython"],
+        )
+    )
+
     p = plan_of(entrymod.q_surt_key(spark, sf_dir))
     checks.append(
         (
