@@ -1172,6 +1172,21 @@ def q_pack_sequences(spark, sf_dir):
     return pack_sequences(docs, seq_len=128, num_partitions=8)
 
 
+def q_seq_materialize(spark, sf_dir):
+    """Packed-dataset writer (ops/corpus.materialize_sequences): execute
+    the q_pack_sequences plan — slice each doc's token+EOD slot array per
+    plan row BEFORE the groupBy (no full document ever rides a group),
+    reassemble every 128-slot training sequence's text in seq_off order
+    via array_sort (shuffle-order independent).  The oracle rebuilds each
+    sequence with list_slice + ordered string_agg over the same exploded
+    plan — hash match proves plan execution end-to-end, text included."""
+    from html_parser_spark.ops.corpus import materialize_sequences, pack_sequences
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    plan = pack_sequences(docs, seq_len=128, num_partitions=8)
+    return materialize_sequences(docs, plan)
+
+
 def q_surt_key(spark, sf_dir):
     """SURT capture-index keys (ops/web.surt_key — the sort key CDX
     indexes range-scan by): six url families built in closed form from
@@ -2491,6 +2506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # local oracle (tools/oracle_check.py); window them next round.
         "q_keyword_search": q_keyword_search,
         "q_wat_roundtrip": q_wat_roundtrip,
+        "q_seq_materialize": q_seq_materialize,
         # -- round-3-green veterans: the 3 remaining window slots
         #    (positions 48-50, ending q_window_order_check) --
         "q_filter_project": q_filter_project,
@@ -4480,6 +4496,47 @@ def oracle_sql() -> dict[str, str]:
                    least(start_offset + n_slots, (seq_id + 1) * 128)
                      = start_offset + n_slots AS eod
             FROM e
+        """,
+        "q_seq_materialize": """
+            -- execute the packing plan symbolically: per-doc slot array
+            -- (tokens + EOD marker), global running offsets, list_slice
+            -- per covered sequence, reassembled in seq_off order
+            WITH t AS (
+              SELECT doc_id,
+                     list_append(list_filter(
+                       regexp_split_to_array(trim(coalesce(text, '')), '\\s+'),
+                       x -> len(x) > 0), '<|eod|>') AS slots
+              FROM documents
+            ), o AS (
+              SELECT doc_id, slots,
+                     CAST(len(slots) AS BIGINT) AS n_slots,
+                     CAST(COALESCE(sum(len(slots)) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS BIGINT) AS start_offset
+              FROM t
+            ), e AS (
+              SELECT doc_id, slots, n_slots, start_offset,
+                     unnest(generate_series(start_offset // 128,
+                                            (start_offset + n_slots - 1) // 128))
+                       AS seq_id
+              FROM o
+            ), s AS (
+              SELECT seq_id,
+                     greatest(start_offset, seq_id * 128) - seq_id * 128
+                       AS seq_off,
+                     least(start_offset + n_slots, (seq_id + 1) * 128)
+                       - greatest(start_offset, seq_id * 128) AS slice_len,
+                     array_to_string(list_slice(slots,
+                       greatest(start_offset, seq_id * 128) - start_offset + 1,
+                       least(start_offset + n_slots, (seq_id + 1) * 128)
+                         - start_offset), ' ') AS piece
+              FROM e
+            )
+            SELECT CAST(seq_id AS BIGINT) AS seq_id,
+                   CAST(sum(slice_len) AS BIGINT) AS n_slots,
+                   string_agg(piece, ' ' ORDER BY seq_off) AS seq_text
+            FROM s GROUP BY seq_id
         """,
         "q_surt_key": """
             -- expected SURT key per family, stated in closed form:

@@ -925,3 +925,59 @@ def pack_sequences(
         (seg_end - seg_start).alias("slice_len"),
         (seg_end == start + F.col("n_slots")).alias("eod"),
     )
+
+
+def materialize_sequences(
+    docs: DataFrame,
+    plan: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eod_token: str = "<|eod|>",
+) -> DataFrame:
+    """Execute a :func:`pack_sequences` plan: join each (seq, doc-slice)
+    row back to its document, slice the doc's slot array (tokens + the EOD
+    marker), and assemble every training sequence's token text — the
+    packed-dataset writer step.
+
+    Returns (seq_id, n_slots, seq_text); every sequence except the last
+    has exactly ``seq_len`` slots.
+
+    Scale shape: ONE equi-join on doc_id (plan rows are tiny — five longs
+    — so the join shuffles the corpus text once, co-partitioned with the
+    plan) and ONE groupBy(seq_id) whose per-group payload is bounded by
+    ``seq_len`` tokens regardless of document sizes; slice assembly
+    happens BEFORE the groupBy so no full document ever rides a group.
+    Order inside a sequence is reconstructed from ``seq_off`` via
+    array_sort over (seq_off, piece) structs — deterministic, never
+    dependent on shuffle arrival order."""
+    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    slots = F.concat(
+        F.filter(toks, lambda x: F.length(x) > 0),
+        F.array(F.lit(eod_token)),
+    )
+    d = docs.select(F.col(id_col).alias("doc_id"), slots.alias("_slots"))
+    j = plan.join(d, "doc_id").select(
+        "seq_id",
+        "seq_off",
+        "slice_len",
+        F.concat_ws(
+            " ",
+            F.expr("slice(_slots, int(doc_off + 1), int(slice_len))"),
+        ).alias("_piece"),
+    )
+    return (
+        j.groupBy("seq_id")
+        .agg(
+            F.sum("slice_len").alias("n_slots"),
+            F.array_sort(
+                F.collect_list(F.struct("seq_off", F.col("_piece")))
+            ).alias("_pieces"),
+        )
+        .select(
+            "seq_id",
+            "n_slots",
+            F.concat_ws(
+                " ", F.transform(F.col("_pieces"), lambda s: s["_piece"])
+            ).alias("seq_text"),
+        )
+    )

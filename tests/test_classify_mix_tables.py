@@ -399,3 +399,48 @@ def test_pack_sequences_invariants(spark):
             pos += ln
             assert eod == (pos == n_slots)
         assert pos == n_slots
+
+
+def test_materialize_sequences_hand_example(spark):
+    from html_parser_spark.ops.corpus import materialize_sequences, pack_sequences
+
+    df = spark.createDataFrame(
+        [(0, "a b c"), (1, "d e f g"), (2, None)],
+        "doc_id long, text string",
+    )
+    plan = pack_sequences(df, seq_len=4, num_partitions=2)
+    got = {
+        r["seq_id"]: (r["n_slots"], r["seq_text"])
+        for r in materialize_sequences(df, plan).collect()
+    }
+    assert got == {
+        0: (4, "a b c <|eod|>"),
+        1: (4, "d e f g"),
+        2: (2, "<|eod|> <|eod|>"),  # doc1's EOD then empty doc2's EOD
+    }
+
+
+def test_materialize_sequences_reconstructs_stream(spark):
+    """Concatenating all sequences in seq_id order must reproduce the
+    sequential token+EOD stream exactly, with every non-final sequence
+    packed to exactly L slots."""
+    from html_parser_spark.ops.corpus import materialize_sequences, pack_sequences
+
+    rows = [(i, " ".join(f"d{i}t{j}" for j in range((i * 11) % 29))) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    L = 16
+    plan = pack_sequences(df, seq_len=L, num_partitions=3)
+    seqs = sorted(
+        (r["seq_id"], r["n_slots"], r["seq_text"])
+        for r in materialize_sequences(df, plan).collect()
+    )
+    expect_stream = []
+    for i, t in rows:
+        expect_stream.extend(t.split())
+        expect_stream.append("<|eod|>")
+    got_stream = [tok for _, _, text in seqs for tok in text.split()]
+    assert got_stream == expect_stream
+    assert [s for s, _, _ in seqs] == list(range(len(seqs)))
+    for sid, n, text in seqs[:-1]:
+        assert n == L and len(text.split()) == L
+    assert seqs[-1][1] == len(expect_stream) - (len(seqs) - 1) * L

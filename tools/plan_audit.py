@@ -587,6 +587,19 @@ def main():
         )
     )
 
+    p = plan_of(entrymod.q_seq_materialize(spark, sf_dir))
+    checks.append(
+        (
+            "q_seq_materialize — plan execution: ONE doc_id equi-join + "
+            "ONE groupBy(seq_id) over pre-sliced pieces (per-group payload "
+            "bounded by seq_len; no Python stage, no cartesian)",
+            p,
+            ["Window", "Join"],
+            ["CartesianProduct", "BroadcastNestedLoopJoin",
+             "ArrowEvalPython", "BatchEvalPython"],
+        )
+    )
+
     p = plan_of(entrymod.q_surt_key(spark, sf_dir))
     checks.append(
         (
