@@ -1936,6 +1936,79 @@ def q_latest_capture(spark, sf_dir):
     )
 
 
+def q_canonical_dedup(spark, sf_dir):
+    """rel=canonical capture election (ops/web.canonical_dedup): 4
+    captures per group — three variants declaring a canonical plus a
+    canonical-less singleton.  Even groups declare the crawled v0 (a
+    SELF-canonical exists and must win over newer variants); odd groups
+    declare a never-crawled /vX (no self-canonical -> newest capture
+    wins).  The oracle replays the election as a window rank over the
+    same closed-form captures."""
+    from html_parser_spark.ops.web import canonical_dedup
+
+    docs = _docs(spark, sf_dir)
+    gs = F.expr("doc_id div 4").cast("string")
+    v = F.pmod("doc_id", F.lit(4))
+    url = F.concat(F.lit("https://ex.org/g"), gs, F.lit("/v"), v.cast("string"))
+    canonical = (
+        F.when(v == 3, F.lit(None).cast("string"))
+        .when(
+            F.expr("(doc_id div 4) % 2 = 0"),
+            F.concat(F.lit("https://ex.org/g"), gs, F.lit("/v0")),
+        )
+        .otherwise(F.concat(F.lit("https://ex.org/g"), gs, F.lit("/vX")))
+    )
+    captures = docs.select(
+        url.alias("url"),
+        canonical.alias("canonical"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id") * 3600).alias(
+            "warc_ts"
+        ),
+        F.md5(F.encode("text", "UTF-8")).alias("body"),
+    )
+    out = canonical_dedup(captures)
+    return out.select(
+        "canonical_url",
+        "n_captures",
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("warc_date"),
+        "body",
+    )
+
+
+def q_centroid_outliers(spark, sf_dir):
+    """Prototypicality pruning (ops/similarity.centroid_outliers): per-label
+    centroid via DECIMAL(30,15)-summed means (order-independent,
+    cross-engine exact — the ivf_train rule), cosine distance of every
+    vector to its own label's centroid, 10 least-prototypical per label
+    via WindowGroupLimit.  Oracle recomputes centroids and distances with
+    list_dot_product — bit-agreeing at the shared 4dp rounding."""
+    from html_parser_spark.ops.similarity import centroid_outliers
+
+    return centroid_outliers(_tbl(spark, sf_dir, "embeddings"), k=10)
+
+
+def q_domain_cap(spark, sf_dir):
+    """Domain diversification cap (ops/web.domain_cap): at most 20 docs
+    per synthesized host (7 hosts over documents), selected by a
+    deterministic salted-md5 ranking — id-stable, engine-independent.
+    The rank<=N filter sits directly on the row_number window so Spark
+    rewrites it to WindowGroupLimit (map-side top-N per host before the
+    shuffle; plan-audited).  The oracle runs the identical ranking in
+    DuckDB — exact id agreement, not just counts."""
+    from html_parser_spark.ops.web import domain_cap
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit("h"), F.pmod("doc_id", F.lit(7)).cast("string")).alias(
+            "host"
+        ),
+    )
+    return domain_cap(docs, 20, salt="cap1").select(
+        "doc_id", "host", F.col("host_rank").cast("long").alias("host_rank")
+    )
+
+
 def q_warc_roundtrip(spark, sf_dir):
     """WARC source+sink (Common-Crawl container format): synthesize a crawl
     from the documents table, write it as per-record-gzip ``.warc.gz`` part
@@ -2507,6 +2580,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_keyword_search": q_keyword_search,
         "q_wat_roundtrip": q_wat_roundtrip,
         "q_seq_materialize": q_seq_materialize,
+        "q_canonical_dedup": q_canonical_dedup,
+        "q_domain_cap": q_domain_cap,
+        "q_centroid_outliers": q_centroid_outliers,
         # -- round-3-green veterans: the 3 remaining window slots
         #    (positions 48-50, ending q_window_order_check) --
         "q_filter_project": q_filter_project,
@@ -3964,6 +4040,93 @@ def oracle_sql() -> dict[str, str]:
                    || (CASE WHEN doc_id % 3 = 0 THEN '?q=' || doc_id ELSE '' END)
                      AS canonical_url
             FROM documents
+        """,
+        "q_canonical_dedup": """
+            -- replay the election as a window rank: self-canonical first,
+            -- then newest, then url/body ascending (total order)
+            WITH c AS (
+              SELECT 'https://ex.org/g' || (doc_id // 4) || '/v' || (doc_id % 4)
+                       AS url,
+                     CASE WHEN doc_id % 4 = 3 THEN NULL
+                          WHEN (doc_id // 4) % 2 = 0
+                            THEN 'https://ex.org/g' || (doc_id // 4) || '/v0'
+                          ELSE 'https://ex.org/g' || (doc_id // 4) || '/vX'
+                     END AS canonical,
+                     TIMESTAMP '2024-01-01 00:00:00' + to_seconds(doc_id * 3600)
+                       AS warc_ts,
+                     md5(text) AS body
+              FROM documents
+            ), g AS (
+              SELECT coalesce(canonical, url) AS canonical_url, url, warc_ts,
+                     body,
+                     count(*) OVER (PARTITION BY coalesce(canonical, url))
+                       AS n_captures,
+                     row_number() OVER (
+                       PARTITION BY coalesce(canonical, url)
+                       ORDER BY CASE WHEN url = coalesce(canonical, url)
+                                     THEN 0 ELSE 1 END,
+                                warc_ts DESC, url, body
+                     ) AS rn
+              FROM c
+            )
+            SELECT canonical_url, CAST(n_captures AS BIGINT) AS n_captures,
+                   url, strftime(warc_ts, '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+                   body
+            FROM g WHERE rn = 1
+        """,
+        "q_centroid_outliers": """
+            -- per-label centroid: DECIMAL(30,15) sums (order-independent,
+            -- matching Spark's decimal-summed means bit-for-bit), then
+            -- cosine distance + top-10 rank per label
+            WITH e AS (
+              SELECT vec_id, label,
+                     unnest(range(1, len(embedding) + 1)) AS pos,
+                     unnest(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+                       AS val
+              FROM embeddings
+            ), c AS (
+              SELECT label, pos,
+                     CAST(sum(CAST(CAST(val AS DOUBLE) AS DECIMAL(30,15)))
+                          AS DOUBLE) / count(*) AS m
+              FROM e GROUP BY label, pos
+            ), cv AS (
+              SELECT label, list(m ORDER BY pos) AS cv FROM c GROUP BY label
+            ), s AS (
+              SELECT a.label, a.vec_id,
+                     round(1 - list_dot_product(
+                         list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                         cv.cv)
+                       / (sqrt(list_dot_product(
+                            list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                            list_transform(a.embedding, x -> CAST(x AS DOUBLE))))
+                          * sqrt(list_dot_product(cv.cv, cv.cv))),
+                       4) AS centroid_dist
+              FROM embeddings a JOIN cv ON a.label = cv.label
+            ), r AS (
+              SELECT label, vec_id, centroid_dist,
+                     row_number() OVER (
+                       PARTITION BY label
+                       ORDER BY centroid_dist DESC, vec_id ASC
+                     ) AS rank
+              FROM s
+            )
+            SELECT label, vec_id, centroid_dist, rank FROM r WHERE rank <= 10
+        """,
+        "q_domain_cap": """
+            -- identical deterministic ranking: md5('cap1' || doc_id)
+            -- within each synthesized host, keep rank <= 20
+            WITH c AS (
+              SELECT doc_id, 'h' || (doc_id % 7) AS host FROM documents
+            ), r AS (
+              SELECT doc_id, host,
+                     row_number() OVER (
+                       PARTITION BY host
+                       ORDER BY md5('cap1' || doc_id), doc_id
+                     ) AS host_rank
+              FROM c
+            )
+            SELECT doc_id, host, CAST(host_rank AS BIGINT) AS host_rank
+            FROM r WHERE host_rank <= 20
         """,
         "q_latest_capture": """
             -- newest of the 3 synthesized captures is capture 2 (+2 days)

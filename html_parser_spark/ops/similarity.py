@@ -401,3 +401,77 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def label_centroids(
+    embeddings: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """(label, cv ARRAY<DOUBLE>): per-label mean vector.  The sums pass
+    through DECIMAL(30,15) — order-independent (shuffle-safe) AND
+    cross-engine exact, the same determinism rule as :func:`ivf_train`'s
+    Lloyd means — then divide as DOUBLE.  One posexplode + ONE partial-agg
+    groupBy(label, dim); label cardinality is tiny, dims are fixed, so the
+    result is a broadcastable dim table at any corpus size."""
+    sums = (
+        embeddings.select(label_col, F.posexplode(vec_col).alias("pos", "val"))
+        .groupBy(label_col, "pos")
+        .agg(
+            F.sum(F.col("val").cast("double").cast("decimal(30,15)")).alias("s"),
+            F.count(F.lit(1)).alias("c"),
+        )
+    )
+    return (
+        sums.withColumn("m", F.col("s").cast("double") / F.col("c"))
+        .groupBy(label_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("cv")
+        )
+    )
+
+
+def centroid_outliers(
+    embeddings: DataFrame,
+    k: int = 5,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Prototypicality scoring for data pruning (the SemDeDup-family
+    complement: instead of dropping near-duplicate pairs, rank each
+    cluster's LEAST prototypical members): cosine distance of every
+    vector to its own label's centroid, top-k most distant per label.
+
+    Returns (label, vec_id, centroid_dist, rank) — distance rounded to
+    4dp like every cosine in this module, rank ties broken by vec_id.
+
+    Scale shape: centroid table is labels×1 rows → broadcast equi-join
+    (never a shuffle of the vectors); the rank<=k filter sits directly on
+    the row_number window so Spark rewrites it to WindowGroupLimit
+    (map-side top-k per label before the shuffle)."""
+    cents = label_centroids(embeddings, label_col, vec_col).select(
+        label_col, "cv", _norm(F.col("cv")).alias("cn")
+    )
+    scored = (
+        embeddings.withColumn("_vn", _norm(F.col(vec_col)))
+        .join(F.broadcast(cents), label_col)
+        .select(
+            F.col(label_col).alias("label"),
+            "vec_id",
+            F.round(
+                1
+                - _dot(F.col(vec_col), F.col("cv"))
+                / (F.col("_vn") * F.col("cn")),
+                4,
+            ).alias("centroid_dist"),
+        )
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.desc("centroid_dist"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("label", "vec_id", "centroid_dist", "rank")
+    )

@@ -187,6 +187,91 @@ def latest_capture(
     return agg.select(url_col, *[F.col(f"_r.{c}").alias(c) for c in (ts_col, *others)])
 
 
+def domain_cap(
+    df: DataFrame,
+    max_per_host: int,
+    host_col: str = "host",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Domain diversification cap (the FineWeb/CCNet curation rule): keep
+    at most ``max_per_host`` documents per host so zipfian mega-hosts
+    cannot dominate a training mix.  Selection is a deterministic md5
+    ranking of ``salt || id`` — id-stable across runs, partitionings, and
+    engines (never ``ORDER BY rand()``), and changing the salt draws an
+    independent sample.
+
+    Scale shape: row_number over Window.partitionBy(host) with the
+    ``rank <= N`` filter directly on top, which Spark rewrites to
+    WindowGroupLimit — each map task keeps only its local top-N per host
+    BEFORE the shuffle, so the exchange carries O(hosts × N), not every
+    capture (the plan audit pins the rewrite).  Zipf-head hosts therefore
+    cost the same as any other host.  Adds a ``host_rank`` column
+    (1-based, stable) to the surviving rows."""
+    if max_per_host <= 0:
+        raise ValueError("max_per_host must be positive")
+    from pyspark.sql import Window
+
+    key = F.md5(
+        F.concat(F.lit(salt), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(host_col).orderBy(key, F.col(id_col))
+    return (
+        df.withColumn("host_rank", F.row_number().over(w))
+        .filter(F.col("host_rank") <= int(max_per_host))
+    )
+
+
+def canonical_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    canonical_col: str = "canonical",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """``rel=canonical`` capture election: the page-declared complement of
+    :func:`latest_capture`.  Captures whose ``<link rel=canonical>``
+    (extracted by ops/html_meta) points at the same target are one logical
+    document — print views, tracking-parameter variants, mobile mirrors —
+    and curation wants ONE representative per target.
+
+    Election order within a canonical group (``coalesce(canonical, url)``;
+    a page without a canonical is its own group): (1) a SELF-canonical
+    capture — the page the site itself says is authoritative — then
+    (2) the newest capture, then (3) every remaining input column
+    ascending, so the pick is a deterministic total order however ties
+    fall.
+
+    Scale shape: ONE groupBy with a struct-min aggregate — partial
+    aggregation keeps one candidate per group per map task, so the shuffle
+    carries one row per (group, partition); no window, no sort of the full
+    capture set.  Returns (canonical_url, n_captures, url, <ts_col>,
+    <other input columns>)."""
+    others = [c for c in df.columns if c not in (url_col, canonical_col, ts_col)]
+    d = df.select(
+        F.coalesce(F.col(canonical_col), F.col(url_col)).alias("canonical_url"),
+        *df.columns,
+    )
+    rank = F.struct(
+        F.when(F.col(url_col) == F.col("canonical_url"), 0)
+        .otherwise(1)
+        .alias("_nself"),
+        (-F.unix_micros(F.col(ts_col))).alias("_negts"),
+        F.col(url_col).alias("_url"),
+        F.col(ts_col).alias("_ts"),
+        *[F.col(c).alias(f"_o_{c}") for c in others],
+    )
+    agg = d.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).alias("n_captures"), F.min(rank).alias("_r")
+    )
+    return agg.select(
+        "canonical_url",
+        "n_captures",
+        F.col("_r._url").alias(url_col),
+        F.col("_r._ts").alias(ts_col),
+        *[F.col(f"_r._o_{c}").alias(c) for c in others],
+    )
+
+
 @lru_cache(maxsize=1)
 def load_psl() -> "tuple[str, ...]":
     """Parse the bundled public-suffix snapshot (upstream PSL file format:

@@ -501,3 +501,60 @@ def test_semantic_dedup_plan_equi_join_no_cartesian(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in plan
+
+
+def test_label_centroids_exact_mean(spark):
+    from html_parser_spark.ops.similarity import label_centroids
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0], 7), (1, [0.0, 1.0], 7), (2, [4.0, 4.0], 8)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {r["label"]: r["cv"] for r in label_centroids(df).collect()}
+    assert got[7] == [0.5, 0.5]
+    assert got[8] == [4.0, 4.0]
+
+
+def test_centroid_outliers_ranks_least_prototypical(spark):
+    """Two tight vectors + one orthogonal: the orthogonal vector must rank
+    as the label's top outlier; a singleton label sits at distance 0."""
+    from html_parser_spark.ops.similarity import centroid_outliers
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 0),
+            (1, [1.0, 0.02], 0),
+            (2, [0.0, 1.0], 0),
+            (3, [3.0, 3.0], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = {
+        (r["label"], r["rank"]): (r["vec_id"], r["centroid_dist"])
+        for r in centroid_outliers(df, k=3).collect()
+    }
+    assert rows[(0, 1)][0] == 2  # the orthogonal vector is the outlier
+    assert rows[(0, 1)][1] > rows[(0, 2)][1] >= rows[(0, 3)][1]
+    assert rows[(1, 1)] == (3, 0.0)
+
+
+def test_centroid_outliers_partition_independent(spark):
+    from html_parser_spark.ops.similarity import centroid_outliers
+
+    rows = [
+        (i, [float((i * 7 + d) % 11) for d in range(8)], i % 3)
+        for i in range(45)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    base = None
+    for p in (1, 6):
+        got = sorted(
+            (r["label"], r["rank"], r["vec_id"], r["centroid_dist"])
+            for r in centroid_outliers(df.repartition(p), k=5).collect()
+        )
+        if base is None:
+            base = got
+        else:
+            assert got == base

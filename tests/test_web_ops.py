@@ -412,3 +412,114 @@ def test_recrawl_priority_plan_no_window_digests_before_shuffle(spark):
     # md5 must appear in the pre-shuffle (map-side) aggregate projection
     before_exchange = plan.split("Exchange")[-1]  # bottom-most section
     assert "md5" in before_exchange
+
+
+def test_canonical_dedup_election(spark):
+    """Self-canonical beats newer variants; without a self-canonical the
+    newest capture wins; canonical-less pages are their own group."""
+    from datetime import datetime, timezone
+
+    from html_parser_spark.ops.web import canonical_dedup
+
+    def ts(h):
+        return datetime(2024, 1, 1, h, tzinfo=timezone.utc)
+
+    rows = [
+        # group A: self-canonical (a0) exists but is OLDEST -> still wins
+        ("https://s.example/a0", "https://s.example/a0", ts(0), "a0"),
+        ("https://s.example/a1", "https://s.example/a0", ts(5), "a1"),
+        ("https://s.example/a2", "https://s.example/a0", ts(9), "a2"),
+        # group B: canonical points off-crawl -> newest (b1, hour 7) wins
+        ("https://s.example/b0", "https://s.example/bX", ts(3), "b0"),
+        ("https://s.example/b1", "https://s.example/bX", ts(7), "b1"),
+        # group C: no canonical -> singleton, self-elected
+        ("https://s.example/c0", None, ts(2), "c0"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, canonical string, warc_ts timestamp, body string"
+    )
+    got = {
+        r["canonical_url"]: (r["n_captures"], r["url"], r["body"])
+        for r in canonical_dedup(df).collect()
+    }
+    assert got == {
+        "https://s.example/a0": (3, "https://s.example/a0", "a0"),
+        "https://s.example/bX": (2, "https://s.example/b1", "b1"),
+        "https://s.example/c0": (1, "https://s.example/c0", "c0"),
+    }
+
+
+def test_canonical_dedup_exact_tie_total_order(spark):
+    """Two non-self captures with the SAME timestamp: the smaller url wins
+    — the struct-min election is a total order, never shuffle-dependent."""
+    from datetime import datetime, timezone
+
+    from html_parser_spark.ops.web import canonical_dedup
+
+    t = datetime(2024, 6, 1, tzinfo=timezone.utc)
+    df = spark.createDataFrame(
+        [
+            ("https://s.example/z2", "https://s.example/zX", t, "z2"),
+            ("https://s.example/z1", "https://s.example/zX", t, "z1"),
+        ],
+        "url string, canonical string, warc_ts timestamp, body string",
+    )
+    rows = canonical_dedup(df).collect()
+    assert len(rows) == 1
+    assert rows[0]["url"] == "https://s.example/z1"
+    assert rows[0]["n_captures"] == 2
+
+
+def test_domain_cap_exact_selection_and_partition_independence(spark):
+    """The md5 ranking must pick the EXACT same ids as a sequential
+    replica, for any input partitioning; hosts under the cap keep all."""
+    import hashlib
+    from collections import defaultdict
+
+    from html_parser_spark.ops.web import domain_cap
+
+    rows = [(i, f"host{i % 3}") for i in range(30)] + [(100, "tiny")]
+    expect = defaultdict(list)
+    for i, h in rows:
+        expect[h].append((hashlib.md5(f"s1{i}".encode()).hexdigest(), i))
+    keep = {
+        (i, h, rk + 1)
+        for h, lst in expect.items()
+        for rk, (_, i) in enumerate(sorted(lst)[:4])
+    }
+    for p in (1, 5):
+        df = spark.createDataFrame(
+            rows, "doc_id long, host string"
+        ).repartition(p)
+        got = {
+            (r["doc_id"], r["host"], r["host_rank"])
+            for r in domain_cap(df, 4, salt="s1").collect()
+        }
+        assert got == keep, f"partitions={p}"
+
+
+def test_domain_cap_salt_redraws(spark):
+    from html_parser_spark.ops.web import domain_cap
+
+    df = spark.createDataFrame(
+        [(i, "only") for i in range(40)], "doc_id long, host string"
+    )
+    a = {r["doc_id"] for r in domain_cap(df, 10, salt="a").collect()}
+    b = {r["doc_id"] for r in domain_cap(df, 10, salt="b").collect()}
+    assert len(a) == len(b) == 10
+    assert a != b  # independent draw (astronomically unlikely to collide)
+
+
+def test_domain_cap_plan_uses_window_group_limit(spark):
+    """The rank<=N filter must rewrite to WindowGroupLimit so map tasks
+    keep only local top-N per host before the shuffle."""
+    from html_parser_spark.ops.web import domain_cap
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("h"), (F.col("id") % 5).cast("string")).alias("host"),
+    )
+    plan = domain_cap(df, 3)
+    plan.collect()
+    s = plan._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in s, s

@@ -600,6 +600,45 @@ def main():
         )
     )
 
+    p = plan_of(entrymod.q_canonical_dedup(spark, sf_dir))
+    checks.append(
+        (
+            "q_canonical_dedup — rel=canonical election: ONE struct-min "
+            "groupBy with partial aggregation (SortAggregate — struct min "
+            "is not hashable; no window over captures, no Python stage)",
+            p,
+            ["Aggregate"],
+            ["Window", "CartesianProduct", "ArrowEvalPython",
+             "BatchEvalPython", "Join"],
+        )
+    )
+
+    p = plan_of(entrymod.q_domain_cap(spark, sf_dir))
+    checks.append(
+        (
+            "q_domain_cap — diversification cap: rank<=N rewritten to "
+            "WindowGroupLimit (map-side top-N per host before the "
+            "shuffle; no Python stage)",
+            p,
+            ["WindowGroupLimit"],
+            ["CartesianProduct", "ArrowEvalPython", "BatchEvalPython",
+             "Join"],
+        )
+    )
+
+    p = plan_of(entrymod.q_centroid_outliers(spark, sf_dir))
+    checks.append(
+        (
+            "q_centroid_outliers — prototypicality pruning: broadcast "
+            "centroid dim join + WindowGroupLimit top-k per label "
+            "(vectors never shuffle for the join; no Python stage)",
+            p,
+            ["BroadcastHashJoin", "WindowGroupLimit"],
+            ["CartesianProduct", "SortMergeJoin", "ArrowEvalPython",
+             "BatchEvalPython"],
+        )
+    )
+
     p = plan_of(entrymod.q_surt_key(spark, sf_dir))
     checks.append(
         (
