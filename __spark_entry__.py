@@ -2570,13 +2570,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_exact_substring": q_exact_substring,
         "q_bpe_encode": q_bpe_encode,
         "q_pack_sequences": q_pack_sequences,
-        # 52 no-prior-driver-row queries compete for the 50-slot window;
-        # these two sit out THIS round because their shared machinery is
-        # already window-covered by siblings (q_inverted_index builds the
-        # same index keyword_search queries; the WARC record writer is
-        # exercised by q_warc_roundtrip/q_wet_roundtrip/q_warc_index/
-        # q_warc_revisit/q_cdxj_roundtrip).  Both stay green on the strict
-        # local oracle (tools/oracle_check.py); window them next round.
+        # -- round-4 overflow: the 50-slot window is saturated with
+        #    no-prior-row queries, so these six sit just past it.  The
+        #    first two were chosen because their shared machinery is
+        #    window-covered by siblings (q_inverted_index builds the same
+        #    index keyword_search queries; the WARC record writer is
+        #    exercised by q_warc_roundtrip/q_wet_roundtrip/q_warc_index/
+        #    q_warc_revisit/q_cdxj_roundtrip); the rest landed after the
+        #    window filled.  ALL are green on the strict local oracle
+        #    (tools/oracle_check.py, driver-identical hashing); rotate
+        #    them into the window next round.
         "q_keyword_search": q_keyword_search,
         "q_wat_roundtrip": q_wat_roundtrip,
         "q_seq_materialize": q_seq_materialize,

@@ -5,6 +5,7 @@ BETWEEN extraction and training:
         --docs <documents parquet>  --output <dir> \
         [--min-tokens 10] [--max-top-word-frac 0.5] [--max-dup-bigram-frac 0.9] \
         [--scrub-pii] [--span-dedup-tokens 0] [--blocklist-hosts h1,h2] \
+        [--domain-cap 0] \
         [--chunk-tokens 0] [--num-hashes 8] [--bands 4] \
         [--mix-alpha 0|50|100] [--mix-target 0]
 
@@ -179,6 +180,9 @@ def main(argv=None):
                          "(ops/gopher.py) after the repetition gate")
     ap.add_argument("--span-dedup-tokens", type=int, default=0,
                     help="C4-style span dedup window in tokens (0 = skip)")
+    ap.add_argument("--domain-cap", type=int, default=0,
+                    help="keep at most N docs per host (0 = off; "
+                         "--from-extract inputs only, where urls exist)")
     ap.add_argument("--blocklist-hosts", default="",
                     help="comma-separated hosts to drop (--from-extract only)")
     ap.add_argument("--chunk-tokens", type=int, default=0,
@@ -236,6 +240,15 @@ def main(argv=None):
         if args.blocklist_hosts:
             res = host_blocklist_filter(
                 url_parts(res), args.blocklist_hosts.split(",")
+            ).select("url", "warc_ts", "extracted_text", "lang")
+        if args.domain_cap > 0:
+            # FineWeb-style diversification: at most N docs per host,
+            # selected by the deterministic salted-md5 ranking
+            # (ops/web.domain_cap — WindowGroupLimit, map-side top-N)
+            from html_parser_spark.ops.web import domain_cap
+
+            res = domain_cap(
+                url_parts(res), args.domain_cap, host_col="host", id_col="url"
             ).select("url", "warc_ts", "extracted_text", "lang")
         docs = res.select(
             F.xxhash64("url").alias("doc_id"),

@@ -133,3 +133,32 @@ def test_curate_job_mix_alpha_rebalances_languages(spark, tmp_path, capsys):
     by_lang = {r["lang"]: r["n"] for r in
                docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
     assert len(by_lang) >= 2
+
+
+def test_curate_job_domain_cap(spark, tmp_path, capsys):
+    """--domain-cap caps docs per host BEFORE curation: all synthetic urls
+    share host synth.example, so a cap of 5 admits exactly 5 docs."""
+    import jobs.curate_job as cj
+    import jobs.extract_job as ej
+
+    ex_out = str(tmp_path / "extract")
+    ej.main([
+        "--pages", "synth:/root/testdata/sf0.001",
+        "--output", ex_out,
+        "--limit", "40",
+        "--partitions", "4",
+    ])
+    capsys.readouterr()
+    out = str(tmp_path / "curated")
+    cj.main([
+        "--from-extract", ex_out,
+        "--output", out,
+        "--min-tokens", "1",
+        "--domain-cap", "5",
+        "--num-hashes", "4",
+        "--bands", "2",
+    ])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["captures_in"] == 40
+    assert stats["docs_in"] == 5
+    assert stats["after_dedup"] <= 5
