@@ -5,7 +5,7 @@ BETWEEN extraction and training:
         --docs <documents parquet>  --output <dir> \
         [--min-tokens 10] [--max-top-word-frac 0.5] [--max-dup-bigram-frac 0.9] \
         [--scrub-pii] [--span-dedup-tokens 0] [--blocklist-hosts h1,h2] \
-        [--domain-cap 0] \
+        [--domain-cap 0] [--canonical-dedup] \
         [--chunk-tokens 0] [--num-hashes 8] [--bands 4] \
         [--mix-alpha 0|50|100] [--mix-target 0]
 
@@ -180,6 +180,10 @@ def main(argv=None):
                          "(ops/gopher.py) after the repetition gate")
     ap.add_argument("--span-dedup-tokens", type=int, default=0,
                     help="C4-style span dedup window in tokens (0 = skip)")
+    ap.add_argument("--canonical-dedup", action="store_true",
+                    help="group captures by their <link rel=canonical> "
+                         "target and keep one representative per group "
+                         "(needs extract_job --main-content output)")
     ap.add_argument("--domain-cap", type=int, default=0,
                     help="keep at most N docs per host (0 = off; "
                          "--from-extract inputs only, where urls exist)")
@@ -225,6 +229,13 @@ def main(argv=None):
         # accept both extract_job outputs: dictionary extraction
         # (extracted_text) and --main-content boilerplate strip (main_text)
         text_src = "main_text" if "main_text" in raw.columns else "extracted_text"
+        if args.canonical_dedup and "canonical" not in raw.columns:
+            raise SystemExit(
+                "--canonical-dedup needs a 'canonical' column in the extract "
+                "output (produced by extract_job --main-content); this input "
+                "has none"
+            )
+        extra = ["canonical"] if args.canonical_dedup else []
         res = (
             raw.where(F.col(text_src).isNotNull())
             .select(
@@ -232,11 +243,25 @@ def main(argv=None):
                 "warc_ts",
                 F.col(text_src).alias("extracted_text"),
                 "lang",
+                *[canonicalize_url(c).alias("canonical") for c in extra],
             )
         )
         n_captures = res.count()
-        # url-level dedup: canonical url + newest capture wins
-        res = latest_capture(res)
+        if args.canonical_dedup:
+            # page-declared dedup: one representative per rel=canonical
+            # group (self-canonical first, then newest — ops/web.
+            # canonical_dedup); the group target becomes the doc url
+            from html_parser_spark.ops.web import canonical_dedup
+
+            res = canonical_dedup(res).select(
+                F.col("canonical_url").alias("url"),
+                "warc_ts",
+                "extracted_text",
+                "lang",
+            )
+        else:
+            # url-level dedup: canonical url + newest capture wins
+            res = latest_capture(res)
         if args.blocklist_hosts:
             res = host_blocklist_filter(
                 url_parts(res), args.blocklist_hosts.split(",")

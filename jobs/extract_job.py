@@ -269,18 +269,25 @@ def main(argv=None):
     if args.main_content:
         from pyspark.sql import functions as F
 
-        from html_parser_spark.ops.boilerplate import extract_main_content
+        # the FUSED kernel (ops/page_kernel): one parse yields the
+        # boilerplate-stripped text AND the page metadata, so the output
+        # can carry the page's <link rel=canonical> for canonical-group
+        # dedup downstream (curate_job --canonical-dedup) at no extra
+        # parse cost (main_text is field-for-field identical to
+        # extract_main_content — pinned by the kernel differential test)
+        from html_parser_spark.ops.page_kernel import extract_page_full
         from html_parser_spark.spark.pipeline import salted_repartition
 
         def _mc_transform(src):
             src = src.select("url", "warc_ts", "html", "lang")
             if args.partitions:
                 src = salted_repartition(src, args.partitions)
-            return extract_main_content(
+            return extract_page_full(
                 src, max_html_bytes=args.max_html_bytes or None
             ).select(
                 "url", "warc_ts", "lang", "main_text", "n_blocks",
                 "n_content_blocks", "content_chars", "boiler_chars",
+                "canonical",
                 F.length("html").alias("n_bytes_in"),
             )
 

@@ -162,3 +162,62 @@ def test_curate_job_domain_cap(spark, tmp_path, capsys):
     assert stats["captures_in"] == 40
     assert stats["docs_in"] == 5
     assert stats["after_dedup"] <= 5
+
+
+def test_curate_job_canonical_dedup(spark, tmp_path, capsys):
+    """extract --main-content emits the page's rel=canonical; curate
+    --canonical-dedup elects per canonical group.  Synthetic pages declare
+    no canonical, so every page is its own group and the funnel matches
+    the latest-capture path exactly."""
+    import jobs.curate_job as cj
+    import jobs.extract_job as ej
+
+    mc = str(tmp_path / "mc")
+    ej.main([
+        "--pages", "synth:/root/testdata/sf0.001",
+        "--output", mc, "--partitions", "4", "--limit", "30",
+        "--main-content",
+    ])
+    capsys.readouterr()
+    raw = spark.read.parquet(os.path.join(mc, "data"))
+    assert "canonical" in raw.columns
+
+    out_a = str(tmp_path / "canon")
+    cj.main([
+        "--from-extract", mc, "--output", out_a,
+        "--min-tokens", "1", "--canonical-dedup",
+        "--num-hashes", "4", "--bands", "2",
+    ])
+    stats_a = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    out_b = str(tmp_path / "latest")
+    cj.main([
+        "--from-extract", mc, "--output", out_b,
+        "--min-tokens", "1",
+        "--num-hashes", "4", "--bands", "2",
+    ])
+    stats_b = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats_a["captures_in"] == stats_b["captures_in"] == 30
+    assert stats_a["docs_in"] == stats_b["docs_in"]
+    assert stats_a["after_dedup"] == stats_b["after_dedup"]
+
+
+def test_curate_job_canonical_dedup_requires_column(spark, tmp_path, capsys):
+    """--canonical-dedup on a dictionary-extract output (no canonical
+    column) must fail loudly, not silently fall back."""
+    import pytest
+
+    import jobs.curate_job as cj
+    import jobs.extract_job as ej
+
+    ex = str(tmp_path / "dict")
+    ej.main([
+        "--pages", "synth:/root/testdata/sf0.001",
+        "--output", ex, "--partitions", "4", "--limit", "10",
+    ])
+    capsys.readouterr()
+    with pytest.raises(SystemExit, match="canonical"):
+        cj.main([
+            "--from-extract", ex,
+            "--output", str(tmp_path / "x"),
+            "--canonical-dedup",
+        ])
