@@ -941,6 +941,20 @@ def q_bpe_encode(spark, sf_dir):
     return bpe_encode(docs, _bpe_seed_merges())
 
 
+def q_bpe_fertility(spark, sf_dir):
+    """Per-language BPE fertility audit (ops/bpe.fertility_by_group):
+    subword pieces per word under the seed-trained merges — ONE encode
+    pass + ONE partial-agg groupBy; the ratio is a single division of two
+    exact integer sums.  The oracle replays the symbolic encode per doc
+    and aggregates the same integers per lang."""
+    from html_parser_spark.ops.bpe import fertility_by_group
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "lang", F.regexp_replace("text", "‖", "").alias("text")
+    )
+    return fertility_by_group(docs, _bpe_seed_merges())
+
+
 def q_temperature_mix(spark, sf_dir):
     """Temperature-based mixture rebalancing (ops/corpus.temperature_mix_plan,
     the XLM-R/mT5 α-sampling rule at α=0.5): per-language sampling
@@ -2586,6 +2600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_canonical_dedup": q_canonical_dedup,
         "q_domain_cap": q_domain_cap,
         "q_centroid_outliers": q_centroid_outliers,
+        "q_bpe_fertility": q_bpe_fertility,
         # -- round-3-green veterans: the 3 remaining window slots
         #    (positions 48-50, ending q_window_order_check) --
         "q_filter_project": q_filter_project,
@@ -4076,6 +4091,37 @@ def oracle_sql() -> dict[str, str]:
                    url, strftime(warc_ts, '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
                    body
             FROM g WHERE rn = 1
+        """,
+        "q_bpe_fertility": f"""
+            -- same symbolic encode as q_bpe_encode, aggregated per lang;
+            -- fertility = one double division of two exact integer sums
+            WITH d AS (
+              SELECT doc_id, lang,
+                     list_filter(
+                       regexp_split_to_array(
+                         lower(trim(replace(text, '‖', ''))), '\\s+'),
+                       x -> len(x) > 0) AS words
+              FROM documents
+            ), s AS (
+              SELECT doc_id, lang,
+                     CAST(len(words) AS BIGINT) AS n_words,
+                     coalesce(list_aggregate(
+                       list_transform(words, w -> {bpe_word}),
+                       'string_agg', ''), '') AS stream
+              FROM d
+            ), t AS (
+              SELECT lang, n_words,
+                     CAST((len(stream) - len(replace(stream, '‖', ''))) // 2
+                          AS BIGINT) AS n_tokens
+              FROM s
+            )
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_words) AS BIGINT) AS n_words,
+                   CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                   CASE WHEN sum(n_words) > 0 THEN
+                     round(CAST(sum(n_tokens) AS DOUBLE) / sum(n_words), 4)
+                   END AS fertility
+            FROM t GROUP BY lang
         """,
         "q_centroid_outliers": """
             -- per-label centroid: DECIMAL(30,15) sums (order-independent,

@@ -755,6 +755,17 @@ def main():
         )
     )
 
+    p = plan_of(entrymod.q_bpe_fertility(spark, sf_dir))
+    checks.append(
+        (
+            "q_bpe_fertility — tokenizer-fit audit: ONE mapInPandas "
+            "encode + ONE partial-agg groupBy (no Window, no cartesian)",
+            p,
+            ["MapInPandas", "HashAggregate"],
+            ["Window", "CartesianProduct", "BatchEvalPython"],
+        )
+    )
+
     failures = []
     out = ["# Physical-plan audit (generated by tools/plan_audit.py)\n"]
     out.append(
