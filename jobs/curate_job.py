@@ -6,7 +6,7 @@ BETWEEN extraction and training:
         [--min-tokens 10] [--max-top-word-frac 0.5] [--max-dup-bigram-frac 0.9] \
         [--scrub-pii] [--span-dedup-tokens 0] [--blocklist-hosts h1,h2] \
         [--domain-cap 0] [--canonical-dedup] \
-        [--chunk-tokens 0] [--num-hashes 8] [--bands 4] \
+        [--chunk-tokens 0] [--pack-seq-len 0] [--num-hashes 8] [--bands 4] \
         [--mix-alpha 0|50|100] [--mix-target 0]
 
 Chain (every step a stock DataFrame transform, see ops/corpus.py scale notes):
@@ -191,6 +191,9 @@ def main(argv=None):
                     help="comma-separated hosts to drop (--from-extract only)")
     ap.add_argument("--chunk-tokens", type=int, default=0,
                     help="also write fixed-size token chunks (0 = skip)")
+    ap.add_argument("--pack-seq-len", type=int, default=0,
+                    help="write a packed-sequence table (GPT concat-and-"
+                         "split at L slots per sequence, per split; 0=off)")
     ap.add_argument("--num-hashes", type=int, default=8)
     ap.add_argument("--bands", type=int, default=4)
     ap.add_argument("--mix-alpha", type=int, default=0, choices=[0, 50, 100],
@@ -314,12 +317,36 @@ def main(argv=None):
         chunks.write.mode("overwrite").parquet(out_chunks)
         n_chunks = spark.read.parquet(out_chunks).count()
 
+    # 6. optional packed-sequence table: the GPT concat-and-split export
+    # (docs + EOD slots laid end-to-end per split, cut every L slots —
+    # ops/corpus.pack_sequences + materialize_sequences); packed per
+    # split so train/valid/test never share a sequence
+    n_sequences = 0
+    if args.pack_seq_len > 0 and splits:
+        from html_parser_spark.ops.corpus import (
+            materialize_sequences,
+            pack_sequences,
+        )
+
+        out_seqs = os.path.join(args.output, "sequences")
+        for split_name in sorted(splits):
+            part = final.where(F.col("split") == split_name).select(
+                "doc_id", "text"
+            )
+            plan = pack_sequences(part, seq_len=args.pack_seq_len)
+            # the split value comes from the partition directory on read
+            materialize_sequences(part, plan).write.mode("overwrite").parquet(
+                os.path.join(out_seqs, f"split={split_name}")
+            )
+        n_sequences = spark.read.parquet(out_seqs).count()
+
     print(json.dumps({
         "job": "curate",
         **({"captures_in": n_captures} if n_captures is not None else {}),
         **funnel,
         "splits": splits,
         "chunks": n_chunks,
+        **({"sequences": n_sequences} if args.pack_seq_len > 0 else {}),
     }))
 
 

@@ -221,3 +221,47 @@ def test_curate_job_canonical_dedup_requires_column(spark, tmp_path, capsys):
             "--output", str(tmp_path / "x"),
             "--canonical-dedup",
         ])
+
+
+def test_curate_job_pack_sequences(spark, tmp_path, capsys):
+    """--pack-seq-len writes the packed-sequence export per split: total
+    slots = per-split tokens + one EOD per doc, every non-final sequence
+    of a split is exactly L slots."""
+    from pyspark.sql import functions as F
+
+    import jobs.curate_job as cj
+
+    docs_dir = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [
+            (i, " ".join(f"w{i}x{j}" for j in range((i % 9) + 3)), "en")
+            for i in range(30)
+        ],
+        "doc_id long, text string, lang string",
+    ).write.parquet(docs_dir)
+    out = str(tmp_path / "curated")
+    cj.main([
+        "--docs", docs_dir,
+        "--output", out,
+        "--min-tokens", "1",
+        "--num-hashes", "4",
+        "--bands", "2",
+        "--pack-seq-len", "16",
+    ])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["sequences"] > 0
+    seqs = spark.read.parquet(os.path.join(out, "sequences"))
+    assert stats["sequences"] == seqs.count()
+    final = spark.read.parquet(os.path.join(out, "docs"))
+    for split_name in stats["splits"]:
+        part = final.where(F.col("split") == split_name)
+        n_docs = part.count()
+        n_toks = part.select(
+            F.sum(F.size(F.split(F.trim("text"), r"\s+"))).alias("t")
+        ).collect()[0]["t"] or 0
+        got = seqs.where(F.col("split") == split_name)
+        total_slots = got.select(F.sum("n_slots").alias("s")).collect()[0]["s"]
+        assert total_slots == n_toks + n_docs  # tokens + one EOD per doc
+        # every sequence but the last is exactly L
+        sizes = [r["n_slots"] for r in got.orderBy("seq_id").collect()]
+        assert all(s == 16 for s in sizes[:-1])
