@@ -6,7 +6,8 @@ BETWEEN extraction and training:
         [--min-tokens 10] [--max-top-word-frac 0.5] [--max-dup-bigram-frac 0.9] \
         [--scrub-pii] [--span-dedup-tokens 0] [--blocklist-hosts h1,h2] \
         [--domain-cap 0] [--canonical-dedup] \
-        [--chunk-tokens 0] [--pack-seq-len 0] [--num-hashes 8] [--bands 4] \
+        [--chunk-tokens 0] [--pack-seq-len 0] [--bpe-merges 0] \
+        [--num-hashes 8] [--bands 4] \
         [--mix-alpha 0|50|100] [--mix-target 0]
 
 Chain (every step a stock DataFrame transform, see ops/corpus.py scale notes):
@@ -191,6 +192,9 @@ def main(argv=None):
                     help="comma-separated hosts to drop (--from-extract only)")
     ap.add_argument("--chunk-tokens", type=int, default=0,
                     help="also write fixed-size token chunks (0 = skip)")
+    ap.add_argument("--bpe-merges", type=int, default=0,
+                    help="train a BPE merge list of this size on the "
+                         "train split and write bpe/merges.json (0=off)")
     ap.add_argument("--pack-seq-len", type=int, default=0,
                     help="write a packed-sequence table (GPT concat-and-"
                          "split at L slots per sequence, per split; 0=off)")
@@ -340,6 +344,23 @@ def main(argv=None):
             )
         n_sequences = spark.read.parquet(out_seqs).count()
 
+    # 7. optional BPE tokenizer training on the TRAIN split only (never
+    # valid/test — the tokenizer is part of the model): the corpus-scale
+    # pass is ops/bpe.word_freqs (ONE partial-agg groupBy); the merge
+    # loop runs driver-side over the bounded Zipf head (see ops/bpe.py
+    # for why that is the production architecture)
+    n_merges = 0
+    if args.bpe_merges > 0 and splits.get("train"):
+        from html_parser_spark.ops.bpe import train_bpe, word_freqs
+
+        freqs = word_freqs(final.where(F.col("split") == "train"))
+        merges = train_bpe(freqs, n_merges=args.bpe_merges)
+        n_merges = len(merges)
+        bpe_dir = os.path.join(args.output, "bpe")
+        os.makedirs(bpe_dir, exist_ok=True)
+        with open(os.path.join(bpe_dir, "merges.json"), "w") as f:
+            json.dump([list(p) for p in merges], f)
+
     print(json.dumps({
         "job": "curate",
         **({"captures_in": n_captures} if n_captures is not None else {}),
@@ -347,6 +368,7 @@ def main(argv=None):
         "splits": splits,
         "chunks": n_chunks,
         **({"sequences": n_sequences} if args.pack_seq_len > 0 else {}),
+        **({"bpe_merges": n_merges} if args.bpe_merges > 0 else {}),
     }))
 
 

@@ -265,3 +265,41 @@ def test_curate_job_pack_sequences(spark, tmp_path, capsys):
         # every sequence but the last is exactly L
         sizes = [r["n_slots"] for r in got.orderBy("seq_id").collect()]
         assert all(s == 16 for s in sizes[:-1])
+
+
+def test_curate_job_bpe_training(spark, tmp_path, capsys):
+    """--bpe-merges trains on the TRAIN split only and writes a merge
+    list that bpe_encode can consume (a learned merge shrinks tokens vs
+    the 0-merge char baseline)."""
+    import jobs.curate_job as cj
+    from html_parser_spark.ops.bpe import bpe_encode
+
+    docs_dir = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [
+            (i, " ".join(f"w{i}x{j} streaming tables" for j in range(3)), "en")
+            for i in range(40)
+        ],
+        "doc_id long, text string, lang string",
+    ).write.parquet(docs_dir)
+    out = str(tmp_path / "curated")
+    cj.main([
+        "--docs", docs_dir,
+        "--output", out,
+        "--min-tokens", "1",
+        "--max-top-word-frac", "0.9",
+        "--num-hashes", "4",
+        "--bands", "2",
+        "--bpe-merges", "8",
+    ])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["bpe_merges"] > 0
+    merges = [
+        tuple(p)
+        for p in json.load(open(os.path.join(out, "bpe", "merges.json")))
+    ]
+    assert len(merges) == stats["bpe_merges"]
+    df = spark.createDataFrame([(0, "streaming tables")], "doc_id long, text string")
+    enc = bpe_encode(df, merges).collect()[0]
+    base = bpe_encode(df, []).collect()[0]
+    assert enc["n_tokens"] < base["n_tokens"]
