@@ -955,6 +955,42 @@ def q_bpe_fertility(spark, sf_dir):
     return fertility_by_group(docs, _bpe_seed_merges())
 
 
+def q_c4_lines(spark, sf_dir):
+    """C4 line-level cleaning (ops/text.c4_line_filter, Raffel et al.
+    §2.2): multi-line pages synthesized in closed form — a good opening
+    line, a 2-word line, a 'javascript' line, a line with no terminal
+    punctuation, doc_id%5 extra good lines, a lorem-ipsum line on %17
+    pages, a curly-brace line on %13 pages, and a good closing line.
+    The oracle replays every rule symbolically (same split/trim/regexp/
+    word-count/contains chain), so the hash pins line AND page rules."""
+    from html_parser_spark.ops.text import c4_line_filter
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id").cast("string")
+    nl = F.lit("\n")
+    text = F.concat(
+        F.lit("This is a fine opening line number "), d, F.lit("."), nl,
+        F.lit("too short."), nl,
+        F.lit("Please enable javascript to continue."), nl,
+        F.lit("no terminal punctuation here"), nl,
+        F.repeat(
+            F.lit("Another perfectly good line indeed.\n"),
+            F.pmod("doc_id", F.lit(5)).cast("int"),
+        ),
+        F.when(
+            F.expr("doc_id % 17 = 0"),
+            F.lit("We sprinkle Lorem Ipsum here.\n"),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.expr("doc_id % 13 = 0"),
+            F.lit("function() { return 1; }\n"),
+        ).otherwise(F.lit("")),
+        F.lit("closing line with a full stop."),
+    )
+    pages = docs.select("doc_id", text.alias("text"))
+    return c4_line_filter(pages, min_words_per_line=3, min_kept_lines=3)
+
+
 def q_temperature_mix(spark, sf_dir):
     """Temperature-based mixture rebalancing (ops/corpus.temperature_mix_plan,
     the XLM-R/mT5 α-sampling rule at α=0.5): per-language sampling
@@ -2601,6 +2637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_domain_cap": q_domain_cap,
         "q_centroid_outliers": q_centroid_outliers,
         "q_bpe_fertility": q_bpe_fertility,
+        "q_c4_lines": q_c4_lines,
         # -- round-3-green veterans: the 3 remaining window slots
         #    (positions 48-50, ending q_window_order_check) --
         "q_filter_project": q_filter_project,
@@ -4091,6 +4128,50 @@ def oracle_sql() -> dict[str, str]:
                    url, strftime(warc_ts, '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
                    body
             FROM g WHERE rn = 1
+        """,
+        "q_c4_lines": """
+            -- symbolic replay of every C4 rule over the same closed-form
+            -- multi-line pages: split/trim, terminal punctuation, >=3
+            -- words, no 'javascript'; page: no lorem ipsum, no brace,
+            -- >=3 kept lines
+            WITH src AS (
+              SELECT doc_id,
+                'This is a fine opening line number ' || doc_id || '.'
+                  || chr(10) ||
+                'too short.' || chr(10) ||
+                'Please enable javascript to continue.' || chr(10) ||
+                'no terminal punctuation here' || chr(10) ||
+                repeat('Another perfectly good line indeed.' || chr(10),
+                       CAST(doc_id % 5 AS INT)) ||
+                CASE WHEN doc_id % 17 = 0
+                     THEN 'We sprinkle Lorem Ipsum here.' || chr(10)
+                     ELSE '' END ||
+                CASE WHEN doc_id % 13 = 0
+                     THEN 'function() { return 1; }' || chr(10)
+                     ELSE '' END ||
+                'closing line with a full stop.' AS text
+              FROM documents
+            ), l AS (
+              SELECT doc_id, text,
+                     list_transform(string_split(text, chr(10)),
+                                    x -> trim(x)) AS lines
+              FROM src
+            ), k AS (
+              SELECT doc_id, text, lines,
+                     list_filter(lines, x ->
+                       regexp_matches(x, '[.!?"”]$')
+                       AND len(regexp_split_to_array(x, '\\s+')) >= 3
+                       AND NOT contains(lower(x), 'javascript')) AS kept
+              FROM l
+            )
+            SELECT doc_id,
+                   CAST(len(lines) AS BIGINT) AS n_lines_in,
+                   CAST(len(kept) AS BIGINT) AS n_lines_kept,
+                   (NOT contains(lower(text), 'lorem ipsum')
+                    AND NOT contains(text, '{')
+                    AND len(kept) >= 3) AS page_keep,
+                   array_to_string(kept, chr(10)) AS clean_text
+            FROM k
         """,
         "q_bpe_fertility": f"""
             -- same symbolic encode as q_bpe_encode, aggregated per lang;

@@ -396,3 +396,56 @@ def trigram_familiarity(
         "n_grams",
         F.coalesce("n_known", F.lit(0)).cast("long").alias("n_known"),
     )
+
+
+def c4_line_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words_per_line: int = 3,
+    min_kept_lines: int = 5,
+) -> DataFrame:
+    """C4's line-level cleaning (Raffel et al. 2020 §2.2) — the most-cited
+    web-text cleanup recipe, applied per page:
+
+    line rules (a line survives iff ALL hold):
+      * ends in a terminal punctuation mark (``.``, ``!``, ``?`` or a
+        closing quote);
+      * has at least ``min_words_per_line`` whitespace words;
+      * does not contain the word "javascript" (case-insensitive — the
+        'please enable JavaScript' boilerplate family).
+
+    page rules (the page is dropped outright iff ANY holds):
+      * contains the placeholder phrase "lorem ipsum" (case-insensitive);
+      * contains a curly brace (code, not prose);
+      * fewer than ``min_kept_lines`` lines survive the line rules.
+
+    Returns (doc_id, n_lines_in, n_lines_kept, page_keep, clean_text)
+    for EVERY input doc (filtering is the caller's one-liner:
+    ``.where("page_keep")``) — keeping dropped pages visible is what lets
+    a curation funnel report what each rule cost.
+
+    Scale shape: pure codegen column expressions (split → transform →
+    filter → array_join inside one projection) — zero shuffle, zero
+    Python, fuses into whatever scan precedes it."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.transform(F.split(text, "\n"), lambda l: F.trim(l))
+    kept = F.filter(
+        lines,
+        lambda l: l.rlike('[.!?"”]$')
+        & (F.size(F.split(l, r"\s+")) >= min_words_per_line)
+        & ~F.lower(l).contains("javascript"),
+    )
+    n_in = F.size(lines).cast("long")
+    n_kept = F.size(kept).cast("long")
+    page_keep = (
+        ~F.lower(text).contains("lorem ipsum")
+        & ~text.contains("{")
+        & (n_kept >= min_kept_lines)
+    )
+    return docs.select(
+        "doc_id",
+        n_in.alias("n_lines_in"),
+        n_kept.alias("n_lines_kept"),
+        page_keep.alias("page_keep"),
+        F.array_join(kept, "\n").alias("clean_text"),
+    )

@@ -503,3 +503,36 @@ def test_exact_substring_plan_no_window_no_python(spark):
     )
     assert "Window" not in plan
     assert "PythonUDF" not in plan and "ArrowEval" not in plan
+
+
+def test_c4_line_filter_rules(spark):
+    """Every published C4 rule on one hand-built page: terminal
+    punctuation, >=3 words, javascript lines, lorem-ipsum pages, brace
+    pages, min-kept-lines."""
+    from html_parser_spark.ops.text import c4_line_filter
+
+    good = "This sentence is perfectly fine."
+    rows = [
+        # 4 good lines -> kept page
+        (0, "\n".join([good, "Another good line here!", 'A quoted ending works too."',
+                       "Questions are sentences as well?"])),
+        # line rules: short / javascript / no-terminal all drop
+        (1, "\n".join([good, "too short.", "Please enable JavaScript now.",
+                       "no terminal punctuation", good, good])),
+        # page rules: lorem ipsum and braces kill the page outright
+        (2, "\n".join([good, good, good, "We include lorem ipsum text here."])),
+        (3, "\n".join([good, good, good, "if (x) { return; }"])),
+        # too few surviving lines
+        (4, "\n".join([good, "tiny."])),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           c4_line_filter(df, min_kept_lines=3).collect()}
+    assert got[0]["page_keep"] and got[0]["n_lines_kept"] == 4
+    assert got[1]["page_keep"] and got[1]["n_lines_kept"] == 3
+    assert got[1]["clean_text"] == "\n".join([good, good, good])
+    assert not got[2]["page_keep"] and got[2]["n_lines_kept"] == 4
+    assert not got[3]["page_keep"]   # brace page; the brace line also fails
+    assert not got[4]["page_keep"] and got[4]["n_lines_kept"] == 1
+    assert not got[5]["page_keep"] and got[5]["n_lines_in"] == 1

@@ -755,6 +755,18 @@ def main():
         )
     )
 
+    p = plan_of(entrymod.q_c4_lines(spark, sf_dir))
+    checks.append(
+        (
+            "q_c4_lines — C4 line cleaning is pure codegen (split/filter/"
+            "join inside one projection): zero shuffle, zero Python",
+            p,
+            ["*(1)"],
+            ["Exchange", "Window", "Join", "ArrowEvalPython",
+             "BatchEvalPython", "Generate"],
+        )
+    )
+
     p = plan_of(entrymod.q_bpe_fertility(spark, sf_dir))
     checks.append(
         (
