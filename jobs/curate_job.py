@@ -5,7 +5,7 @@ BETWEEN extraction and training:
         --docs <documents parquet>  --output <dir> \
         [--min-tokens 10] [--max-top-word-frac 0.5] [--max-dup-bigram-frac 0.9] \
         [--scrub-pii] [--span-dedup-tokens 0] [--blocklist-hosts h1,h2] \
-        [--domain-cap 0] [--canonical-dedup] \
+        [--domain-cap 0] [--canonical-dedup] [--c4-lines] \
         [--chunk-tokens 0] [--pack-seq-len 0] [--bpe-merges 0] \
         [--num-hashes 8] [--bands 4] \
         [--mix-alpha 0|50|100] [--mix-target 0]
@@ -192,6 +192,10 @@ def main(argv=None):
                     help="comma-separated hosts to drop (--from-extract only)")
     ap.add_argument("--chunk-tokens", type=int, default=0,
                     help="also write fixed-size token chunks (0 = skip)")
+    ap.add_argument("--c4-lines", action="store_true",
+                    help="apply C4 line-level cleaning (terminal punct, "
+                         ">=3 words, no javascript; drop lorem-ipsum/"
+                         "brace/thin pages) before the doc-level gates")
     ap.add_argument("--bpe-merges", type=int, default=0,
                     help="train a BPE merge list of this size on the "
                          "train split and write bpe/merges.json (0=off)")
@@ -287,6 +291,20 @@ def main(argv=None):
             F.col("extracted_text").alias("text"),
             "lang",
         )
+    n_before_c4 = None
+    if args.c4_lines:
+        # C4 line-level cleaning BEFORE the doc-level gates: lines that
+        # fail the published rules are stripped (text becomes clean_text)
+        # and pages failing the page rules drop here
+        from html_parser_spark.ops.text import c4_line_filter
+
+        n_before_c4 = docs.count()
+        cleaned = c4_line_filter(docs).where("page_keep").select(
+            "doc_id", F.col("clean_text").alias("text")
+        )
+        docs = docs.select("doc_id", "lang").join(cleaned, "doc_id").select(
+            "doc_id", "text", "lang"
+        )
     docs, funnel = curate_docs(
         docs,
         min_tokens=args.min_tokens,
@@ -364,6 +382,7 @@ def main(argv=None):
     print(json.dumps({
         "job": "curate",
         **({"captures_in": n_captures} if n_captures is not None else {}),
+        **({"before_c4_lines": n_before_c4} if n_before_c4 is not None else {}),
         **funnel,
         "splits": splits,
         "chunks": n_chunks,

@@ -303,3 +303,37 @@ def test_curate_job_bpe_training(spark, tmp_path, capsys):
     enc = bpe_encode(df, merges).collect()[0]
     base = bpe_encode(df, []).collect()[0]
     assert enc["n_tokens"] < base["n_tokens"]
+
+
+def test_curate_job_c4_lines(spark, tmp_path, capsys):
+    """--c4-lines strips failing lines and drops failing pages before the
+    doc-level gates."""
+    import jobs.curate_job as cj
+
+    good = "This body sentence is perfectly fine and long enough."
+    docs_dir = str(tmp_path / "docs")
+    rows = (
+        # 20 clean multi-line pages (unique body word beats the dedup)
+        [(i, "\n".join([f"Unique page {i} body sentence here w{i}.",
+                        good, good, good, good, "no terminal punct line"]),
+          "en")
+         for i in range(20)]
+        # 5 lorem pages -> dropped by the page rule
+        + [(100 + i, "\n".join([good] * 5 + ["plus lorem ipsum filler."]),
+            "en") for i in range(5)]
+    )
+    spark.createDataFrame(rows, "doc_id long, text string, lang string") \
+        .write.parquet(docs_dir)
+    out = str(tmp_path / "curated")
+    cj.main([
+        "--docs", docs_dir, "--output", out,
+        "--min-tokens", "1", "--max-top-word-frac", "0.9",
+        "--num-hashes", "4", "--bands", "2",
+        "--c4-lines",
+    ])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["before_c4_lines"] == 25
+    assert stats["docs_in"] == 20          # lorem pages gone
+    final = spark.read.parquet(os.path.join(out, "docs"))
+    # the no-terminal-punct line was stripped from every surviving text
+    assert final.where(final.text.contains("no terminal punct")).count() == 0
