@@ -130,6 +130,10 @@ def main(argv=None):
              "percent of the host's pages (--host-line-dedup)",
     )
     ap.add_argument("--chunk-tokens", type=int, default=0)
+    ap.add_argument("--c4-lines", action="store_true",
+                    help="C4 line-level cleaning before the doc gates")
+    ap.add_argument("--pack-seq-len", type=int, default=0,
+                    help="write the packed-sequence export per split (0=off)")
     ap.add_argument("--num-hashes", type=int, default=8)
     ap.add_argument("--bands", type=int, default=4)
     ap.add_argument("--iterations", type=int, default=3)
@@ -341,6 +345,17 @@ def main(argv=None):
             F.col("extracted_text").alias("text"),
             "lang",
         )
+        if args.c4_lines:
+            # C4 line-level cleaning before the doc-level gates (same
+            # placement as curate_job --c4-lines)
+            from html_parser_spark.ops.text import c4_line_filter
+
+            cleaned = c4_line_filter(docs).where("page_keep").select(
+                "doc_id", F.col("clean_text").alias("text")
+            )
+            docs = docs.select("doc_id", "lang").join(cleaned, "doc_id").select(
+                "doc_id", "text", "lang"
+            )
         curated, funnel = curate_docs(
             docs,
             min_tokens=args.min_tokens,
@@ -385,6 +400,45 @@ def main(argv=None):
         report["stages"]["chunks"] = {"action": action, "chunks": n_chunks}
         _append_stage_lineage(spark, args.output, "chunks", action,
                              fp_final, n_chunks, time.time() - t0)
+
+    # ---- stage 5: SEQUENCES (optional packed training export) --------------
+    if args.pack_seq_len > 0:
+        from html_parser_spark.ops.corpus import (
+            materialize_sequences,
+            pack_sequences,
+        )
+
+        n_docs_final, fp_final = _fingerprint(final, "doc_id")
+        sq_dir = os.path.join(cu_dir, "sequences_stage")
+        out_seqs = os.path.join(cu_dir, "sequences")
+        t0 = time.time()
+        split_names = sorted(
+            r["split"] for r in final.select("split").distinct().collect()
+        )
+        if _stage_done(sq_dir, fp_final):
+            n_seqs = (
+                spark.read.parquet(out_seqs).count()
+                if os.path.isdir(out_seqs)
+                else 0
+            )
+            action = "skipped"
+        else:
+            for split_name in split_names:
+                part = final.where(F.col("split") == split_name).select(
+                    "doc_id", "text"
+                )
+                plan = pack_sequences(part, seq_len=args.pack_seq_len)
+                materialize_sequences(part, plan).write.mode(
+                    "overwrite"
+                ).parquet(os.path.join(out_seqs, f"split={split_name}"))
+            n_seqs = (
+                spark.read.parquet(out_seqs).count() if split_names else 0
+            )
+            _write_marker(sq_dir, fp_final, sequences=n_seqs)
+            action = "ran"
+        report["stages"]["sequences"] = {"action": action, "sequences": n_seqs}
+        _append_stage_lineage(spark, args.output, "sequences", action,
+                             fp_final, n_seqs, time.time() - t0)
 
     pages.unpersist()
     print(json.dumps(report))

@@ -148,3 +148,33 @@ def test_host_line_dedup_stage(spark, tmp_path, capsys):
     docs = spark.read.parquet(os.path.join(out, "curate", "docs"))
     assert docs.filter(F.col("text").contains(banner)).count() == 0
     assert docs.count() > 0  # the real content survived
+
+
+def test_sequences_stage_runs_and_resumes(spark, tmp_path, capsys):
+    """--pack-seq-len adds the packed-sequence export as a marker-gated
+    stage: first run packs per split, rerun skips on the unchanged
+    fingerprint, and per-split slot totals equal tokens + one EOD/doc."""
+    out, rep = _run(
+        spark, tmp_path, capsys, "flag-seq", extra=("--pack-seq-len", "32"),
+    )
+    st = rep["stages"]["sequences"]
+    assert st["action"] == "ran" and st["sequences"] > 0
+    seqs = spark.read.parquet(os.path.join(out, "curate", "sequences"))
+    final = spark.read.parquet(os.path.join(out, "curate", "docs"))
+    for split_name in [r["split"] for r in final.select("split").distinct().collect()]:
+        part = final.where(F.col("split") == split_name)
+        n_docs = part.count()
+        n_toks = part.select(
+            F.sum(F.size(F.split(F.trim("text"), r"\s+"))).alias("t")
+        ).collect()[0]["t"] or 0
+        tot = (
+            seqs.where(F.col("split") == split_name)
+            .select(F.sum("n_slots").alias("s")).collect()[0]["s"]
+        )
+        assert tot == n_toks + n_docs
+
+    out2, rep2 = _run(
+        spark, tmp_path, capsys, "flag-seq", extra=("--pack-seq-len", "32"),
+    )
+    assert rep2["stages"]["sequences"]["action"] == "skipped"
+    assert rep2["stages"]["sequences"]["sequences"] == st["sequences"]
