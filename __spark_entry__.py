@@ -2621,7 +2621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_encode": q_bpe_encode,
         "q_pack_sequences": q_pack_sequences,
         # -- round-4 overflow: the 50-slot window is saturated with
-        #    no-prior-row queries, so these six sit just past it.  The
+        #    no-prior-row queries, so these eight sit just past it.  The
         #    first two were chosen because their shared machinery is
         #    window-covered by siblings (q_inverted_index builds the same
         #    index keyword_search queries; the WARC record writer is
@@ -2638,8 +2638,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_centroid_outliers": q_centroid_outliers,
         "q_bpe_fertility": q_bpe_fertility,
         "q_c4_lines": q_c4_lines,
-        # -- round-3-green veterans: the 3 remaining window slots
-        #    (positions 48-50, ending q_window_order_check) --
+        # -- round-3-green veterans (every one has a CORRECTNESS_r03 row;
+        #    the round-4 additions pushed them past the window) --
         "q_filter_project": q_filter_project,
         "q_agg_pricing": q_agg_pricing,
         "q_window_order_check": q_window_order_check,
