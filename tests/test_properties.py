@@ -211,3 +211,74 @@ def test_parse_robots_total_on_fuzz_corpus(spark):
     assert all(r["rule"] in ("allow", "disallow") for r in rows)
     assert all(r["path_prefix"] != "" for r in rows)
     assert all(r["agent"] is not None for r in rows)
+
+
+def _seq_pack_py(token_counts, L):
+    """Sequential reference for pack_sequences' per-(seq,doc) arithmetic."""
+    out, off = [], 0
+    for did, n in enumerate(token_counts):
+        n_slots = n + 1
+        start, end = off, off + n_slots
+        s = start // L
+        while s * L < end:
+            a, b = max(start, s * L), min(end, (s + 1) * L)
+            out.append((s, did, a - s * L, a - start, b - a, b == end))
+            s += 1
+        off = end
+    return out
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=60), min_size=1, max_size=40),
+    st.integers(min_value=1, max_value=48),
+)
+@settings(max_examples=200, deadline=None)
+def test_pack_sequences_arithmetic_invariants(counts, L):
+    """For ANY doc sizes and ANY L: slices are positive and contiguous per
+    doc AND per sequence, every non-final sequence holds exactly L slots,
+    total slots = tokens + one EOD per doc, and exactly one slice per doc
+    carries the EOD flag."""
+    rows = _seq_pack_py(counts, L)
+    total = sum(r[4] for r in rows)
+    assert total == sum(counts) + len(counts)
+    # per-sequence: contiguous from 0; non-final sequences full
+    by_seq = {}
+    for s, _d, seq_off, _do, ln, _e in rows:
+        by_seq.setdefault(s, []).append((seq_off, ln))
+    assert sorted(by_seq) == list(range(len(by_seq)))
+    for s, segs in by_seq.items():
+        segs.sort()
+        pos = 0
+        for o, ln in segs:
+            assert ln > 0 and o == pos
+            pos += ln
+        assert pos == L or s == max(by_seq)
+    # per-doc: contiguous cover of [0, n+1), exactly one EOD slice (the last)
+    by_doc = {}
+    for s, d, _so, doc_off, ln, eod in rows:
+        by_doc.setdefault(d, []).append((doc_off, ln, eod))
+    for d, segs in by_doc.items():
+        segs.sort()
+        pos = 0
+        for o, ln, eod in segs:
+            assert o == pos
+            pos += ln
+            assert eod == (pos == counts[d] + 1)
+        assert pos == counts[d] + 1
+
+
+@given(st.lists(st.tuples(
+    st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=8),
+    st.integers(min_value=1, max_value=50)), min_size=0, max_size=20))
+@settings(max_examples=150, deadline=None)
+def test_train_bpe_total_and_valid(freqs):
+    """train_bpe never raises on arbitrary word-frequency tables, and every
+    merge's components are buildable from characters + earlier merges (the
+    property the oracle's sequential replace chain relies on)."""
+    from html_parser_spark.ops.bpe import EOW, train_bpe
+
+    merges = train_bpe(freqs, n_merges=12)
+    known = set("abcdefghijklmnopqrstuvwxyz") | {EOW}
+    for a, b in merges:
+        assert a in known and b in known
+        known.add(a + b)
