@@ -1,0 +1,126 @@
+"""spark-submit entry point for the corpus datacard — the summary table a
+released training set ships with (Datasheets for Datasets; Dolma/FineWeb
+publish exactly this shape):
+
+    spark-submit --py-files htmlps.zip jobs/datacard_job.py \
+        --docs <curated docs parquet dir> --output <dir>
+
+Reads any parquet with (doc_id, text, lang[, split]) — e.g. the
+``docs/`` table a curate/flagship run writes — and emits:
+
+* ``datacard.json`` + ONE stdout JSON line: corpus totals (docs, tokens,
+  chars, bytes), per-(split, lang) rows with doc/token/char counts and
+  corpus share, and token-length percentiles (p50/p90/p99) per split;
+* ``card_rows/`` parquet — the same per-(split, lang) rows as a table,
+  so the card is queryable, not just printable.
+
+Scale shape: ONE partial-agg groupBy(split, lang) for the counts and ONE
+``percentile_approx`` aggregate per split for the length quantiles
+(t-digest style sketch — mergeable, single pass, no sort of the corpus;
+exact percentiles at 10^12 rows would need a full global sort, which no
+datacard needs).  Everything else is arithmetic over the tiny aggregate.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_datacard(docs):
+    """(per-(split,lang) rows DataFrame, card dict) over (doc_id, text,
+    lang[, split]) — shared by the CLI and tests."""
+    from pyspark.sql import functions as F
+
+    if "split" not in docs.columns:
+        docs = docs.withColumn("split", F.lit("all"))
+    base = docs.select(
+        "split",
+        F.coalesce(F.col("lang"), F.lit("und")).alias("lang"),
+        F.size(
+            F.filter(
+                F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+                lambda x: F.length(x) > 0,
+            )
+        ).cast("long").alias("n_tokens"),
+        F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long").alias(
+            "n_chars"
+        ),
+        F.octet_length(F.coalesce(F.col("text"), F.lit(""))).cast("long").alias(
+            "n_bytes"
+        ),
+    )
+    rows = (
+        base.groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("n_chars").alias("n_chars"),
+            F.sum("n_bytes").alias("n_bytes"),
+        )
+    )
+    pct = (
+        base.groupBy("split")
+        .agg(
+            F.percentile_approx(
+                "n_tokens", [0.5, 0.9, 0.99], 10_000
+            ).alias("p")
+        )
+        .collect()
+    )
+    percentiles = {
+        r["split"]: {"p50": r["p"][0], "p90": r["p"][1], "p99": r["p"][2]}
+        for r in pct
+    }
+    collected = [r.asDict() for r in rows.collect()]
+    total_docs = sum(r["n_docs"] for r in collected)
+    total_tokens = sum(r["n_tokens"] for r in collected)
+    for r in collected:
+        r["doc_share"] = round(r["n_docs"] / total_docs, 6) if total_docs else 0.0
+        r["token_share"] = (
+            round(r["n_tokens"] / total_tokens, 6) if total_tokens else 0.0
+        )
+    card = {
+        "totals": {
+            "docs": total_docs,
+            "tokens": total_tokens,
+            "chars": sum(r["n_chars"] for r in collected),
+            "bytes": sum(r["n_bytes"] for r in collected),
+            "langs": len({r["lang"] for r in collected}),
+            "splits": sorted({r["split"] for r in collected}),
+        },
+        "token_length_percentiles": percentiles,
+        "rows": sorted(
+            collected, key=lambda r: (r["split"], -r["n_docs"], r["lang"])
+        ),
+    }
+    return rows, card
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", required=True,
+                    help="parquet dir with (doc_id, text, lang[, split])")
+    ap.add_argument("--output", required=True)
+    args = ap.parse_args(argv)
+
+    from html_parser_spark.spark.session import get_spark
+
+    spark = get_spark(app_name="datacard-job")
+    docs = spark.read.parquet(args.docs)
+    rows, card = build_datacard(docs)
+    os.makedirs(args.output, exist_ok=True)
+    rows.write.mode("overwrite").parquet(
+        os.path.join(args.output, "card_rows")
+    )
+    with open(os.path.join(args.output, "datacard.json"), "w") as f:
+        json.dump(card, f, indent=2, sort_keys=True)
+    print(json.dumps({"job": "datacard", **card["totals"]}))
+
+
+if __name__ == "__main__":
+    main()

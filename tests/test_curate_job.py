@@ -337,3 +337,44 @@ def test_curate_job_c4_lines(spark, tmp_path, capsys):
     final = spark.read.parquet(os.path.join(out, "docs"))
     # the no-terminal-punct line was stripped from every surviving text
     assert final.where(final.text.contains("no terminal punct")).count() == 0
+
+
+def test_datacard_job(spark, tmp_path, capsys):
+    """Datacard over a curated-style table: exact counts and shares per
+    (split, lang), percentile dict per split, files on disk."""
+    import jobs.datacard_job as dj
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "a b c", "en", "train"),
+        (2, "d e f g h", "en", "train"),
+        (3, "x y", "de", "train"),
+        (4, "one two three four", "en", "valid"),
+        (5, None, None, "valid"),
+    ]
+    docs_dir = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, split string"
+    ).write.parquet(docs_dir)
+    out = str(tmp_path / "card")
+    dj.main(["--docs", docs_dir, "--output", out])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["docs"] == 5 and stats["tokens"] == 14
+    card = json.load(open(os.path.join(out, "datacard.json")))
+    by = {(r["split"], r["lang"]): r for r in card["rows"]}
+    assert by[("train", "en")]["n_docs"] == 2
+    assert by[("train", "en")]["n_tokens"] == 8
+    assert by[("train", "de")]["n_tokens"] == 2
+    assert by[("valid", "und")]["n_tokens"] == 0   # NULL text/lang row
+    assert abs(by[("train", "en")]["token_share"] - 8 / 14) < 1e-6
+    assert set(card["token_length_percentiles"]) == {"train", "valid"}
+    tbl = spark.read.parquet(os.path.join(out, "card_rows"))
+    assert tbl.count() == len(card["rows"])
+    # no-split input defaults to one 'all' split
+    nosplit = str(tmp_path / "nosplit")
+    spark.createDataFrame(
+        [(1, "a b", "en")], "doc_id long, text string, lang string"
+    ).write.parquet(nosplit)
+    dj.main(["--docs", nosplit, "--output", str(tmp_path / "card2")])
+    stats2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats2["splits"] == ["all"] and stats2["tokens"] == 2
