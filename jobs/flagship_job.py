@@ -30,10 +30,12 @@ Stage DAG (each stage's scale shape documented at its op):
 
 Cross-stage resume: every completed stage writes a ``_STAGE_DONE.json``
 marker carrying a CONTENT fingerprint of its input (row count + xor of
-per-row xxhash64 over the key columns); a re-run skips a stage iff its
-marker exists AND the fingerprint still matches (so adding, replacing, or
-re-crawling pages invalidates downstream stages automatically — not just
-count changes — while a re-run over unchanged input recomputes nothing).  The extract stage is
+per-row xxhash64 over the key columns) PLUS the stage's own options; a
+re-run skips a stage iff its marker exists AND the fingerprint still
+matches (so adding, replacing, or re-crawling pages — or changing a
+stage flag like --c4-lines or --chunk-tokens — invalidates the affected
+stages automatically, while a same-input same-config re-run recomputes
+nothing).  The extract stage is
 additionally resumable WITHIN the stage through the chunked checkpoint.
 Every stage also appends one row to ``<out>/_stage_lineage`` —
 (stage, action ran/skipped, input_fingerprint, rows_out, wall_sec) — on
@@ -193,6 +195,20 @@ def main(argv=None):
     pages = pages.persist(StorageLevel.MEMORY_AND_DISK)
     n_pages, fp_pages = _fingerprint(pages, "url", "warc_ts")
 
+    # A stage marker must bind to BOTH the input content and the options
+    # that shape the stage's output — otherwise rerunning with a changed
+    # flag (e.g. adding --c4-lines) would silently skip recomputation.
+    # Config rides inside the fingerprint string; same-config reruns
+    # still match, and markers written before this scheme simply re-run
+    # once (conservative).
+    def _with_cfg(fp: str, *pairs) -> str:
+        return fp + "|cfg:" + ",".join(f"{k}={v}" for k, v in pairs)
+
+    fp_ex = _with_cfg(fp_pages, ("partitions", args.partitions),
+                      ("max_html_bytes", args.max_html_bytes))
+    fp_g = _with_cfg(fp_pages, ("iterations", args.iterations),
+                     ("budget_pages", args.budget_pages))
+
     report: dict = {"job": "flagship", "pages_in": n_pages,
                     "stages": {}}
 
@@ -202,12 +218,12 @@ def main(argv=None):
     # ---- stage 1: EXTRACT (chunk-resumable main-content strip) ------------
     ex_dir = os.path.join(args.output, "extract")
     t0 = time.time()
-    if _stage_done(ex_dir, fp_pages):
+    if _stage_done(ex_dir, fp_ex):
         results = spark.read.parquet(os.path.join(ex_dir, "data"))
         report["stages"]["extract"] = {
             "action": "skipped", "docs": results.count()}
         _append_stage_lineage(spark, args.output, "extract", "skipped",
-                             fp_pages, report["stages"]["extract"]["docs"],
+                             fp_ex, report["stages"]["extract"]["docs"],
                              time.time() - t0)
     else:
         def _mc(src):
@@ -231,12 +247,12 @@ def main(argv=None):
         m = ck.run(pages, transform=_mc)
         results = ck.results()
         n_res = results.count()
-        _write_marker(ex_dir, fp_pages, docs=n_res)
+        _write_marker(ex_dir, fp_ex, docs=n_res)
         report["stages"]["extract"] = {
             "action": "ran", "docs": n_res, "docs_new": m["docs"],
             "chunk": m["chunk"]}
         _append_stage_lineage(spark, args.output, "extract", "ran",
-                             fp_pages, n_res, time.time() - t0)
+                             fp_ex, n_res, time.time() - t0)
     if finish("extract"):
         print(json.dumps(report))
         return
@@ -244,10 +260,10 @@ def main(argv=None):
     # ---- stage 2: GRAPH (host link graph / PageRank / crawl budget) -------
     g_dir = os.path.join(args.output, "graph")
     t0 = time.time()
-    if _stage_done(g_dir, fp_pages):
+    if _stage_done(g_dir, fp_g):
         report["stages"]["graph"] = {"action": "skipped"}
         _append_stage_lineage(spark, args.output, "graph", "skipped",
-                             fp_pages, 0, time.time() - t0)
+                             fp_g, 0, time.time() - t0)
     else:
         from html_parser_spark.ops.linkgraph import (
             crawl_budget,
@@ -270,11 +286,11 @@ def main(argv=None):
             out = crawl_budget(out, args.budget_pages)
         out.write.mode("overwrite").parquet(os.path.join(g_dir, "ranks"))
         n_hosts = spark.read.parquet(os.path.join(g_dir, "ranks")).count()
-        _write_marker(g_dir, fp_pages, hosts=n_hosts)
+        _write_marker(g_dir, fp_g, hosts=n_hosts)
         report["stages"]["graph"] = {
             "action": "ran", "hosts": n_hosts, "edges": edges.count()}
         _append_stage_lineage(spark, args.output, "graph", "ran",
-                             fp_pages, n_hosts, time.time() - t0)
+                             fp_g, n_hosts, time.time() - t0)
     if finish("graph"):
         print(json.dumps(report))
         return
@@ -285,15 +301,23 @@ def main(argv=None):
     from html_parser_spark.ops.web import canonicalize_url, latest_capture
 
     n_extracted, fp_extract = _fingerprint(results, "url", "warc_ts")
+    fp_cu = _with_cfg(
+        fp_extract,
+        ("min_tokens", args.min_tokens), ("gopher", args.gopher),
+        ("span", args.span_dedup_tokens), ("pii", args.scrub_pii),
+        ("hashes", args.num_hashes), ("bands", args.bands),
+        ("hld", args.host_line_dedup), ("hld_pct", args.host_line_pct),
+        ("c4", args.c4_lines),
+    )
     cu_dir = os.path.join(args.output, "curate")
     out_docs = os.path.join(cu_dir, "docs")
     t0 = time.time()
-    if _stage_done(cu_dir, fp_extract):
+    if _stage_done(cu_dir, fp_cu):
         final = spark.read.parquet(out_docs)
         report["stages"]["curate"] = {
             "action": "skipped", "docs": final.count()}
         _append_stage_lineage(spark, args.output, "curate", "skipped",
-                             fp_extract, report["stages"]["curate"]["docs"],
+                             fp_cu, report["stages"]["curate"]["docs"],
                              time.time() - t0)
     else:
         from html_parser_spark.ops.html_meta import noindex_filter
@@ -368,14 +392,14 @@ def main(argv=None):
         curated.write.mode("overwrite").partitionBy("split").parquet(out_docs)
         final = spark.read.schema(curated.schema).parquet(out_docs)
         n_final = final.count()
-        _write_marker(cu_dir, fp_extract, **funnel)
+        _write_marker(cu_dir, fp_cu, **funnel)
         report["stages"]["curate"] = {
             "action": "ran", **funnel, "docs": n_final,
             **({"host_lines_removed": n_host_lines}
                if n_host_lines is not None else {}),
         }
         _append_stage_lineage(spark, args.output, "curate", "ran",
-                             fp_extract, n_final, time.time() - t0)
+                             fp_cu, n_final, time.time() - t0)
     if finish("curate"):
         print(json.dumps(report))
         return
@@ -385,21 +409,22 @@ def main(argv=None):
         from html_parser_spark.ops.corpus import chunk_plan
 
         n_docs_final, fp_final = _fingerprint(final, "doc_id")
+        fp_ch = _with_cfg(fp_final, ("chunk_tokens", args.chunk_tokens))
         ch_dir = os.path.join(cu_dir, "chunks_stage")
         out_chunks = os.path.join(cu_dir, "chunks")
         t0 = time.time()
-        if _stage_done(ch_dir, fp_final):
+        if _stage_done(ch_dir, fp_ch):
             n_chunks = spark.read.parquet(out_chunks).count()
             action = "skipped"
         else:
             chunks = chunk_plan(final, chunk_tokens=args.chunk_tokens)
             chunks.write.mode("overwrite").parquet(out_chunks)
             n_chunks = spark.read.parquet(out_chunks).count()
-            _write_marker(ch_dir, fp_final, chunks=n_chunks)
+            _write_marker(ch_dir, fp_ch, chunks=n_chunks)
             action = "ran"
         report["stages"]["chunks"] = {"action": action, "chunks": n_chunks}
         _append_stage_lineage(spark, args.output, "chunks", action,
-                             fp_final, n_chunks, time.time() - t0)
+                             fp_ch, n_chunks, time.time() - t0)
 
     # ---- stage 5: SEQUENCES (optional packed training export) --------------
     if args.pack_seq_len > 0:
@@ -409,13 +434,14 @@ def main(argv=None):
         )
 
         n_docs_final, fp_final = _fingerprint(final, "doc_id")
+        fp_sq = _with_cfg(fp_final, ("pack_seq_len", args.pack_seq_len))
         sq_dir = os.path.join(cu_dir, "sequences_stage")
         out_seqs = os.path.join(cu_dir, "sequences")
         t0 = time.time()
         split_names = sorted(
             r["split"] for r in final.select("split").distinct().collect()
         )
-        if _stage_done(sq_dir, fp_final):
+        if _stage_done(sq_dir, fp_sq):
             n_seqs = (
                 spark.read.parquet(out_seqs).count()
                 if os.path.isdir(out_seqs)
@@ -434,11 +460,11 @@ def main(argv=None):
             n_seqs = (
                 spark.read.parquet(out_seqs).count() if split_names else 0
             )
-            _write_marker(sq_dir, fp_final, sequences=n_seqs)
+            _write_marker(sq_dir, fp_sq, sequences=n_seqs)
             action = "ran"
         report["stages"]["sequences"] = {"action": action, "sequences": n_seqs}
         _append_stage_lineage(spark, args.output, "sequences", action,
-                             fp_final, n_seqs, time.time() - t0)
+                             fp_sq, n_seqs, time.time() - t0)
 
     pages.unpersist()
     print(json.dumps(report))

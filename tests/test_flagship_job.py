@@ -178,3 +178,26 @@ def test_sequences_stage_runs_and_resumes(spark, tmp_path, capsys):
     )
     assert rep2["stages"]["sequences"]["action"] == "skipped"
     assert rep2["stages"]["sequences"]["sequences"] == st["sequences"]
+
+
+def test_changed_stage_option_invalidates_marker(spark, tmp_path, capsys):
+    """Markers bind input AND config: rerunning with a different chunk
+    size must re-run the chunks stage, not skip it on the content
+    fingerprint alone."""
+    _, rep1 = _run(spark, tmp_path, capsys, "flag-cfg")
+    assert rep1["stages"]["chunks"]["action"] == "ran"
+    # same config -> skip
+    _, rep2 = _run(spark, tmp_path, capsys, "flag-cfg")
+    assert rep2["stages"]["chunks"]["action"] == "skipped"
+    # different chunk size -> re-run with different chunk count
+    import jobs.flagship_job as fj
+
+    src = str(tmp_path / "pages")
+    out = str(tmp_path / "flag-cfg")
+    fj.main([
+        "--pages", src, "--output", out, "--partitions", "4",
+        "--min-tokens", "5", "--chunk-tokens", "16", "--iterations", "2",
+    ])
+    rep3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep3["stages"]["chunks"]["action"] == "ran"
+    assert rep3["stages"]["chunks"]["chunks"] > rep1["stages"]["chunks"]["chunks"]
