@@ -243,6 +243,20 @@ def main(argv=None):
                 F.length("html").alias("n_bytes_in"),
             )
 
+        # The chunked checkpoint resumes by anti-joining done urls — the
+        # right behavior when the INPUT grew (only new pages re-extract),
+        # but wrong when the stage CONFIG changed (done rows carry the
+        # old config's output).  Split the mismatch: same config ->
+        # incremental resume; changed config -> clear and redo fully.
+        try:
+            with open(_marker_path(ex_dir)) as _f:
+                _old_fp = json.load(_f).get("input_fingerprint", "")
+        except (OSError, ValueError):
+            _old_fp = ""
+        if _old_fp and _old_fp.split("|cfg:")[-1] != fp_ex.split("|cfg:")[-1]:
+            import shutil
+
+            shutil.rmtree(ex_dir, ignore_errors=True)
         ck = CheckpointedExtraction(spark, ex_dir)
         m = ck.run(pages, transform=_mc)
         results = ck.results()

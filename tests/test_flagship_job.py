@@ -201,3 +201,28 @@ def test_changed_stage_option_invalidates_marker(spark, tmp_path, capsys):
     rep3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep3["stages"]["chunks"]["action"] == "ran"
     assert rep3["stages"]["chunks"]["chunks"] > rep1["stages"]["chunks"]["chunks"]
+
+
+def test_extract_config_change_clears_inner_checkpoint(spark, tmp_path, capsys):
+    """Changing an extract-stage option must fully redo the stage — the
+    inner chunked checkpoint may not anti-join away pages that were
+    'done' under the OLD config.  (Content growth, by contrast, stays
+    incremental — pinned by test_source_growth_invalidates_downstream.)"""
+    import jobs.flagship_job as fj
+
+    _, rep1 = _run(spark, tmp_path, capsys, "flag-excfg")
+    n = rep1["stages"]["extract"]["docs"]
+    assert rep1["stages"]["extract"]["docs_new"] == n
+    src = str(tmp_path / "pages")
+    out = str(tmp_path / "flag-excfg")
+    fj.main([
+        "--pages", src, "--output", out, "--partitions", "4",
+        "--min-tokens", "5", "--chunk-tokens", "64", "--iterations", "2",
+        "--max-html-bytes", str(4 * 1024 * 1024),
+    ])
+    rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep2["stages"]["extract"]["action"] == "ran"
+    # full redo: every page re-extracted, none skipped by the stale
+    # done-set
+    assert rep2["stages"]["extract"]["docs_new"] == n
+    assert rep2["stages"]["extract"]["docs"] == n
