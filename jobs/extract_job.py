@@ -103,6 +103,32 @@ def main(argv=None):
     )
     args = ap.parse_args(argv)
 
+    # --resume anti-joins urls already in --output, so rows produced under
+    # a DIFFERENT kernel config would silently survive a flag change
+    # (e.g. resuming a dictionary run with --main-content).  Pin the
+    # output dir to the config that built it and fail loudly on mismatch.
+    resume_cfg = {
+        "migrate": args.migrate,
+        "main_content": args.main_content,
+        "markdown": args.markdown,
+        "mixed": args.mixed,
+        "transcode": args.transcode,
+        "max_html_bytes": args.max_html_bytes,
+    }
+    cfg_path = os.path.join(args.output, "_RESUME_CONFIG.json")
+    if args.resume and os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            prev = json.load(f)
+        if prev != resume_cfg:
+            raise SystemExit(
+                "--resume config mismatch: this output dir was built with "
+                f"{prev} but the current flags are {resume_cfg}; resume "
+                "with matching flags or use a fresh --output"
+            )
+    os.makedirs(args.output, exist_ok=True)
+    with open(cfg_path, "w") as f:
+        json.dump(resume_cfg, f)
+
     from pyspark.sql import SparkSession
 
     from html_parser_spark.spark.pipeline import extract_pages, quality_metrics

@@ -378,3 +378,31 @@ def test_datacard_job(spark, tmp_path, capsys):
     dj.main(["--docs", nosplit, "--output", str(tmp_path / "card2")])
     stats2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert stats2["splits"] == ["all"] and stats2["tokens"] == 2
+
+
+def test_extract_job_resume_config_guard(spark, tmp_path, capsys):
+    """Resuming an output dir with different kernel flags must fail
+    loudly — the anti-join would otherwise keep rows produced under the
+    old config."""
+    import pytest
+
+    import jobs.extract_job as ej
+
+    out = str(tmp_path / "ex")
+    ej.main([
+        "--pages", "synth:/root/testdata/sf0.001",
+        "--output", out, "--limit", "10", "--partitions", "2", "--resume",
+    ])
+    capsys.readouterr()
+    # same flags resume fine
+    ej.main([
+        "--pages", "synth:/root/testdata/sf0.001",
+        "--output", out, "--limit", "10", "--partitions", "2", "--resume",
+    ])
+    capsys.readouterr()
+    with pytest.raises(SystemExit, match="config mismatch"):
+        ej.main([
+            "--pages", "synth:/root/testdata/sf0.001",
+            "--output", out, "--limit", "10", "--partitions", "2",
+            "--resume", "--main-content",
+        ])
