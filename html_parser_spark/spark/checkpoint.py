@@ -28,6 +28,14 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 class CheckpointedExtraction:
+    """Caller contract: resume assumes the SAME ``transform`` (and its
+    config) across runs against one ``results_dir`` — the anti-join skips
+    done urls, so rows written under a different transform would survive
+    unnoticed.  Callers that expose config flags must bind them to the
+    directory and clear it on mismatch (jobs/extract_job.py pins a
+    ``_RESUME_CONFIG.json``; jobs/flagship_job.py folds stage config into
+    its marker and wipes the stage dir when only the config changed)."""
+
     def __init__(self, spark: SparkSession, results_dir: str):
         self.spark = spark
         self.results_dir = results_dir
