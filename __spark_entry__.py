@@ -991,6 +991,18 @@ def q_c4_lines(spark, sf_dir):
     return c4_line_filter(pages, min_words_per_line=3, min_kept_lines=3)
 
 
+def q_ngram_novelty(spark, sf_dir):
+    """Per-doc n-gram novelty (ops/corpus.ngram_novelty): fraction of a
+    doc's distinct 3-shingles that occur in NO other document — the
+    corpus-diversity diagnostic that surfaces template farms surviving
+    doc-level dedup.  Shingles md5-hash before the shuffle; ONE groupBy
+    per direction.  The oracle recomputes the same distinct-hash counts
+    symbolically."""
+    from html_parser_spark.ops.corpus import ngram_novelty
+
+    return ngram_novelty(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
 def q_temperature_mix(spark, sf_dir):
     """Temperature-based mixture rebalancing (ops/corpus.temperature_mix_plan,
     the XLM-R/mT5 α-sampling rule at α=0.5): per-language sampling
@@ -2638,6 +2650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_centroid_outliers": q_centroid_outliers,
         "q_bpe_fertility": q_bpe_fertility,
         "q_c4_lines": q_c4_lines,
+        "q_ngram_novelty": q_ngram_novelty,
         # -- round-3-green veterans (every one has a CORRECTNESS_r03 row;
         #    the round-4 additions pushed them past the window) --
         "q_filter_project": q_filter_project,
@@ -4128,6 +4141,37 @@ def oracle_sql() -> dict[str, str]:
                    url, strftime(warc_ts, '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
                    body
             FROM g WHERE rn = 1
+        """,
+        "q_ngram_novelty": """
+            -- same distinct-md5-shingle construction as the minhash CTE,
+            -- then: docs-per-shingle count, per-doc novel fold, LEFT
+            -- JOIN back so shingle-less docs report 0 / NULL
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) >= 3 THEN
+                       list_distinct(list_transform(range(1, len(t) - 1),
+                         i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2])))
+                     ELSE [] END AS hs
+              FROM toks
+            ), e AS (
+              SELECT doc_id, unnest(hs) AS h FROM sh
+            ), cnt AS (
+              SELECT h, count(*) AS docs FROM e GROUP BY h
+            ), nov AS (
+              SELECT e.doc_id, count(*) AS n_shingles,
+                     sum(CASE WHEN cnt.docs = 1 THEN 1 ELSE 0 END) AS n_novel
+              FROM e JOIN cnt USING (h) GROUP BY e.doc_id
+            )
+            SELECT t.doc_id,
+                   CAST(coalesce(nov.n_shingles, 0) AS BIGINT) AS n_shingles,
+                   CAST(coalesce(nov.n_novel, 0) AS BIGINT) AS n_novel,
+                   CASE WHEN coalesce(nov.n_shingles, 0) > 0 THEN
+                     round(CAST(nov.n_novel AS DOUBLE) / nov.n_shingles, 4)
+                   END AS novelty
+            FROM toks t LEFT JOIN nov USING (doc_id)
         """,
         "q_c4_lines": """
             -- symbolic replay of every C4 rule over the same closed-form

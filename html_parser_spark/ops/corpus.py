@@ -981,3 +981,56 @@ def materialize_sequences(
             ).alias("seq_text"),
         )
     )
+
+
+def ngram_novelty(
+    docs: DataFrame, shingle_k: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Per-document n-gram novelty — the corpus-diversity diagnostic
+    memorization/contamination studies report: of a doc's DISTINCT
+    word k-shingles, what fraction appears in no other document?
+
+    Returns (doc_id, n_shingles, n_novel, novelty) where novelty is
+    n_novel / n_shingles rounded to 4dp (NULL when the doc is shorter
+    than k tokens).  A corpus of exact duplicates scores 0.0; fully
+    unique text scores 1.0; boilerplate-heavy pages sit in between —
+    ranking by novelty surfaces template farms that survive doc-level
+    dedup because of unique slugs.
+
+    Scale shape: shingles are md5-hashed to fixed 32-byte keys BEFORE
+    any shuffle (the contamination-audit discipline), then ONE
+    partial-agg groupBy counts distinct docs per shingle and ONE
+    groupBy(doc) folds the per-shingle verdicts back — explode carries
+    (doc_id, hash) pairs only, never the text.  Cost is O(total
+    shingles); no pairwise comparison exists."""
+    sh = _with_shingles(docs.select("doc_id", text_col), text_col, shingle_k)
+    pairs = sh.select(
+        "doc_id",
+        F.explode_outer(
+            F.array_distinct(F.transform("_shingles", lambda s: F.md5(s)))
+        ).alias("h"),
+    )
+    by_shingle = (
+        pairs.where(F.col("h").isNotNull())
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_docs"))
+    )
+    verdicts = (
+        pairs.join(by_shingle, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("h").cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("_docs") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return verdicts.select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce("n_novel", F.lit(0).cast("long")).alias("n_novel"),
+        F.when(
+            F.col("n_shingles") > 0,
+            F.round(F.col("n_novel") / F.col("n_shingles"), 4),
+        ).alias("novelty"),
+    )

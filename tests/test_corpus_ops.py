@@ -536,3 +536,27 @@ def test_c4_line_filter_rules(spark):
     assert not got[3]["page_keep"]   # brace page; the brace line also fails
     assert not got[4]["page_keep"] and got[4]["n_lines_kept"] == 1
     assert not got[5]["page_keep"] and got[5]["n_lines_in"] == 1
+
+
+def test_ngram_novelty(spark):
+    """Exact duplicates score 0, unique text scores 1, a half-shared doc
+    sits in between; short docs report NULL novelty."""
+    from html_parser_spark.ops.corpus import ngram_novelty
+
+    dup = "the quick brown fox jumps over dogs"
+    rows = [
+        (0, dup),
+        (1, dup),                                   # exact dup of 0
+        (2, "completely different words appear here today"),
+        (3, dup + " unique tail alpha beta gamma"),  # shares a prefix run
+        (4, "too short"),                            # < k tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in ngram_novelty(df, shingle_k=3).collect()}
+    assert got[0]["novelty"] == 0.0 and got[1]["novelty"] == 0.0
+    assert got[2]["novelty"] == 1.0
+    assert 0.0 < got[3]["novelty"] < 1.0
+    # doc 3: 12 tokens -> 10 shingles; the 5 shingles of the shared
+    # 7-token prefix also occur in docs 0/1, the bridge + tail are unique
+    assert got[3]["n_shingles"] == 10 and got[3]["n_novel"] == 5
+    assert got[4]["n_shingles"] == 0 and got[4]["novelty"] is None

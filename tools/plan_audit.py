@@ -755,6 +755,19 @@ def main():
         )
     )
 
+    p = plan_of(entrymod.q_ngram_novelty(spark, sf_dir))
+    checks.append(
+        (
+            "q_ngram_novelty — diversity diagnostic: md5-hashed shingles "
+            "before the shuffle, ONE groupBy per direction, no window, "
+            "no Python, no cartesian",
+            p,
+            ["HashAggregate", "Generate"],
+            ["Window", "CartesianProduct", "ArrowEvalPython",
+             "BatchEvalPython"],
+        )
+    )
+
     p = plan_of(entrymod.q_c4_lines(spark, sf_dir))
     checks.append(
         (
