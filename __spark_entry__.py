@@ -991,6 +991,32 @@ def q_c4_lines(spark, sf_dir):
     return c4_line_filter(pages, min_words_per_line=3, min_kept_lines=3)
 
 
+def q_script_profile(spark, sf_dir):
+    """Unicode-script routing (ops/text.script_profile): docs synthesized
+    with mixed scripts in closed form — a Cyrillic phrase repeated
+    doc_id%40 times (overtaking the Latin base on high repeats), a Greek
+    or CJK suffix on %3 families, and a digits-only page on %97 (NULL
+    dominant).  The oracle recounts with RE2's script classes — two
+    independent regex engines agreeing on every count and tie-break."""
+    from html_parser_spark.ops.text import script_profile
+
+    docs = _docs(spark, sf_dir)
+    text = F.when(
+        F.expr("doc_id % 97 = 0"), F.lit("0123 4567 !!")
+    ).otherwise(
+        F.concat(
+            F.col("text"),
+            F.repeat(
+                F.lit(" привет мир"), F.pmod("doc_id", F.lit(40)).cast("int")
+            ),
+            F.when(F.expr("doc_id % 3 = 1"), F.lit(" γειά σου κόσμε"))
+            .when(F.expr("doc_id % 3 = 2"), F.lit(" 你好世界 こんにちは"))
+            .otherwise(F.lit("")),
+        )
+    )
+    return script_profile(docs.select("doc_id", text.alias("text")))
+
+
 def q_ngram_novelty(spark, sf_dir):
     """Per-doc n-gram novelty (ops/corpus.ngram_novelty): fraction of a
     doc's distinct 3-shingles that occur in NO other document — the
@@ -2651,6 +2677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_fertility": q_bpe_fertility,
         "q_c4_lines": q_c4_lines,
         "q_ngram_novelty": q_ngram_novelty,
+        "q_script_profile": q_script_profile,
         # -- round-3-green veterans (every one has a CORRECTNESS_r03 row;
         #    the round-4 additions pushed them past the window) --
         "q_filter_project": q_filter_project,
@@ -4141,6 +4168,54 @@ def oracle_sql() -> dict[str, str]:
                    url, strftime(warc_ts, '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
                    body
             FROM g WHERE rn = 1
+        """,
+        "q_script_profile": """
+            -- RE2 script classes over the same closed-form mixed-script
+            -- text; dominant = alphabetically first script at the max
+            WITH src AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 97 = 0 THEN '0123 4567 !!'
+                          ELSE text
+                            || repeat(' привет мир', CAST(doc_id % 40 AS INT))
+                            || CASE WHEN doc_id % 3 = 1 THEN ' γειά σου κόσμε'
+                                    WHEN doc_id % 3 = 2 THEN ' 你好世界 こんにちは'
+                                    ELSE '' END
+                     END AS t
+              FROM documents
+            ), c AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(t, '\\p{Arabic}')) AS BIGINT)
+                       AS n_arabic,
+                     CAST(len(regexp_extract_all(t,
+                       '[\\p{Han}\\p{Hiragana}\\p{Katakana}\\p{Hangul}]'))
+                       AS BIGINT) AS n_cjk,
+                     CAST(len(regexp_extract_all(t, '\\p{Cyrillic}')) AS BIGINT)
+                       AS n_cyrillic,
+                     CAST(len(regexp_extract_all(t, '\\p{Greek}')) AS BIGINT)
+                       AS n_greek,
+                     CAST(len(regexp_extract_all(t, '\\p{Latin}')) AS BIGINT)
+                       AS n_latin
+              FROM src
+            )
+            SELECT doc_id, n_arabic, n_cjk, n_cyrillic, n_greek, n_latin,
+                   n_arabic + n_cjk + n_cyrillic + n_greek + n_latin
+                     AS n_script_chars,
+                   CASE WHEN n_arabic + n_cjk + n_cyrillic + n_greek
+                             + n_latin = 0 THEN NULL
+                        WHEN n_arabic = greatest(n_arabic, n_cjk, n_cyrillic,
+                                                 n_greek, n_latin)
+                          THEN 'arabic'
+                        WHEN n_cjk = greatest(n_arabic, n_cjk, n_cyrillic,
+                                              n_greek, n_latin) THEN 'cjk'
+                        WHEN n_cyrillic = greatest(n_arabic, n_cjk,
+                                                   n_cyrillic, n_greek,
+                                                   n_latin) THEN 'cyrillic'
+                        WHEN n_greek = greatest(n_arabic, n_cjk, n_cyrillic,
+                                                n_greek, n_latin)
+                          THEN 'greek'
+                        ELSE 'latin'
+                   END AS dominant_script
+            FROM c
         """,
         "q_ngram_novelty": """
             -- same distinct-md5-shingle construction as the minhash CTE,

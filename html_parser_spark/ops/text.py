@@ -449,3 +449,54 @@ def c4_line_filter(
         page_keep.alias("page_keep"),
         F.array_join(kept, "\n").alias("clean_text"),
     )
+
+
+# Unicode script classes, ALPHABETICAL — the dominant-script tie-break
+# order.  Java regex needs the Is- prefix for script properties; the
+# DuckDB oracle uses RE2's bare \p{Script} names — same semantics, two
+# independent implementations.
+SCRIPT_CLASSES = [
+    ("arabic", r"\p{IsArabic}"),
+    ("cjk", r"[\p{IsHan}\p{IsHiragana}\p{IsKatakana}\p{IsHangul}]"),
+    ("cyrillic", r"\p{IsCyrillic}"),
+    ("greek", r"\p{IsGreek}"),
+    ("latin", r"\p{IsLatin}"),
+]
+
+
+def script_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Unicode-script histogram + dominant script per document — the
+    routing step multilingual pipelines run BEFORE n-gram language ID
+    (scripts partition languages into families; a Cyrillic page never
+    needs the Latin-language profiles).
+
+    Returns (doc_id, n_arabic, n_cjk, n_cyrillic, n_greek, n_latin,
+    n_script_chars, dominant_script) — dominant is the alphabetically
+    first script holding the maximum count, NULL when the text has no
+    script characters at all (digits/punctuation-only).
+
+    Scale shape: five ``regexp_count`` expressions in ONE codegen
+    projection — zero shuffle, zero Python, integer-exact counts that
+    the DuckDB oracle reproduces with RE2's script classes."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    d = docs.select(
+        "doc_id",
+        *[
+            F.regexp_count(text, F.lit(pat)).cast("long").alias(f"n_{name}")
+            for name, pat in SCRIPT_CLASSES
+        ],
+    )
+    names = [n for n, _ in SCRIPT_CLASSES]
+    total = names[0] and sum(
+        (F.col(f"n_{n}") for n in names[1:]), F.col(f"n_{names[0]}")
+    )
+    m = F.greatest(*[F.col(f"n_{n}") for n in names])
+    dom = F.when(total == 0, F.lit(None).cast("string"))
+    for n in names:
+        dom = dom.when(F.col(f"n_{n}") == m, F.lit(n))
+    return d.select(
+        "doc_id",
+        *[f"n_{n}" for n in names],
+        total.alias("n_script_chars"),
+        dom.alias("dominant_script"),
+    )

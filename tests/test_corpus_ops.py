@@ -560,3 +560,28 @@ def test_ngram_novelty(spark):
     # 7-token prefix also occur in docs 0/1, the bridge + tail are unique
     assert got[3]["n_shingles"] == 10 and got[3]["n_novel"] == 5
     assert got[4]["n_shingles"] == 0 and got[4]["novelty"] is None
+
+
+def test_script_profile(spark):
+    from html_parser_spark.ops.text import script_profile
+
+    rows = [
+        (0, "hello world plain latin"),
+        (1, "Привет мир это кириллица ok"),     # cyrillic dominates latin
+        (2, "你好世界 こんにちは 안녕"),            # han + kana + hangul = cjk
+        (3, "مرحبا بالعالم"),
+        (4, "0123 !!! ---"),                     # no script chars at all
+        (5, None),
+        (6, "αβ ab"),                            # greek==latin tie -> greek
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in script_profile(df).collect()}
+    assert got[0]["dominant_script"] == "latin" and got[0]["n_cyrillic"] == 0
+    assert got[1]["dominant_script"] == "cyrillic" and got[1]["n_latin"] == 2
+    assert got[2]["dominant_script"] == "cjk" and got[2]["n_cjk"] == 11
+    assert got[3]["dominant_script"] == "arabic"
+    assert got[4]["dominant_script"] is None and got[4]["n_script_chars"] == 0
+    assert got[5]["dominant_script"] is None
+    # alphabetical tie-break: greek before latin at equal counts
+    assert got[6]["n_greek"] == got[6]["n_latin"] == 2
+    assert got[6]["dominant_script"] == "greek"

@@ -755,6 +755,18 @@ def main():
         )
     )
 
+    p = plan_of(entrymod.q_script_profile(spark, sf_dir))
+    checks.append(
+        (
+            "q_script_profile — script routing is pure codegen (five "
+            "regexp_counts in one projection): zero shuffle, zero Python",
+            p,
+            ["*(1)"],
+            ["Exchange", "Window", "Join", "ArrowEvalPython",
+             "BatchEvalPython", "Generate"],
+        )
+    )
+
     p = plan_of(entrymod.q_ngram_novelty(spark, sf_dir))
     checks.append(
         (
