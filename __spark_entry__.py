@@ -991,6 +991,26 @@ def q_c4_lines(spark, sf_dir):
     return c4_line_filter(pages, min_words_per_line=3, min_kept_lines=3)
 
 
+def q_sentence_split(spark, sf_dir):
+    """Sentence segmentation (ops/text.sentence_split): pages synthesized
+    with a closed-form 4-sentence shape (declarative + exclamation +
+    question + the doc's own words as the final period-terminated
+    sentence).  The oracle replays the identical sentinel-injection
+    split in RE2 — boundary rule, trimming, empties, and token counts
+    all hash-pinned."""
+    from html_parser_spark.ops.text import sentence_split
+
+    docs = _docs(spark, sf_dir)
+    text = F.concat(
+        F.lit("First sentence number "),
+        F.col("doc_id").cast("string"),
+        F.lit(" here.  Second one follows!   Is this the third? "),
+        F.col("text"),
+        F.lit("."),
+    )
+    return sentence_split(docs.select("doc_id", text.alias("text")))
+
+
 def q_script_profile(spark, sf_dir):
     """Unicode-script routing (ops/text.script_profile): docs synthesized
     with mixed scripts in closed form — a Cyrillic phrase repeated
@@ -2678,6 +2698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_c4_lines": q_c4_lines,
         "q_ngram_novelty": q_ngram_novelty,
         "q_script_profile": q_script_profile,
+        "q_sentence_split": q_sentence_split,
         # -- round-3-green veterans (every one has a CORRECTNESS_r03 row;
         #    the round-4 additions pushed them past the window) --
         "q_filter_project": q_filter_project,
@@ -4168,6 +4189,34 @@ def oracle_sql() -> dict[str, str]:
                    url, strftime(warc_ts, '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
                    body
             FROM g WHERE rn = 1
+        """,
+        "q_sentence_split": """
+            -- identical sentinel-injection split: terminal punct +
+            -- whitespace becomes punct + U+241E, split, trim, drop empty
+            WITH src AS (
+              SELECT doc_id,
+                     'First sentence number ' || doc_id
+                       || ' here.  Second one follows!   Is this the third? '
+                       || text || '.' AS t
+              FROM documents
+            ), sp AS (
+              SELECT doc_id,
+                     list_filter(
+                       list_transform(
+                         string_split(
+                           regexp_replace(trim(t), '([.!?])\\s+', '\\1␞', 'g'),
+                           '␞'),
+                         x -> trim(x)),
+                       x -> len(x) > 0) AS sents
+              FROM src
+            )
+            SELECT doc_id,
+                   CAST(unnest(generate_series(0, len(sents) - 1)) AS BIGINT)
+                     AS sent_idx,
+                   unnest(sents) AS sentence,
+                   CAST(len(regexp_split_to_array(unnest(sents), '\\s+'))
+                        AS BIGINT) AS n_sent_tokens
+            FROM sp
         """,
         "q_script_profile": """
             -- RE2 script classes over the same closed-form mixed-script

@@ -500,3 +500,37 @@ def script_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
         total.alias("n_script_chars"),
         dom.alias("dominant_script"),
     )
+
+
+def sentence_split(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Regex sentence segmentation: one row per sentence — the unit
+    sentence-level dedup / decontamination / packing operate on.
+
+    Rule: a sentence boundary is terminal punctuation (``.!?``) followed
+    by whitespace.  Implemented as sentinel injection + split rather than
+    a lookbehind, because RE2 (the oracle's engine) has no lookarounds —
+    ``regexp_replace('([.!?])\\s+' → '$1␞')`` then split on the sentinel
+    works identically in both engines.  Sentences are trimmed; empty
+    segments drop; docs with no boundary yield one sentence (the whole
+    trimmed text) and NULL/empty docs yield zero rows.
+
+    Returns (doc_id, sent_idx, sentence, n_sent_tokens).  Pure narrow
+    ops: replace → split → filter → posexplode; zero shuffle at any
+    scale."""
+    text = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    marked = F.regexp_replace(text, r"([.!?])\s+", "$1␞")
+    sents = F.filter(
+        F.transform(F.split(marked, "␞"), lambda s: F.trim(s)),
+        lambda s: F.length(s) > 0,
+    )
+    d = docs.select(
+        "doc_id", F.posexplode(sents).alias("sent_idx", "sentence")
+    )
+    return d.select(
+        "doc_id",
+        F.col("sent_idx").cast("long").alias("sent_idx"),
+        "sentence",
+        F.size(F.split(F.col("sentence"), r"\s+")).cast("long").alias(
+            "n_sent_tokens"
+        ),
+    )

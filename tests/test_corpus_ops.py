@@ -585,3 +585,30 @@ def test_script_profile(spark):
     # alphabetical tie-break: greek before latin at equal counts
     assert got[6]["n_greek"] == got[6]["n_latin"] == 2
     assert got[6]["dominant_script"] == "greek"
+
+
+def test_sentence_split(spark):
+    from html_parser_spark.ops.text import sentence_split
+
+    rows = [
+        (0, "One two.  Three four five!   Six? Last one no terminal"),
+        (1, "no boundary at all"),
+        (2, "   "),
+        (3, None),
+        (4, "Trailing period."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in sentence_split(df).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["sent_idx"], r["sentence"], r["n_sent_tokens"])
+        )
+    assert got[0] == [
+        (0, "One two.", 2),
+        (1, "Three four five!", 3),
+        (2, "Six?", 1),
+        (3, "Last one no terminal", 4),
+    ]
+    assert got[1] == [(0, "no boundary at all", 4)]
+    assert 2 not in got and 3 not in got  # blank/NULL docs yield no rows
+    assert got[4] == [(0, "Trailing period.", 2)]

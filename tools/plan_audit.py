@@ -755,6 +755,18 @@ def main():
         )
     )
 
+    p = plan_of(entrymod.q_sentence_split(spark, sf_dir))
+    checks.append(
+        (
+            "q_sentence_split — sentence segmentation is narrow "
+            "replace/split/explode: zero shuffle, zero Python",
+            p,
+            ["Generate"],
+            ["Exchange", "Window", "Join", "ArrowEvalPython",
+             "BatchEvalPython"],
+        )
+    )
+
     p = plan_of(entrymod.q_script_profile(spark, sf_dir))
     checks.append(
         (
