@@ -34,6 +34,20 @@ The headline q_extract wall stays at the x16 workload for cross-round
 comparability.
 
 Set SPARK_GRAFT_BENCH_SCALING=0 to skip the scaling runs.
+
+PROTOCOL FREEZE (round 5, declared before any round-5 measurement):
+protocol v5 is frozen — the number of record is the MEDIAN of per-pair
+within-window ratios at the pre-registered PRIMARY placement (2→8), over
+EVERY measured pair, no filtering, no re-measurement, no early stop on a
+seen value.  The 4→16 SECONDARY placement is a diagnostic; its exclusion
+from the record is now MECHANICAL, not judgmental: alongside its
+all-pairs median we report a quiet-pair median over pairs whose measured
+steal fraction is <= QUIET_STEAL_FRAC (0.05 of requested capacity, both
+runs of the pair) — a fixed threshold set HERE, before the data.  The
+secondary is sampled in several windows across the round
+(``python bench.py --secondary-only`` appends windows); the full steal
+series is recorded so any aggregation can be recomputed.  No further
+protocol revision this round regardless of what the numbers read.
 """
 
 from __future__ import annotations
@@ -79,6 +93,12 @@ _T_START = time.time()
 # penalty so Spark-attributable efficiency is reported honestly.
 SCALE_LO = int(os.environ.get("SPARK_GRAFT_BENCH_LO", "2"))
 SCALE_HI = int(os.environ.get("SPARK_GRAFT_BENCH_HI", "8"))
+# Pre-registered mechanical steal screen for the SECONDARY diagnostic
+# placement (protocol freeze, round 5): a pair is "quiet" iff both runs'
+# steal is <= this fraction of the requested cores.  Fixed BEFORE any
+# round-5 data; applies only to the reported secondary quiet-median —
+# the primary number of record is never screened.
+QUIET_STEAL_FRAC = 0.05
 
 # sf encoded in the dir name, e.g. .../sf0.1
 try:
@@ -360,10 +380,13 @@ def main():
             scaling["primary_scaling_efficiency"] = scaling["scaling_efficiency"]
             scaling["pooled_scaling_efficiency"] = round(_median(pooled), 3)
             scaling["pooled_pair_efficiencies"] = pooled
+            _annotate_quiet(sec)
             scaling["recorded_protocol"] = (
-                "primary-placement (2→8) median of paired within-window "
-                "ratios; 4→16 and the pooled median recorded as "
-                "diagnostics (16-way hi runs carry systematic steal)"
+                "FROZEN v5: primary-placement (2→8) median of paired "
+                "within-window ratios, all pairs unfiltered; 4→16, its "
+                "mechanical quiet-pair median (steal_frac <= "
+                f"{QUIET_STEAL_FRAC} both runs, pre-registered), and the "
+                "pooled median recorded as diagnostics"
             )
         write_baseline_md(scaling)
         # headline extraction stays at the cross-round x16 workload (the
@@ -399,6 +422,26 @@ def main():
     if scaling:
         out["scaling"] = scaling
     print(json.dumps(out))
+
+
+def _annotate_quiet(placement: dict) -> None:
+    """Apply the pre-registered mechanical steal screen (QUIET_STEAL_FRAC,
+    declared in the protocol freeze BEFORE round-5 data) to a placement's
+    pairs: adds ``quiet`` per pair plus the quiet-pair median.  Reporting
+    only — the number of record is never screened."""
+    pairs = placement.get("pairs") or []
+    for p in pairs:
+        fl, fh = p.get("steal_frac_lo"), p.get("steal_frac_hi")
+        p["quiet"] = (
+            fl is not None and fh is not None
+            and fl <= QUIET_STEAL_FRAC and fh <= QUIET_STEAL_FRAC
+        )
+    quiet = [p["efficiency"] for p in pairs if p["quiet"]]
+    placement["quiet_steal_frac_threshold"] = QUIET_STEAL_FRAC
+    placement["quiet_pair_efficiencies"] = quiet
+    placement["quiet_scaling_efficiency"] = (
+        round(_median(quiet), 3) if quiet else None
+    )
 
 
 def measure_secondary_pair() -> dict | None:
@@ -537,6 +580,16 @@ North rule (BASELINE.json): throughput scaling efficiency >= 0.8 from N to 4N
 executors.  Sandbox stand-in (per driver instruction): the identical fused
 extraction job on the identical input at two local parallelism levels.
 
+PROTOCOL FREEZE (round 5, declared in bench.py BEFORE any round-5
+measurement): v5 is frozen.  Number of record = median of per-pair
+within-window ratios at the pre-registered PRIMARY placement (2→8), all
+pairs, no filtering.  The 4→16 secondary stays a diagnostic with a
+MECHANICAL quiet screen fixed in advance (steal fraction <= 0.05 of
+requested capacity in both runs of a pair); it is sampled in several
+windows across the round (bench.py --secondary-only) and the full steal
+series is recorded.  No aggregation change this round regardless of the
+numbers.
+
 Protocol (round 4): PAIRED within-window measurement — each pair runs the
 4N and N jobs back-to-back (order alternating), one efficiency ratio per
 pair, and the number of record is the MEDIAN of per-pair ratios over
@@ -632,6 +685,15 @@ def secondary_section(p: dict | None) -> str:
             "JVM serving 16 concurrent Arrow streams — absent on a real "
             "cluster, where each executor runs its own JVM)."
         )
+    quiet = ""
+    if "quiet_scaling_efficiency" in p:
+        quiet = (
+            f"| quiet-pair efficiencies (mechanical screen, steal_frac <= "
+            f"{p['quiet_steal_frac_threshold']} both runs, pre-registered) "
+            f"| {p['quiet_pair_efficiencies']} |\n"
+            f"| quiet-pair median (diagnostic) | "
+            f"{p['quiet_scaling_efficiency']} |\n"
+        )
     return f"""## Secondary pair — same paired protocol, measured THIS run
 
 | config | value |
@@ -641,8 +703,8 @@ def secondary_section(p: dict | None) -> str:
 | wall @ N (median pair) | {p['wall_lo_sec']} s |
 | wall @ 4N (median pair) | {p['wall_hi_sec']} s |
 | per-pair efficiencies | {p['pair_efficiencies']} |
-| **efficiency of record (median of pairs)** | **{p['scaling_efficiency']}** |
-| hardware parallel-capacity ceiling (real-kernel pool) | {p['hw_parallel_efficiency']} |
+| **all-pairs median (this placement's diagnostic)** | **{p['scaling_efficiency']}** |
+{quiet}| hardware parallel-capacity ceiling (real-kernel pool) | {p['hw_parallel_efficiency']} |
 | **Spark-attributable efficiency** | **{p['spark_attributable_efficiency']}** |
 
 {_pairs_table(p)}
@@ -653,8 +715,26 @@ cluster's per-executor JVMs do not have; the hw-ceiling row quantifies the
 pure-hardware share of the gap for this box."""
 
 
+def secondary_only():
+    """One secondary-placement window (protocol freeze: the 4→16 diagnostic
+    is sampled in SEVERAL windows across the round).  Prints one JSON line
+    per invocation; the builder appends the windows to BENCH/BASELINE.md
+    with the full steal series."""
+    raw = os.environ.get("SPARK_GRAFT_BENCH_PAIR2", "4,16")
+    lo2, hi2 = (int(x) for x in raw.split(","))
+    n_pairs = int(os.environ.get("SPARK_GRAFT_BENCH_PAIR2_PAIRS", "2"))
+    r = paired_scaling(
+        lo2, hi2, min_pairs=n_pairs, max_pairs=n_pairs,
+        calibrate=False, copies=SCALE_COPIES,
+    )
+    _annotate_quiet(r)
+    print(json.dumps({"secondary_window": r}))
+
+
 if __name__ == "__main__":
     if len(sys.argv) >= 3 and sys.argv[1] == "--measure-extraction":
         print(json.dumps(_measure_extraction_inprocess(int(sys.argv[2]))))
+    elif len(sys.argv) >= 2 and sys.argv[1] == "--secondary-only":
+        secondary_only()
     else:
         main()

@@ -593,8 +593,17 @@ def pdf_text(
         for pdf in it:
             rows = []
             for did, payload in zip(pdf["doc_id"], pdf["payload"]):
-                raw = bytes(payload) if payload is not None else b""
                 try:
+                    # bytes() inside the try: a StringType payload column
+                    # (plausible for external parquet fed via --mixed —
+                    # mime_sniff matches '%PDF' on strings too) must
+                    # degrade to a NULL row, never kill the task
+                    if payload is None:
+                        raw = b""
+                    elif isinstance(payload, str):
+                        raw = payload.encode("latin-1", "replace")
+                    else:
+                        raw = bytes(payload)
                     parsed = extract_pdf(raw)
                 except Exception:  # hostile input: total, never a task death
                     parsed = None
@@ -645,8 +654,15 @@ def pdf_text_pages(pages: DataFrame) -> DataFrame:
             for url, ts, payload, lang in zip(
                 pdf["url"], pdf["warc_ts"], pdf["html"], pdf["lang"]
             ):
-                raw = bytes(payload) if payload is not None else b""
+                raw = b""
                 try:
+                    # bytes() inside the try (see pdf_text): ill-typed
+                    # payloads degrade to a NULL row; raw stays b"" so
+                    # n_bytes_in below never dereferences an unset name
+                    if isinstance(payload, str):
+                        raw = payload.encode("latin-1", "replace")
+                    elif payload is not None:
+                        raw = bytes(payload)
                     parsed = extract_pdf(raw)
                 except Exception:
                     parsed = None

@@ -351,6 +351,13 @@ def main(argv=None):
         )
 
         out_seqs = os.path.join(args.output, "sequences")
+        # clear the whole sequences dir first: the per-split overwrite
+        # only replaces splits present in THIS run, so a re-run whose
+        # split set shrank would otherwise leave a stale split=<name>
+        # dir that spark.read.parquet(out_seqs) silently includes
+        import shutil
+
+        shutil.rmtree(out_seqs, ignore_errors=True)
         for split_name in sorted(splits):
             part = final.where(F.col("split") == split_name).select(
                 "doc_id", "text"

@@ -125,6 +125,19 @@ def main(argv=None):
                 f"{prev} but the current flags are {resume_cfg}; resume "
                 "with matching flags or use a fresh --output"
             )
+    elif args.resume and os.path.isdir(os.path.join(args.output, "data")):
+        # data exists but no config file: a legacy dir written before the
+        # config-pin scheme (or a foreign dir).  Resuming would mix rows
+        # of an UNKNOWN kernel config (and possibly an older output
+        # schema) with this run's — fail loudly instead of guessing.
+        raise SystemExit(
+            "--resume into an output dir that has data but no "
+            "_RESUME_CONFIG.json (written before the config-pin scheme?); "
+            "its kernel config/schema is unknown and resuming would mix "
+            "rows across configs — re-run without --resume into a fresh "
+            "--output, or add a matching _RESUME_CONFIG.json by hand if "
+            "you are certain the flags match"
+        )
     os.makedirs(args.output, exist_ok=True)
     with open(cfg_path, "w") as f:
         json.dump(resume_cfg, f)

@@ -248,15 +248,33 @@ def main(argv=None):
         # but wrong when the stage CONFIG changed (done rows carry the
         # old config's output).  Split the mismatch: same config ->
         # incremental resume; changed config -> clear and redo fully.
+        # The config is pinned at stage START (_STAGE_CONFIG.json written
+        # before the first chunk): a run killed mid-extract leaves chunks
+        # but no completion marker, and a changed --partitions /
+        # --max-html-bytes re-run must still wipe those chunks instead of
+        # anti-join-mixing rows from two configs.  The completion marker
+        # is the fallback for dirs created before this scheme.
+        cfg_path = os.path.join(ex_dir, "_STAGE_CONFIG.json")
+        new_cfg = fp_ex.split("|cfg:")[-1]
+        old_cfg = ""
         try:
-            with open(_marker_path(ex_dir)) as _f:
-                _old_fp = json.load(_f).get("input_fingerprint", "")
+            with open(cfg_path) as _f:
+                old_cfg = json.load(_f).get("cfg", "")
         except (OSError, ValueError):
-            _old_fp = ""
-        if _old_fp and _old_fp.split("|cfg:")[-1] != fp_ex.split("|cfg:")[-1]:
+            try:
+                with open(_marker_path(ex_dir)) as _f:
+                    _old_fp = json.load(_f).get("input_fingerprint", "")
+                old_cfg = _old_fp.split("|cfg:")[-1] if _old_fp else ""
+            except (OSError, ValueError):
+                old_cfg = ""
+        if old_cfg and old_cfg != new_cfg:
             import shutil
 
             shutil.rmtree(ex_dir, ignore_errors=True)
+        os.makedirs(ex_dir, exist_ok=True)
+        with open(cfg_path + ".tmp", "w") as _f:
+            json.dump({"cfg": new_cfg}, _f)
+        os.replace(cfg_path + ".tmp", cfg_path)
         ck = CheckpointedExtraction(spark, ex_dir)
         m = ck.run(pages, transform=_mc)
         results = ck.results()
@@ -463,6 +481,12 @@ def main(argv=None):
             )
             action = "skipped"
         else:
+            # clear first: the per-split overwrite only replaces splits
+            # present in THIS run; a rerun whose split set shrank must not
+            # leave a stale split=<name> dir in the read path
+            import shutil
+
+            shutil.rmtree(out_seqs, ignore_errors=True)
             for split_name in split_names:
                 part = final.where(F.col("split") == split_name).select(
                     "doc_id", "text"
