@@ -182,3 +182,104 @@ def host_graph_stats(edges: DataFrame) -> DataFrame:
             F.coalesce("reciprocal_edges", zero).alias("reciprocal_edges"),
         )
     )
+
+
+def hits_fixed_point(
+    edges: DataFrame,
+    iterations: int = 3,
+    total_mass: int = TOTAL_MASS,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Weighted HITS (Kleinberg hubs/authorities) over (src, dst, weight)
+    in integer mass units — the complement of PageRank for crawl curation:
+    authorities surface content hosts, hubs surface directory/aggregator
+    hosts (prime boilerplate/link-farm suspects even when their PageRank
+    looks ordinary).
+
+    Same fixed-point discipline as ``pagerank_fixed_point`` (see module
+    docstring): float HITS sums are shuffle-order-dependent, so each
+    half-step rescales to total mass ``S = 10**12`` with exact integer
+    arithmetic instead of an L2 norm::
+
+        auth_raw[v] = Σ_{u→v} hub[u]  * weight(u,v)
+        auth[v]     = (auth_raw[v] * S) div Σ auth_raw          (BIGINT)
+        hub_raw[u]  = Σ_{u→v} auth[v] * weight(u,v)
+        hub[u]      = (hub_raw[u]  * S) div Σ hub_raw           (BIGINT)
+
+    Products and running sums ride DECIMAL(38,0): with ranks bounded by S
+    after every rescale, ``Σ raw ≤ S · Σ weight``, so the rescale product
+    ``raw * S`` stays inside 38 digits while total edge weight is below
+    ~10^14 — far past any host-graph weight mass.  The DuckDB oracle
+    unrolls the identical iterations in HUGEINT and hash-matches EXACTLY.
+
+    Scale shape per iteration: two (edges ⋈ per-node-rank) equi-joins with
+    map-side partial-agg sums — edges are the only big side — plus two
+    1-row broadcast totals; lineage truncated per iteration with
+    ``localCheckpoint`` (cluster: reliable checkpoint).  Returns
+    (node, auth, hub)."""
+    edges = edges.select(
+        "src", "dst", F.col("weight").cast("long").alias("weight")
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    zero = F.lit(0).cast("long")
+    if n == 0:
+        return nodes.select("node", zero.alias("auth"), zero.alias("hub"))
+
+    def _rescaled(raw: DataFrame, out_col: str) -> DataFrame:
+        """(node, raw DECIMAL) → (node, out_col BIGINT) summing to ≤ S.
+        Nodes absent from ``raw`` (no in-edges for auth / no out-edges for
+        hub) get exact 0.  The total is a 1-row broadcast, never a window."""
+        total = raw.agg(
+            F.coalesce(F.sum("raw"), F.lit(0).cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .alias("_total")
+        )
+        return (
+            nodes.join(raw, "node", "left")
+            .crossJoin(F.broadcast(total))
+            .select(
+                "node",
+                F.when(F.col("_total") > 0, F.expr(
+                    f"CAST((coalesce(raw, CAST(0 AS DECIMAL(38,0)))"
+                    f" * {total_mass}) div _total AS BIGINT)"
+                )).otherwise(zero).alias(out_col),
+            )
+        )
+
+    hubs = nodes.withColumn("hub", F.lit(total_mass // n).cast("long"))
+    auths = nodes.withColumn("auth", zero)
+    for _ in range(iterations):
+        auth_raw = (
+            edges.join(hubs.select(F.col("node").alias("src"), "hub"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                F.sum(F.expr("CAST(hub AS DECIMAL(38,0)) * weight"))
+                .cast("decimal(38,0)").alias("raw")
+            )
+        )
+        auths = _rescaled(auth_raw, "auth")
+        hub_raw = (
+            edges.join(auths.select(F.col("node").alias("dst"), "auth"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(
+                F.sum(F.expr("CAST(auth AS DECIMAL(38,0)) * weight"))
+                .cast("decimal(38,0)").alias("raw")
+            )
+        )
+        hubs = _rescaled(hub_raw, "hub")
+        if checkpoint:
+            auths = auths.localCheckpoint(eager=False)
+            hubs = hubs.localCheckpoint(eager=False)
+    return (
+        auths.join(hubs, "node", "full_outer")
+        .select(
+            "node",
+            F.coalesce("auth", zero).alias("auth"),
+            F.coalesce("hub", zero).alias("hub"),
+        )
+    )

@@ -475,3 +475,130 @@ def centroid_outliers(
         .filter(F.col("rank") <= k)
         .select("label", "vec_id", "centroid_dist", "rank")
     )
+
+
+def bitext_margin_mine(
+    embeddings: DataFrame,
+    src_ids: DataFrame,
+    dst_ids: DataFrame,
+    k: int = 4,
+    margin_threshold_e4: int = 10500,
+    vec_col: str = "embedding",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019, the
+    CCMatrix/LASER recipe): a (src, dst) sentence/document pair is mined
+    iff each is the other's best match under the MARGIN score — cosine
+    relative to the mean of both sides' k-NN cosines — which suppresses
+    the hub vectors that raw-cosine mining pairs with everything.
+
+    Exactness discipline: per-pair cosine is a sequential in-row array
+    reduction (bit-identical cross-engine), rounded to 4dp and scaled to
+    BIGINT ``cos_e4``; every downstream sum/ratio is 64-bit integer
+    arithmetic, so shuffle order never moves a result::
+
+        margin_e4(x,y) = (cos_e4 * 2 * kx * ky * 10^4)
+                         div (sum_x_e4 * ky + sum_y_e4 * kx)
+
+    where ``sum_x_e4``/``kx`` are the sum and count of x's top-k positive
+    candidate cosines (ratio-of-means margin; kx,ky ≤ k cover short
+    sides).  Only positive-cosine pairs participate — bitext lives there,
+    and it keeps every operand positive so Spark's truncating ``div`` and
+    the oracle's flooring ``//`` agree.
+
+    Scale shape: the pair generator is pluggable — default broadcasts the
+    (small) src side over dst (correctness baseline, same as
+    ``cosine_topk``); at 10^9+ pairs pass ``candidates`` (vec_id_src,
+    vec_id_dst) from ``lsh_bucketed_cosine`` buckets or
+    ``ops/web.hreflang_pairs`` and the scan becomes an equi-join.  The
+    two top-k windows partition by vector id, bounded by the candidate
+    fan-out.  Returns (src_id, dst_id, cos_e4, margin_e4) — mutual-best
+    pairs over the margin threshold."""
+    x = embeddings.join(src_ids, "vec_id").select(
+        F.col("vec_id").alias("src_id"),
+        F.col(vec_col).alias("xv"),
+        _norm(F.col(vec_col)).alias("xn"),
+    )
+    y = embeddings.join(dst_ids, "vec_id").select(
+        F.col("vec_id").alias("dst_id"),
+        F.col(vec_col).alias("yv"),
+        _norm(F.col(vec_col)).alias("yn"),
+    )
+    if candidates is not None:
+        pairs = (
+            candidates.select(
+                F.col("src_id").cast("long").alias("src_id"),
+                F.col("dst_id").cast("long").alias("dst_id"),
+            )
+            .join(x, "src_id")
+            .join(y, "dst_id")
+        )
+    else:
+        pairs = y.crossJoin(F.broadcast(x))
+    cos = _dot(F.col("xv"), F.col("yv")) / (F.col("xn") * F.col("yn"))
+    scored = (
+        pairs.select(
+            "src_id",
+            "dst_id",
+            F.round(F.round(cos, 4) * 10000).cast("long").alias("cos_e4"),
+        )
+        .filter(F.col("cos_e4") > 0)
+    )
+    wx = Window.partitionBy("src_id").orderBy(
+        F.col("cos_e4").desc(), F.col("dst_id").asc()
+    )
+    wy = Window.partitionBy("dst_id").orderBy(
+        F.col("cos_e4").desc(), F.col("src_id").asc()
+    )
+    knn_x = (
+        scored.withColumn("_r", F.row_number().over(wx))
+        .filter(F.col("_r") <= k)
+        .groupBy("src_id")
+        .agg(
+            F.sum("cos_e4").alias("sum_x_e4"),
+            F.count("*").cast("long").alias("kx"),
+        )
+    )
+    knn_y = (
+        scored.withColumn("_r", F.row_number().over(wy))
+        .filter(F.col("_r") <= k)
+        .groupBy("dst_id")
+        .agg(
+            F.sum("cos_e4").alias("sum_y_e4"),
+            F.count("*").cast("long").alias("ky"),
+        )
+    )
+    margins = (
+        scored.join(knn_x, "src_id")
+        .join(knn_y, "dst_id")
+        .select(
+            "src_id",
+            "dst_id",
+            "cos_e4",
+            F.expr(
+                "(cos_e4 * 2 * kx * ky * 10000)"
+                " div (sum_x_e4 * ky + sum_y_e4 * kx)"
+            ).cast("long").alias("margin_e4"),
+        )
+    )
+    best_x = Window.partitionBy("src_id").orderBy(
+        F.col("margin_e4").desc(), F.col("dst_id").asc()
+    )
+    best_y = Window.partitionBy("dst_id").orderBy(
+        F.col("margin_e4").desc(), F.col("src_id").asc()
+    )
+    fwd = (
+        margins.withColumn("_r", F.row_number().over(best_x))
+        .filter(F.col("_r") == 1)
+        .drop("_r")
+    )
+    bwd = (
+        margins.withColumn("_r", F.row_number().over(best_y))
+        .filter(F.col("_r") == 1)
+        .select("src_id", "dst_id")
+    )
+    return (
+        fwd.join(bwd, ["src_id", "dst_id"])
+        .filter(F.col("margin_e4") >= margin_threshold_e4)
+        .select("src_id", "dst_id", "cos_e4", "margin_e4")
+    )

@@ -617,3 +617,109 @@ def recrawl_priority(
         next_due.alias("next_due_ts"),
         (F.lit(int(asof_ts)) - next_due).cast("long").alias("overdue_sec"),
     )
+
+
+def hreflang_links(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """One row per ``<link rel="alternate" hreflang=…>`` declaration —
+    the page-declared translation graph (the cheapest bitext-candidate
+    source a multilingual corpus has: site owners hand-label the
+    alignment).
+
+    Pure JVM: decode → ``regexp_extract_all`` over ``<link …>`` tags →
+    narrow explode → per-tag attribute pulls.  Attribute order is free,
+    quoting may be double/single/absent, ``rel`` may carry extra tokens
+    (``alternate stylesheet`` does NOT count: the rel token list must
+    contain exactly ``alternate`` for hreflang semantics — we require the
+    ``hreflang`` attribute too, which never appears on stylesheet links).
+    Returns (*other cols, hreflang lowercased, href) — unresolved relative
+    hrefs are emitted verbatim (resolution is ``canonicalize_url``'s job
+    and needs the base url anyway)."""
+    html_str = F.decode(F.col(html_col), "UTF-8")
+    tags = F.regexp_extract_all(html_str, F.lit(r"(?i)<link\b[^>]*>"), F.lit(0))
+    quoted = lambda attr: rf"""(?i)\b{attr}\s*=\s*("([^"]*)"|'([^']*)'|([^\s"'>]+))"""
+    def attr_val(attr):
+        pat = quoted(attr)
+        return F.coalesce(
+            F.nullif(F.regexp_extract(F.col("_tag"), pat, 2), F.lit("")),
+            F.nullif(F.regexp_extract(F.col("_tag"), pat, 3), F.lit("")),
+            F.nullif(F.regexp_extract(F.col("_tag"), pat, 4), F.lit("")),
+        )
+    other = [c for c in pages.columns if c != html_col]
+    is_alternate = F.lower(F.coalesce(attr_val("rel"), F.lit(""))).rlike(
+        r"(^|\s)alternate(\s|$)"
+    )
+    return (
+        pages.select(*other, F.explode(tags).alias("_tag"))
+        .filter(is_alternate)
+        .select(
+            *other,
+            F.lower(attr_val("hreflang")).alias("hreflang"),
+            attr_val("href").alias("href"),
+        )
+        .filter(F.col("hreflang").isNotNull() & F.col("href").isNotNull())
+    )
+
+
+def hreflang_clusters(
+    links: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Translation-cluster membership from hreflang declarations, WITHOUT
+    graph iteration: per the Google/W3C contract every page in a cluster
+    declares the SAME full alternate set (including itself), so
+    ``cluster_id = min(href set ∪ {url})`` is identical across the
+    cluster — one narrow per-page aggregate, no connected components, no
+    shuffle beyond the final groupBy a consumer adds.  (Inconsistent
+    real-world clusters degrade gracefully: each consistent subset keys
+    together; stitching violators needs ``ops/dedup``'s connected
+    components over the href edges — deliberately not the default, which
+    must stay O(pages).)
+
+    Input: the (url, hreflang, href) rows of ``hreflang_links``.  Returns
+    one row per (cluster_id, url, self_hreflang, n_variants): the page's
+    own language is the min non-x-default hreflang whose href is the page
+    itself (min keeps it unique when a page self-declares several tags —
+    en + en-gb is legal; x-default is a router alias, not a language),
+    folded into the SAME aggregate so the links scan runs ONCE — one
+    partial-agg groupBy(url), zero joins."""
+    return (
+        links.groupBy(url_col)
+        .agg(
+            F.min("href").alias("_min_href"),
+            F.count("*").cast("long").alias("n_variants"),
+            F.min(
+                F.when(
+                    (F.col("href") == F.col(url_col))
+                    & (F.col("hreflang") != "x-default"),
+                    F.col("hreflang"),
+                )
+            ).alias("self_hreflang"),
+        )
+        .select(
+            F.least(F.col("_min_href"), F.col(url_col)).alias("cluster_id"),
+            url_col,
+            "self_hreflang",
+            "n_variants",
+        )
+    )
+
+
+def hreflang_pairs(
+    links: DataFrame, url_col: str = "url", lang_col: str = "lang"
+) -> DataFrame:
+    """Directed bitext candidate pairs straight from the declarations:
+    every (page, alternate) edge with the page's own language attached —
+    the seed list a margin-mining pass (ops/similarity.bitext_margin_mine)
+    verifies.  Zero joins: one filter + projection over the links rows
+    (``lang_col`` must already ride the links frame; hreflang_links
+    preserves input columns).  Self-references and x-default rows are
+    dropped (x-default is a router alias, not a language)."""
+    return links.filter(
+        (F.col("href") != F.col(url_col)) & (F.col("hreflang") != "x-default")
+    ).select(
+        F.col(url_col).alias("src_url"),
+        F.col(lang_col).alias("src_lang"),
+        F.col("href").alias("dst_url"),
+        F.col("hreflang").alias("dst_lang"),
+    )

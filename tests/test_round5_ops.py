@@ -1,0 +1,228 @@
+"""Round-5 operators: integer-exact HITS, hreflang translation clusters,
+margin-based bitext mining.  Each op's oracle query (q_hits / q_hreflang /
+q_bitext_mine) does the cross-engine value-hash check; these tests pin the
+hand-checkable semantics and the scale-shape invariants.
+"""
+
+from pyspark.sql import functions as F
+
+TOTAL = 10**12
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs/authorities — ops/linkgraph.hits_fixed_point
+# ---------------------------------------------------------------------------
+def _star_edges(spark):
+    # hub 'h' links to three authorities; 'a1' also links back to 'h'
+    return spark.createDataFrame(
+        [("h", "a1", 1), ("h", "a2", 1), ("h", "a3", 1), ("a1", "h", 1)],
+        "src string, dst string, weight long",
+    )
+
+
+def test_hits_star_graph_roles(spark):
+    from html_parser_spark.ops.linkgraph import hits_fixed_point
+
+    out = {
+        r["node"]: r
+        for r in hits_fixed_point(
+            _star_edges(spark), iterations=3, checkpoint=False
+        ).collect()
+    }
+    # h is the dominant hub; a1..a3 are the authorities
+    assert out["h"]["hub"] > out["a1"]["hub"]
+    assert min(out[a]["auth"] for a in ("a1", "a2", "a3")) > out["h"]["auth"] or (
+        out["h"]["auth"] > 0  # a1→h gives h some authority, but never the max
+        and max(out[a]["auth"] for a in ("a1", "a2", "a3")) > out["h"]["auth"]
+    )
+    # mass conservation up to floor losses: each rescaled column sums to
+    # TOTAL minus at most (n_nodes - 1) floor units
+    n = len(out)
+    for col in ("auth", "hub"):
+        s = sum(r[col] for r in out.values())
+        assert TOTAL - (n - 1) <= s <= TOTAL
+
+
+def test_hits_sink_and_source_zeroes(spark):
+    from html_parser_spark.ops.linkgraph import hits_fixed_point
+
+    out = {
+        r["node"]: r
+        for r in hits_fixed_point(
+            spark.createDataFrame(
+                [("s", "t", 5)], "src string, dst string, weight long"
+            ),
+            iterations=2,
+            checkpoint=False,
+        ).collect()
+    }
+    # pure source: no in-edges → auth 0; pure sink: no out-edges → hub 0
+    assert out["s"]["auth"] == 0 and out["t"]["hub"] == 0
+    assert out["s"]["hub"] == TOTAL and out["t"]["auth"] == TOTAL
+
+
+def test_hits_weight_dominance_and_partition_independence(spark):
+    from html_parser_spark.ops.linkgraph import hits_fixed_point
+
+    edges = spark.createDataFrame(
+        [("u", "big", 9), ("u", "small", 1), ("v", "big", 3), ("v", "small", 2)],
+        "src string, dst string, weight long",
+    )
+    one = {
+        (r["node"]): (r["auth"], r["hub"])
+        for r in hits_fixed_point(edges, iterations=3, checkpoint=False).collect()
+    }
+    assert one["big"][0] > one["small"][0]
+    many = {
+        (r["node"]): (r["auth"], r["hub"])
+        for r in hits_fixed_point(
+            edges.repartition(7), iterations=3, checkpoint=False
+        ).collect()
+    }
+    # integer fixed-point: bit-identical across partitionings
+    assert one == many
+
+
+def test_hits_empty_graph(spark):
+    from html_parser_spark.ops.linkgraph import hits_fixed_point
+
+    empty = spark.createDataFrame([], "src string, dst string, weight long")
+    assert hits_fixed_point(empty, iterations=1, checkpoint=False).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# hreflang extraction + clustering — ops/web.py
+# ---------------------------------------------------------------------------
+_HTML = (
+    "<html><head>"
+    '<link rel="alternate" hreflang="en" href="https://e.com/en/1">'
+    "<link href='https://e.com/de/1' hreflang='DE' rel='alternate'>"
+    "<link rel=alternate hreflang=fr href=https://e.com/fr/1>"
+    '<link rel="alternate" hreflang="x-default" href="https://e.com/en/1">'
+    '<link rel="alternate stylesheet" href="/s.css">'
+    '<link rel="alternate" type="application/rss+xml" href="/feed.xml">'
+    '<link rel="stylesheet" href="/m.css">'
+    "</head><body>b</body></html>"
+)
+
+
+def _pages(spark):
+    return spark.createDataFrame(
+        [
+            ("https://e.com/en/1", "en", _HTML.encode()),
+            ("https://e.com/de/1", "de", _HTML.encode()),
+        ],
+        "url string, lang string, html binary",
+    )
+
+
+def test_hreflang_links_variants_and_decoys(spark):
+    from html_parser_spark.ops.web import hreflang_links
+
+    rows = hreflang_links(_pages(spark)).collect()
+    per_page = {}
+    for r in rows:
+        per_page.setdefault(r["url"], {})[r["hreflang"]] = r["href"]
+    # all three quoting/order variants parsed, hreflang lowercased,
+    # x-default kept, all three decoy links dropped
+    for url in ("https://e.com/en/1", "https://e.com/de/1"):
+        assert per_page[url] == {
+            "en": "https://e.com/en/1",
+            "de": "https://e.com/de/1",
+            "fr": "https://e.com/fr/1",
+            "x-default": "https://e.com/en/1",
+        }
+
+
+def test_hreflang_clusters_key_and_self_lang(spark):
+    from html_parser_spark.ops.web import hreflang_clusters, hreflang_links
+
+    rows = {
+        r["url"]: r
+        for r in hreflang_clusters(hreflang_links(_pages(spark))).collect()
+    }
+    # min(href set ∪ {url}) = the /de/ variant for every member
+    assert {r["cluster_id"] for r in rows.values()} == {"https://e.com/de/1"}
+    assert rows["https://e.com/en/1"]["self_hreflang"] == "en"
+    assert rows["https://e.com/de/1"]["self_hreflang"] == "de"
+    assert all(r["n_variants"] == 4 for r in rows.values())
+
+
+def test_hreflang_pairs_drop_self_and_xdefault(spark):
+    from html_parser_spark.ops.web import hreflang_links, hreflang_pairs
+
+    pairs = {
+        (r["src_url"], r["dst_url"], r["dst_lang"])
+        for r in hreflang_pairs(hreflang_links(_pages(spark))).collect()
+    }
+    assert ("https://e.com/en/1", "https://e.com/de/1", "de") in pairs
+    assert ("https://e.com/en/1", "https://e.com/fr/1", "fr") in pairs
+    # no self edges, no x-default rows
+    assert not any(s == d for s, d, _ in pairs)
+    assert not any(l == "x-default" for _, _, l in pairs)
+
+
+# ---------------------------------------------------------------------------
+# margin-based bitext mining — ops/similarity.bitext_margin_mine
+# ---------------------------------------------------------------------------
+def _emb(spark):
+    # 2-D embeddings: src 0/2 align with dst 1/3; dst 5 is a "hub" vector
+    # moderately close to BOTH sources — raw cosine would pair it with
+    # everything, the margin demotes it below the true translations
+    rows = [
+        (0, [1.0, 0.05]),
+        (2, [0.05, 1.0]),
+        (1, [1.0, 0.1]),   # true match of 0
+        (3, [0.1, 1.0]),   # true match of 2
+        (5, [0.8, 0.8]),   # hub
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_bitext_mutual_best_and_hub_suppression(spark):
+    from html_parser_spark.ops.similarity import bitext_margin_mine
+
+    emb = _emb(spark)
+    src = emb.filter(F.col("vec_id").isin(0, 2)).select("vec_id")
+    dst = emb.filter(F.col("vec_id").isin(1, 3, 5)).select("vec_id")
+    mined = {
+        (r["src_id"], r["dst_id"])
+        for r in bitext_margin_mine(
+            emb, src, dst, k=2, margin_threshold_e4=10000
+        ).collect()
+    }
+    assert mined == {(0, 1), (2, 3)}  # the hub (5) mined by neither
+
+
+def test_bitext_candidates_path_matches_bruteforce(spark):
+    from html_parser_spark.ops.similarity import bitext_margin_mine
+
+    emb = _emb(spark)
+    src = emb.filter(F.col("vec_id").isin(0, 2)).select("vec_id")
+    dst = emb.filter(F.col("vec_id").isin(1, 3, 5)).select("vec_id")
+    brute = bitext_margin_mine(emb, src, dst, k=2, margin_threshold_e4=0)
+    cands = spark.createDataFrame(
+        [(s, d) for s in (0, 2) for d in (1, 3, 5)],
+        "src_id long, dst_id long",
+    )
+    via_cands = bitext_margin_mine(
+        emb, src, dst, k=2, margin_threshold_e4=0, candidates=cands
+    )
+    assert sorted(map(tuple, brute.collect())) == sorted(
+        map(tuple, via_cands.collect())
+    )
+
+
+def test_bitext_negative_cosines_excluded(spark):
+    from html_parser_spark.ops.similarity import bitext_margin_mine
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [-1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    src = emb.filter(F.col("vec_id") == 0).select("vec_id")
+    dst = emb.filter(F.col("vec_id") == 1).select("vec_id")
+    assert (
+        bitext_margin_mine(emb, src, dst, k=2, margin_threshold_e4=0).count()
+        == 0
+    )

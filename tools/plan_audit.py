@@ -815,6 +815,46 @@ def main():
         )
     )
 
+    p = plan_of(entrymod.q_hits(spark, sf_dir, checkpoint=False))
+    checks.append(
+        (
+            "q_hits — HITS half-steps are edge⋈rank equi-joins with "
+            "partial-agg sums; rescale totals ride 1-row broadcasts, "
+            "never a window or cartesian over nodes",
+            p,
+            ["HashAggregate", "BroadcastNestedLoopJoin"],
+            ["CartesianProduct", "Window", "ArrowEvalPython",
+             "BatchEvalPython"],
+        )
+    )
+
+    p = plan_of(entrymod.q_hreflang(spark, sf_dir))
+    checks.append(
+        (
+            "q_hreflang — link extraction is pure JVM regexp + narrow "
+            "explode; clustering + self-language fold into ONE partial-agg "
+            "groupBy(url) over ONE links scan (string-buffered min → "
+            "SortAggregate, still partial before the exchange); the "
+            "per-cluster min key needs NO graph iteration and NO join",
+            p,
+            ["Generate", "SortAggregate"],
+            ["ArrowEvalPython", "BatchEvalPython", "CartesianProduct",
+             "Window", "Join"],
+        )
+    )
+
+    p = plan_of(entrymod.q_bitext_mine(spark, sf_dir))
+    checks.append(
+        (
+            "q_bitext_mine — margin mining: broadcast pair generation "
+            "(candidates equi-join at scale), in-row JVM cosine, bounded "
+            "per-id windows, zero Python",
+            p,
+            ["BroadcastNestedLoopJoin", "Window"],
+            ["CartesianProduct", "ArrowEvalPython", "BatchEvalPython"],
+        )
+    )
+
     failures = []
     out = ["# Physical-plan audit (generated by tools/plan_audit.py)\n"]
     out.append(
