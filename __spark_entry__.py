@@ -2840,6 +2840,34 @@ def q_bitext_mine(spark, sf_dir):
     )
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental near-dup gate (ops/dedup.incremental_lsh_dedup): docs
+    with doc_id < 300 are the already-deduped corpus, represented ONLY by
+    their persisted band_index rows; docs ≥ 300 are the new crawl batch.
+    The batch's bands equi-join the index on (band_id, band_key) — cost
+    O(new batch), corpus never re-read — then the deterministic elections:
+    min existing id for cross-corpus matches, min-unmatched-id-per-bucket
+    within the batch.  num_hashes=4 / bands=2 matches the _MINHASH_CTE
+    family so the oracle reuses the established portable md5-min
+    signatures.  keep/matched_existing cast to int for the driver's
+    scalar canonicalizer."""
+    from html_parser_spark.ops.dedup import band_index, incremental_lsh_dedup
+
+    docs = _docs(spark, sf_dir)
+    existing = docs.filter(F.col("doc_id") < 300)
+    batch = docs.filter(F.col("doc_id") >= 300)
+    idx = band_index(existing, num_hashes=4, bands=2)
+    out = incremental_lsh_dedup(batch, idx, num_hashes=4, bands=2)
+    return out.select(
+        "doc_id",
+        F.col("keep").cast("int").alias("keep"),
+        F.col("matched_existing").cast("int").alias("matched_existing"),
+        # -1 sentinel for "no duplicate": a NULL BIGINT would ride DuckDB's
+        # pandas path as float NaN and false-fail the strict hash
+        F.coalesce(F.col("dup_of"), F.lit(-1)).cast("long").alias("dup_of"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-query CORRECTNESS window rotates coverage.
 
@@ -2988,6 +3016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hits": q_hits,
         "q_hreflang": q_hreflang,
         "q_bitext_mine": q_bitext_mine,
+        "q_incremental_dedup": q_incremental_dedup,
     }
 
 
@@ -5821,5 +5850,65 @@ def oracle_sql() -> dict[str, str]:
             FROM fwd f JOIN bwd b
               ON b.src_id = f.src_id AND b.dst_id = f.dst_id
             WHERE f.margin_e4 >= 9000
+        """,
+        "q_incremental_dedup": """
+            -- replay the incremental gate over the same portable md5-min
+            -- MinHash family (_MINHASH_CTE): index = bands of doc_id < 300,
+            -- batch = doc_id >= 300; min existing id on cross matches, then
+            -- min-unmatched-id-per-bucket inside the batch.
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) >= 3 THEN
+                       list_transform(range(1, len(t) - 1),
+                                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                     ELSE [] END AS shingles
+              FROM toks
+            ), sig AS (
+              SELECT doc_id,
+                     list_min(list_transform(shingles, s -> md5('0|' || s))) AS s0,
+                     list_min(list_transform(shingles, s -> md5('1|' || s))) AS s1,
+                     list_min(list_transform(shingles, s -> md5('2|' || s))) AS s2,
+                     list_min(list_transform(shingles, s -> md5('3|' || s))) AS s3
+              FROM sh
+            ), bands AS (
+              SELECT doc_id, 0 AS band_id, s0 || '|' || s1 AS band_key FROM sig
+              UNION ALL
+              SELECT doc_id, 1, s2 || '|' || s3 FROM sig
+            ), ex AS (
+              SELECT doc_id AS ex_id, band_id, band_key FROM bands
+              WHERE doc_id < 300
+            ), nb AS (
+              SELECT * FROM bands WHERE doc_id >= 300
+            ), exm AS (
+              SELECT n.doc_id, MIN(e.ex_id) AS ex_dup_of
+              FROM nb n JOIN ex e USING (band_id, band_key)
+              GROUP BY n.doc_id
+            ), un AS (
+              SELECT * FROM nb
+              WHERE doc_id NOT IN (SELECT doc_id FROM exm)
+            ), bmin AS (
+              SELECT band_id, band_key, MIN(doc_id) AS bucket_min
+              FROM un GROUP BY 1, 2
+            ), bd AS (
+              SELECT u.doc_id, MIN(b.bucket_min) AS batch_dup_of
+              FROM un u JOIN bmin b USING (band_id, band_key)
+              GROUP BY u.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(exm.ex_dup_of IS NULL
+                        AND (bd.batch_dup_of IS NULL
+                             OR bd.batch_dup_of = d.doc_id) AS INTEGER)
+                     AS keep,
+                   CAST(exm.ex_dup_of IS NOT NULL AS INTEGER)
+                     AS matched_existing,
+                   CAST(COALESCE(exm.ex_dup_of,
+                        CASE WHEN bd.batch_dup_of <> d.doc_id
+                             THEN bd.batch_dup_of END, -1) AS BIGINT) AS dup_of
+            FROM (SELECT doc_id FROM documents WHERE doc_id >= 300) d
+            LEFT JOIN exm ON exm.doc_id = d.doc_id
+            LEFT JOIN bd ON bd.doc_id = d.doc_id
         """,
     }

@@ -355,3 +355,114 @@ def near_dup_components(
     transitive clustering, keep doc_id == cluster_id as the survivor."""
     pairs = lsh_near_duplicates(docs, text_col, num_hashes, bands, shingle_k)
     return components_from_pairs(pairs.select("doc_a", "doc_b"), max_iters)
+
+
+def band_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """The PERSISTENT LSH dedup state: one (doc_id, band_id, band_key) row
+    per band per document — what a production pipeline materializes
+    (partitioned/bucketed by band_key) so that adding a crawl never
+    re-signatures the existing corpus.  Exactly the banding
+    ``lsh_near_duplicates`` builds internally, factored out so batch N's
+    index is batch N+1's input."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signature(docs, text_col, num_hashes, shingle_k)
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat_ws(
+                            "|",
+                            F.slice(
+                                "minhash", b * rows_per_band + 1, rows_per_band
+                            ),
+                        ).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_key")
+
+
+def incremental_lsh_dedup(
+    new_docs: DataFrame,
+    existing_index: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Near-dup gate for a NEW batch against an already-deduped corpus —
+    the operation that keeps 100 TB pipelines incremental: the existing
+    corpus is represented ONLY by its ``band_index`` rows (never re-read,
+    never re-signatured), and the new batch's bands equi-join against it
+    on (band_id, band_key).  Cost is O(new batch) + one uniform-key
+    shuffle, independent of corpus size; with the index stored bucketed
+    by band_key the join is co-located and shuffle-free on the big side.
+
+    Decisions per new document, all deterministic and SQL-replayable:
+
+    * ``matched_existing`` — shares ≥1 band with any indexed doc;
+      ``dup_of`` = the min indexed doc_id among matches; dropped.
+    * otherwise ``dup_of`` = min new-batch doc_id among its bucket-mates
+      that are themselves unmatched-to-existing (including itself);
+      kept iff that min is the doc itself — the same min-id election
+      ``semantic_dedup`` uses.  Like any single-pass min-per-bucket rule
+      it is not transitive across chained buckets (a kept doc's
+      ``dup_of`` always points to a kept doc only within one bucket
+      family); pipelines needing full transitivity run
+      ``components_from_pairs`` over the within-batch pairs instead.
+
+    Returns (doc_id, keep, matched_existing, dup_of) for EVERY new doc —
+    docs too short to shingle have no bands, match nothing, and are kept.
+    Append ``band_index(new_docs.where(keep))`` to the store afterwards."""
+    new_bands = band_index(new_docs, text_col, num_hashes, bands, shingle_k)
+    ex = existing_index.select(
+        "band_id", "band_key", F.col("doc_id").alias("ex_id")
+    )
+    ex_match = (
+        new_bands.join(ex, ["band_id", "band_key"])
+        .groupBy("doc_id")
+        .agg(F.min("ex_id").alias("ex_dup_of"))
+    )
+    unmatched = new_bands.join(ex_match, "doc_id", "left_anti")
+    # min unmatched doc id per bucket, broadcast back over bucket-mates
+    bucket_min = unmatched.groupBy("band_id", "band_key").agg(
+        F.min("doc_id").alias("bucket_min")
+    )
+    batch_dup = (
+        unmatched.join(bucket_min, ["band_id", "band_key"])
+        .groupBy("doc_id")
+        .agg(F.min("bucket_min").alias("batch_dup_of"))
+    )
+    ids = new_docs.select("doc_id")
+    return (
+        ids.join(ex_match, "doc_id", "left")
+        .join(batch_dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            (
+                F.col("ex_dup_of").isNull()
+                & (
+                    F.col("batch_dup_of").isNull()
+                    | (F.col("batch_dup_of") == F.col("doc_id"))
+                )
+            ).alias("keep"),
+            F.col("ex_dup_of").isNotNull().alias("matched_existing"),
+            F.coalesce(
+                "ex_dup_of",
+                F.when(
+                    F.col("batch_dup_of") != F.col("doc_id"), F.col("batch_dup_of")
+                ),
+            ).alias("dup_of"),
+        )
+    )

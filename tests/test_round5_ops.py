@@ -226,3 +226,86 @@ def test_bitext_negative_cosines_excluded(spark):
         bitext_margin_mine(emb, src, dst, k=2, margin_threshold_e4=0).count()
         == 0
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental LSH dedup against a persisted band index — ops/dedup.py
+# ---------------------------------------------------------------------------
+_BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill nearby every single morning"
+)
+
+
+def _corpus(spark):
+    rows = [
+        (0, _BASE),                              # existing
+        (1, "completely different text about spark shuffles and joins "
+            "partitioned across many executors for scale testing today"),
+        # -- new batch --
+        (10, _BASE),                             # dup of existing 0
+        (11, "an entirely novel document with its own vocabulary chosen "
+             "so that no shingle overlaps anything else in this corpus"),
+        (12, "repeated batch text lorem alpha beta gamma delta epsilon "
+             "zeta eta theta iota kappa lambda mu nu xi omicron pi rho"),
+        (13, "repeated batch text lorem alpha beta gamma delta epsilon "
+             "zeta eta theta iota kappa lambda mu nu xi omicron pi rho"),
+        (14, "tiny"),                            # too short to shingle
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_incremental_dedup_elections(spark):
+    from html_parser_spark.ops.dedup import band_index, incremental_lsh_dedup
+
+    docs = _corpus(spark)
+    idx = band_index(docs.filter(F.col("doc_id") < 10), num_hashes=4, bands=2)
+    out = {
+        r["doc_id"]: r
+        for r in incremental_lsh_dedup(
+            docs.filter(F.col("doc_id") >= 10), idx, num_hashes=4, bands=2
+        ).collect()
+    }
+    assert len(out) == 5  # every batch doc gets a row
+    # exact dup of existing 0: dropped, dup_of points at the corpus
+    assert not out[10]["keep"] and out[10]["matched_existing"]
+    assert out[10]["dup_of"] == 0
+    # novel doc: kept
+    assert out[11]["keep"] and not out[11]["matched_existing"]
+    assert out[11]["dup_of"] is None
+    # within-batch pair: min id wins
+    assert out[12]["keep"] and out[13]["dup_of"] == 12 and not out[13]["keep"]
+    assert not out[13]["matched_existing"]
+    # unshingleable doc: matches nothing, kept
+    assert out[14]["keep"] and out[14]["dup_of"] is None
+
+
+def test_incremental_dedup_index_append_closes_loop(spark):
+    """Appending band_index(kept batch docs) to the store makes a re-run of
+    the SAME batch match everything against the corpus — the incremental
+    invariant that lets batch N+1 reuse batch N's state."""
+    from html_parser_spark.ops.dedup import band_index, incremental_lsh_dedup
+
+    docs = _corpus(spark)
+    batch = docs.filter(F.col("doc_id").isin(10, 11, 12, 13))
+    idx = band_index(docs.filter(F.col("doc_id") < 10), num_hashes=4, bands=2)
+    first = incremental_lsh_dedup(batch, idx, num_hashes=4, bands=2)
+    kept_ids = [r["doc_id"] for r in first.collect() if r["keep"]]
+    idx2 = idx.unionByName(
+        band_index(
+            batch.join(
+                spark.createDataFrame([(i,) for i in kept_ids], "doc_id long"),
+                "doc_id",
+            ),
+            num_hashes=4,
+            bands=2,
+        )
+    )
+    rerun = {
+        r["doc_id"]: r
+        for r in incremental_lsh_dedup(
+            batch, idx2, num_hashes=4, bands=2
+        ).collect()
+    }
+    assert all(r["matched_existing"] for r in rerun.values())
+    assert all(not r["keep"] for r in rerun.values())

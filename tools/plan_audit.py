@@ -855,6 +855,19 @@ def main():
         )
     )
 
+    p = plan_of(entrymod.q_incremental_dedup(spark, sf_dir))
+    checks.append(
+        (
+            "q_incremental_dedup — batch bands equi-join the persisted "
+            "index on uniform (band_id, band_key); min elections are "
+            "partial-agg groupBys; no window, no cartesian, zero Python",
+            p,
+            ["Generate", "HashAggregate"],
+            ["CartesianProduct", "Window", "ArrowEvalPython",
+             "BatchEvalPython"],
+        )
+    )
+
     failures = []
     out = ["# Physical-plan audit (generated by tools/plan_audit.py)\n"]
     out.append(
