@@ -2868,6 +2868,66 @@ def q_incremental_dedup(spark, sf_dir):
     )
 
 
+def q_lm_score(spark, sf_dir):
+    """Stupid-backoff trigram LM, trained AND scored on `documents`
+    (ops/lm.py): the CCNet-style count-based model-fit signal, integer-
+    exact (scaled `div` arithmetic, BIGINT sums — no float log, no
+    order-dependent float SUM).  Two partial-agg groupBys train; three
+    LEFT equi-joins score; the oracle replays the identical counts and
+    the identical BIGINT expressions symbolically."""
+    from html_parser_spark.ops.lm import score_stupid_backoff, train_stupid_backoff
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    model = train_stupid_backoff(docs, n=3)
+    return score_stupid_backoff(docs, model, n=3)
+
+
+def q_lm_buckets(spark, sf_dir):
+    """CCNet head/middle/tail perplexity bucketing (ops/lm.py): per-lang
+    thirds over the trigram-LM per-token fit, assigned through a
+    per-(lang, score) HISTOGRAM cumulative + equi-join — no window ever
+    partitions over documents, and score ties share a bucket so the
+    assignment is shuffle-order independent.  The oracle replays the
+    same histogram arithmetic."""
+    from html_parser_spark.ops.lm import (
+        perplexity_buckets,
+        score_stupid_backoff,
+        train_stupid_backoff,
+    )
+
+    d = _docs(spark, sf_dir)
+    docs = d.select("doc_id", "text")
+    model = train_stupid_backoff(docs, n=3)
+    scored = score_stupid_backoff(docs, model, n=3)
+    return perplexity_buckets(scored, d.select("doc_id", "lang"), buckets=3)
+
+
+def q_bm25(spark, sf_dir):
+    """BM25 top-20 retrieval over the corpus (ops/search.bm25_topk):
+    Okapi weighting with k1=1.2, b=0.75 carried as exact rationals and a
+    log-free rational Robertson idf, so every score is one BIGINT
+    expression — bit-identical across engines.  Plan: IN-filtered index
+    scan, broadcast term stats + 1-row totals, TakeOrderedAndProject
+    top-k.  The oracle rebuilds the index and evaluates the identical
+    integer arithmetic."""
+    from html_parser_spark.ops.search import bm25_topk
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return bm25_topk(docs, ["data", "fast", "query"], k=20)
+
+
+def q_pmi(spark, sf_dir):
+    """Top-50 PMI collocations (ops/text.pmi_bigrams): adjacent-pair
+    association ranked by the unlogged scaled ratio
+    c_xy*N*scale div (c_x*c_y) — monotone in PMI, integer-exact.  One
+    explode per direction, partial-agg groupBys, min-count prune BEFORE
+    the unigram joins, TakeOrderedAndProject."""
+    from html_parser_spark.ops.text import pmi_bigrams
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return pmi_bigrams(docs, min_count=5, k=50)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-query CORRECTNESS window rotates coverage.
 
@@ -2884,7 +2944,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       2. q_flagship_curate — NEW this round: the composed
          extract→graph→curate pipeline (jobs/flagship_job.py) as one
          driver-checked contract row;
-      3. 35 round-3-green veterans, the longest-unexposed cohort, in
+      3. the 8 other round-5 additions (trigram-LM scoring + CCNet
+         bucketing, BM25 retrieval, PMI collocations, HITS, hreflang
+         clusters, bitext mining, incremental LSH dedup) — this is the
+         FINAL round, so their only chance at a driver row is this
+         window;
+      4. 27 round-3-green veterans, the longest-unexposed cohort, in
          their registry order.
 
     Everything past position 50 carries a driver-green row from round 3
@@ -2909,6 +2974,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sentence_split": q_sentence_split,
         # -- new in round 5: the composed end-to-end pipeline --
         "q_flagship_curate": q_flagship_curate,
+        # -- new in round 5: LM scoring / retrieval / collocations,
+        #    link analysis, translation mining, incremental dedup (this
+        #    is the FINAL window — nothing rotates in later, so every
+        #    never-exposed query sits inside it) --
+        "q_lm_score": q_lm_score,
+        "q_lm_buckets": q_lm_buckets,
+        "q_bm25": q_bm25,
+        "q_pmi": q_pmi,
+        "q_hits": q_hits,
+        "q_hreflang": q_hreflang,
+        "q_bitext_mine": q_bitext_mine,
+        "q_incremental_dedup": q_incremental_dedup,
         # -- longest-unexposed veterans (driver-green in round 3, pushed
         #    past the window by the round-4 additions) --
         "q_filter_project": q_filter_project,
@@ -2938,6 +3015,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_id": q_lang_id,
         "q_span_dedup": q_span_dedup,
         "q_url_parts": q_url_parts,
+        # ---------------- driver window ends here (position 50) ---------
+        # -- round-3-green veterans that did not fit (22) --
         "q_url_canon": q_url_canon,
         "q_dim_broadcast_join": q_dim_broadcast_join,
         "q_topk": q_topk,
@@ -2946,8 +3025,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_profile": q_lang_profile,
         "q_repetition": q_repetition,
         "q_dedup_survivors": q_dedup_survivors,
-        # ---------------- driver window ends here (position 50) ---------
-        # -- round-3-green veterans that did not fit (14) --
         "q_percentiles": q_percentiles,
         "q_embedding_near_dup": q_embedding_near_dup,
         "q_embedding_near_dup_lsh": q_embedding_near_dup_lsh,
@@ -3010,13 +3087,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_exact_substring": q_exact_substring,
         "q_bpe_encode": q_bpe_encode,
         "q_pack_sequences": q_pack_sequences,
-        # -- new in round 5 (past the window by design: the 50 slots are
-        #    reserved for the never-exposed backlog; these three are green
-        #    on the strict local oracle and rotate in next) --
-        "q_hits": q_hits,
-        "q_hreflang": q_hreflang,
-        "q_bitext_mine": q_bitext_mine,
-        "q_incremental_dedup": q_incremental_dedup,
     }
 
 
@@ -3135,6 +3205,127 @@ def _hits_oracle_sql(iterations: int = 3) -> str:
         + f"\nSELECT a.node, a.auth, h.hub"
         f"\nFROM a{iterations} a JOIN h{iterations} h ON h.node = a.node"
     )
+
+
+# Shared CTE chain for the stupid-backoff trigram LM oracles: rebuild the
+# order-1/2/3 count tables over the same whitespace tokens, score every
+# token with the IDENTICAL scaled-BIGINT `//` expressions (backoff 0.4 as
+# the rational 2/5), aggregate per doc.  Used by q_lm_score and, extended
+# with the per-lang histogram-cumulative bucketing, by q_lm_buckets.
+_LM_CTES = """toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ), ev0 AS (
+              SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+              FROM toks
+            ), ev AS (
+              SELECT doc_id, t[i] AS tok,
+                     CASE WHEN i >= 2 THEN t[i - 1] END AS c1,
+                     CASE WHEN i >= 3 THEN t[i - 2] || ' ' || t[i - 1] END AS c2
+              FROM ev0
+            ), g1 AS (
+              SELECT tok, CAST(count(*) AS BIGINT) AS cnt1 FROM ev GROUP BY tok
+            ), n1 AS (
+              SELECT CAST(count(*) AS BIGINT) AS tot1 FROM ev
+            ), g2 AS (
+              SELECT c1, tok, CAST(count(*) AS BIGINT) AS cnt2
+              FROM ev WHERE c1 IS NOT NULL GROUP BY c1, tok
+            ), t2 AS (
+              SELECT c1, CAST(sum(cnt2) AS BIGINT) AS tot2 FROM g2 GROUP BY c1
+            ), g3 AS (
+              SELECT c2, tok, CAST(count(*) AS BIGINT) AS cnt3
+              FROM ev WHERE c2 IS NOT NULL GROUP BY c2, tok
+            ), t3 AS (
+              SELECT c2, CAST(sum(cnt3) AS BIGINT) AS tot3 FROM g3 GROUP BY c2
+            ), sc AS (
+              SELECT ev.doc_id,
+                CASE
+                  WHEN m3.cnt3 IS NOT NULL
+                    THEN (m3.cnt3 * 1000000) // m3.tot3
+                  WHEN m2.cnt2 IS NOT NULL AND ev.c2 IS NOT NULL
+                    THEN (m2.cnt2 * 1000000 * 2) // (m2.tot2 * 5)
+                  WHEN m2.cnt2 IS NOT NULL
+                    THEN (m2.cnt2 * 1000000) // m2.tot2
+                  WHEN m1.cnt1 IS NOT NULL AND ev.c2 IS NOT NULL
+                    THEN (m1.cnt1 * 1000000 * 4) // (m1.tot1 * 25)
+                  WHEN m1.cnt1 IS NOT NULL AND ev.c1 IS NOT NULL
+                    THEN (m1.cnt1 * 1000000 * 2) // (m1.tot1 * 5)
+                  WHEN m1.cnt1 IS NOT NULL
+                    THEN (m1.cnt1 * 1000000) // m1.tot1
+                  ELSE 0 END AS s,
+                CASE WHEN m3.cnt3 IS NOT NULL THEN 1 ELSE 0 END AS h3,
+                CASE WHEN m3.cnt3 IS NULL AND m2.cnt2 IS NOT NULL
+                     THEN 1 ELSE 0 END AS h2,
+                CASE WHEN m3.cnt3 IS NULL AND m2.cnt2 IS NULL
+                          AND m1.cnt1 IS NOT NULL THEN 1 ELSE 0 END AS h1,
+                CASE WHEN m3.cnt3 IS NULL AND m2.cnt2 IS NULL
+                          AND m1.cnt1 IS NULL THEN 1 ELSE 0 END AS ov
+              FROM ev
+              LEFT JOIN (SELECT g3.c2, g3.tok, g3.cnt3, t3.tot3
+                         FROM g3 JOIN t3 USING (c2)) m3
+                     ON m3.c2 = ev.c2 AND m3.tok = ev.tok
+              LEFT JOIN (SELECT g2.c1, g2.tok, g2.cnt2, t2.tot2
+                         FROM g2 JOIN t2 USING (c1)) m2
+                     ON m2.c1 = ev.c1 AND m2.tok = ev.tok
+              LEFT JOIN (SELECT g1.tok, g1.cnt1, n1.tot1
+                         FROM g1 CROSS JOIN n1) m1
+                     ON m1.tok = ev.tok
+            ), agg AS (
+              SELECT doc_id,
+                     CAST(count(*) AS BIGINT) AS n_tokens,
+                     CAST(coalesce(sum(s), 0) AS BIGINT) AS sum_score,
+                     CAST(sum(h3) AS BIGINT) AS hits3,
+                     CAST(sum(h2) AS BIGINT) AS hits2,
+                     CAST(sum(h1) AS BIGINT) AS hits1,
+                     CAST(sum(ov) AS BIGINT) AS oov
+              FROM sc GROUP BY doc_id
+            )"""
+
+_LM_SCORE_SQL = f"""
+            WITH {_LM_CTES}
+            SELECT toks.doc_id,
+                   CAST(coalesce(agg.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(agg.sum_score, 0) AS BIGINT) AS sum_score,
+                   CAST(coalesce(agg.hits3, 0) AS BIGINT) AS hits3,
+                   CAST(coalesce(agg.hits2, 0) AS BIGINT) AS hits2,
+                   CAST(coalesce(agg.hits1, 0) AS BIGINT) AS hits1,
+                   CAST(coalesce(agg.oov, 0) AS BIGINT) AS oov,
+                   CAST(CASE WHEN coalesce(agg.n_tokens, 0) > 0
+                        THEN agg.sum_score // agg.n_tokens
+                        ELSE 0 END AS BIGINT) AS avg_score
+            FROM toks LEFT JOIN agg USING (doc_id)
+        """
+
+_LM_BUCKETS_SQL = f"""
+            WITH {_LM_CTES}, base AS (
+              SELECT toks.doc_id,
+                     CAST(CASE WHEN coalesce(agg.n_tokens, 0) > 0
+                          THEN agg.sum_score // agg.n_tokens
+                          ELSE 0 END AS BIGINT) AS avg_score
+              FROM toks LEFT JOIN agg USING (doc_id)
+            ), s AS (
+              SELECT base.doc_id, d.lang, base.avg_score
+              FROM base JOIN documents d USING (doc_id)
+            ), hist AS (
+              SELECT lang, avg_score, CAST(count(*) AS BIGINT) AS nn
+              FROM s GROUP BY lang, avg_score
+            ), cum AS (
+              SELECT lang, avg_score,
+                     CAST(coalesce(sum(nn) OVER (
+                       PARTITION BY lang ORDER BY avg_score DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS BIGINT) AS better,
+                     CAST(sum(nn) OVER (PARTITION BY lang) AS BIGINT) AS tot
+              FROM hist
+            )
+            SELECT s.doc_id, s.lang, s.avg_score,
+                   CASE least(2, (better * 3) // tot)
+                     WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+                     ELSE 'tail' END AS bucket
+            FROM s JOIN cum USING (lang, avg_score)
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4579,6 +4770,86 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'latin'
                    END AS dominant_script
             FROM c
+        """,
+        "q_lm_score": _LM_SCORE_SQL,
+        "q_lm_buckets": _LM_BUCKETS_SQL,
+        "q_bm25": """
+            -- rebuild the inverted index + doc lengths over the same
+            -- whitespace tokens, then the IDENTICAL BIGINT arithmetic:
+            -- rational Robertson idf, fraction-cleared tf saturation
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ), dls AS (
+              SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks
+            ), tot AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(dl) AS BIGINT) AS total_dl
+              FROM dls
+            ), ev AS (
+              SELECT doc_id, unnest(t) AS term FROM toks
+            ), idx AS (
+              SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+              FROM ev WHERE term IN ('data', 'fast', 'query')
+              GROUP BY term, doc_id
+            ), stats AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS df_docs
+              FROM idx GROUP BY term
+            ), scored AS (
+              SELECT idx.doc_id, idx.term,
+                     (((2 * n_docs - 2 * df_docs + 1) * 1000000)
+                        // (2 * df_docs + 1))
+                     * ((tf * 22 * total_dl * 1000000)
+                        // (10 * tf * total_dl + 3 * total_dl
+                            + 9 * dl * n_docs))
+                     // 1000000 AS s
+              FROM idx
+              JOIN stats USING (term)
+              JOIN dls USING (doc_id)
+              CROSS JOIN tot
+            )
+            SELECT doc_id,
+                   CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
+                   CAST(sum(s) AS BIGINT) AS score
+            FROM scored GROUP BY doc_id
+            ORDER BY score DESC, doc_id ASC LIMIT 20
+        """,
+        "q_pmi": """
+            -- unigram + adjacent-pair counts over the same tokens, then
+            -- the identical scaled integer division; min_count prune
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ), n AS (
+              SELECT CAST(coalesce(sum(len(t)), 0) AS BIGINT) AS n_tokens
+              FROM toks
+            ), uni AS (
+              SELECT w, CAST(count(*) AS BIGINT) AS c
+              FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+            ), pr AS (
+              SELECT p.w1, p.w2, CAST(count(*) AS BIGINT) AS c_xy
+              FROM (
+                SELECT unnest(list_transform(range(1, len(t)),
+                         i -> {'w1': t[i], 'w2': t[i + 1]}),
+                       recursive := true)
+                FROM toks WHERE len(t) >= 2
+              ) AS p
+              GROUP BY p.w1, p.w2
+              HAVING count(*) >= 5
+            )
+            SELECT pr.w1, pr.w2, pr.c_xy,
+                   ux.c AS c_x, uy.c AS c_y,
+                   (pr.c_xy * n_tokens * 10000) // (ux.c * uy.c)
+                     AS pmi_scaled
+            FROM pr
+            JOIN uni ux ON ux.w = pr.w1
+            JOIN uni uy ON uy.w = pr.w2
+            CROSS JOIN n
+            ORDER BY pmi_scaled DESC, pr.w1 ASC, pr.w2 ASC LIMIT 50
         """,
         "q_ngram_novelty": """
             -- same distinct-md5-shingle construction as the minhash CTE,

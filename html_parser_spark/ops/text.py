@@ -534,3 +534,89 @@ def sentence_split(docs: DataFrame, text_col: str = "text") -> DataFrame:
             "n_sent_tokens"
         ),
     )
+
+
+def pmi_bigrams(
+    docs: DataFrame,
+    min_count: int = 5,
+    k: int = 50,
+    scale: int = 10**4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level PMI collocation mining, scaled-integer exact.
+
+    The classic corpus-linguistics signal (Church & Hanks 1990) that
+    LLM-data work reuses for tokenizer-merge sanity checks and template
+    detection: adjacent word pairs whose joint frequency beats the
+    independence prediction.  PMI = log p(xy)/(p(x)p(y)); since log is
+    monotone we rank by the UNLOGGED ratio as one BIGINT expression,
+
+        pmi_scaled = c_xy * n_tokens * scale div (c_x * c_y)
+
+    which is bit-identical across engines (no float log, no float
+    sum).  >scale means positively associated.  Overflow bound:
+    ``c_xy * n_tokens * scale < 2^63`` holds to ~3*10^13 corpus tokens
+    at scale=10^4 for pairs up to c_xy=3*10^4; larger corpora move the
+    products to DECIMAL(38,0), same plan.
+
+    Plan shape: ONE explode for unigram counts, ONE for adjacent
+    pairs, each a partial-agg groupBy (the hot words combine map-side);
+    the ``min_count`` filter prunes the pair table BEFORE the two
+    unigram equi-joins (join input is the collocation candidates, not
+    the raw pair stream); top-k is TakeOrderedAndProject.  No step is
+    corpus-pairwise; cost is O(total tokens).  Catalyst does not reuse
+    the unigram subplan across the two joins, so the token scan runs
+    once per side; a production job mining many corpora should
+    materialize ``uni`` (one write) and join both sides against the
+    table — the expressions here are unchanged by that split.
+
+    Returns ``(w1, w2, c_xy, c_x, c_y, pmi_scaled)``, the k highest-PMI
+    pairs (ties broken by the pair itself, total order).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(tokens(F.col(text_col)), lambda t: t != "").alias("_t"),
+    )
+    uni = (
+        toks.select(F.explode("_t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    n_tokens = toks.agg(
+        F.coalesce(F.sum(F.size("_t")), F.lit(0)).cast("long").alias("n_tokens")
+    )
+    pairs = (
+        toks.select(
+            F.explode(
+                F.when(
+                    F.size("_t") >= 2,
+                    F.expr(
+                        "transform(sequence(1, size(_t) - 1), i -> struct("
+                        "element_at(_t, i) AS w1, element_at(_t, i + 1) AS w2))"
+                    ),
+                ).otherwise(F.expr("array()"))
+            ).alias("p")
+        )
+        .groupBy("p.w1", "p.w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_xy"))
+        .filter(F.col("c_xy") >= int(min_count))
+    )
+    joined = (
+        pairs.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c_x")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c_y")), "w2")
+        .crossJoin(F.broadcast(n_tokens))
+    )
+    out = joined.select(
+        "w1",
+        "w2",
+        "c_xy",
+        "c_x",
+        "c_y",
+        F.expr(f"c_xy * n_tokens * {int(scale)}L div (c_x * c_y)").alias(
+            "pmi_scaled"
+        ),
+    )
+    return out.orderBy(
+        F.desc("pmi_scaled"), F.asc("w1"), F.asc("w2")
+    ).limit(k)

@@ -868,6 +868,56 @@ def main():
         )
     )
 
+    p = plan_of(entrymod.q_lm_score(spark, sf_dir))
+    checks.append(
+        (
+            "q_lm_score — trigram LM train (partial-agg groupBys) + score "
+            "(three LEFT equi-joins on (ctx, tok)); integer div scoring, "
+            "zero Python, no window, no cartesian",
+            p,
+            ["HashAggregate", "Generate"],
+            ["CartesianProduct", "Window", "ArrowEvalPython",
+             "BatchEvalPython"],
+        )
+    )
+
+    p = plan_of(entrymod.q_lm_buckets(spark, sf_dir))
+    checks.append(
+        (
+            "q_lm_buckets — CCNet bucketing: the only Window runs over the "
+            "per-(lang, score) HISTOGRAM (bounded by the score scale), "
+            "never over documents; assignment joins back by equi-key",
+            p,
+            ["Window", "HashAggregate"],
+            ["CartesianProduct", "ArrowEvalPython", "BatchEvalPython"],
+        )
+    )
+
+    p = plan_of(entrymod.q_bm25(spark, sf_dir))
+    checks.append(
+        (
+            "q_bm25 — IN-filtered index scan, broadcast term stats + 1-row "
+            "totals, TakeOrderedAndProject top-k (no global sort), zero "
+            "Python",
+            p,
+            ["TakeOrderedAndProject", "BroadcastNestedLoopJoin"],
+            ["CartesianProduct", "Window", "ArrowEvalPython",
+             "BatchEvalPython"],
+        )
+    )
+
+    p = plan_of(entrymod.q_pmi(spark, sf_dir))
+    checks.append(
+        (
+            "q_pmi — pair counts min-count-pruned BEFORE the unigram "
+            "joins; TakeOrderedAndProject top-k; zero Python, no window",
+            p,
+            ["TakeOrderedAndProject", "HashAggregate"],
+            ["CartesianProduct", "Window", "ArrowEvalPython",
+             "BatchEvalPython"],
+        )
+    )
+
     failures = []
     out = ["# Physical-plan audit (generated by tools/plan_audit.py)\n"]
     out.append(
