@@ -7,7 +7,7 @@ BETWEEN extraction and training:
         [--scrub-pii] [--span-dedup-tokens 0] [--blocklist-hosts h1,h2] \
         [--domain-cap 0] [--canonical-dedup] [--c4-lines] \
         [--chunk-tokens 0] [--pack-seq-len 0] [--bpe-merges 0] \
-        [--num-hashes 8] [--bands 4] \
+        [--lm-buckets] [--num-hashes 8] [--bands 4] \
         [--mix-alpha 0|50|100] [--mix-target 0]
 
 Chain (every step a stock DataFrame transform, see ops/corpus.py scale notes):
@@ -202,6 +202,10 @@ def main(argv=None):
     ap.add_argument("--pack-seq-len", type=int, default=0,
                     help="write a packed-sequence table (GPT concat-and-"
                          "split at L slots per sequence, per split; 0=off)")
+    ap.add_argument("--lm-buckets", action="store_true",
+                    help="train a stupid-backoff trigram LM on the train "
+                         "split and write a CCNet-style head/middle/tail "
+                         "bucket sidecar (lm_buckets/) over all splits")
     ap.add_argument("--num-hashes", type=int, default=8)
     ap.add_argument("--bands", type=int, default=4)
     ap.add_argument("--mix-alpha", type=int, default=0, choices=[0, 50, 100],
@@ -386,6 +390,34 @@ def main(argv=None):
         with open(os.path.join(bpe_dir, "merges.json"), "w") as f:
             json.dump([list(p) for p in merges], f)
 
+    # 8. optional CCNet-style LM bucket sidecar: the trigram stupid-
+    # backoff model trains on the TRAIN split only (like the tokenizer —
+    # scoring valid/test with a model that saw them would leak), then
+    # every doc in every split gets a per-lang head/middle/tail tag
+    # (ops/lm.py; integer-exact, histogram bucketing, no doc-wide window)
+    lm_counts = {}
+    if args.lm_buckets and splits.get("train"):
+        from html_parser_spark.ops.lm import (
+            perplexity_buckets,
+            score_stupid_backoff,
+            train_stupid_backoff,
+        )
+
+        model = train_stupid_backoff(
+            final.where(F.col("split") == "train").select("doc_id", "text")
+        )
+        scored = score_stupid_backoff(final.select("doc_id", "text"), model)
+        bucketed = perplexity_buckets(scored, final.select("doc_id", "lang"))
+        out_lm = os.path.join(args.output, "lm_buckets")
+        bucketed.write.mode("overwrite").parquet(out_lm)
+        lm_counts = {
+            r["bucket"]: r["n"]
+            for r in spark.read.parquet(out_lm)
+            .groupBy("bucket")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+
     print(json.dumps({
         "job": "curate",
         **({"captures_in": n_captures} if n_captures is not None else {}),
@@ -395,6 +427,7 @@ def main(argv=None):
         "chunks": n_chunks,
         **({"sequences": n_sequences} if args.pack_seq_len > 0 else {}),
         **({"bpe_merges": n_merges} if args.bpe_merges > 0 else {}),
+        **({"lm_buckets": lm_counts} if args.lm_buckets else {}),
     }))
 
 

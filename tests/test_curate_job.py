@@ -406,3 +406,44 @@ def test_extract_job_resume_config_guard(spark, tmp_path, capsys):
             "--output", out, "--limit", "10", "--partitions", "2",
             "--resume", "--main-content",
         ])
+
+
+def test_curate_job_lm_buckets(spark, tmp_path, capsys):
+    """--lm-buckets: trigram LM trains on the train split only, then
+    every surviving doc (all splits) gets a per-lang head/middle/tail
+    tag in the lm_buckets/ sidecar."""
+    import jobs.curate_job as cj
+
+    out = str(tmp_path / "curated")
+    cj.main([
+        "--docs", "/root/testdata/sf0.001/documents.parquet",
+        "--output", out,
+        "--min-tokens", "5",
+        "--num-hashes", "4",
+        "--bands", "2",
+        "--lm-buckets",
+    ])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["after_dedup"] > 0
+    assert sum(stats["lm_buckets"].values()) == stats["after_dedup"]
+    assert set(stats["lm_buckets"]) <= {"head", "middle", "tail"}
+    # the en cohort is large enough that all three buckets appear
+    assert len(stats["lm_buckets"]) == 3
+
+    lm = spark.read.parquet(os.path.join(out, "lm_buckets"))
+    assert set(lm.columns) == {"doc_id", "lang", "avg_score", "bucket"}
+    docs = spark.read.parquet(os.path.join(out, "docs"))
+    # exactly one bucket row per surviving doc, never a stray id
+    assert lm.count() == docs.count()
+    assert lm.join(docs, "doc_id", "left_anti").count() == 0
+    from pyspark.sql import functions as F
+
+    # per-lang thirds: within each language, no bucket exceeds
+    # ceil(n/3) + ties (sanity: head never exceeds 2/3 of the cohort)
+    per = {
+        (r["lang"], r["bucket"]): r["n"]
+        for r in lm.groupBy("lang", "bucket").agg(F.count("*").alias("n")).collect()
+    }
+    tot_en = sum(n for (l, _), n in per.items() if l == "en")
+    if tot_en >= 3:
+        assert per.get(("en", "head"), 0) <= 2 * tot_en / 3 + 1
