@@ -2928,6 +2928,34 @@ def q_pmi(spark, sf_dir):
     return pmi_bigrams(docs, min_count=5, k=50)
 
 
+def q_label_prop(spark, sf_dir, checkpoint=True):
+    """Deterministic synchronous label-propagation communities
+    (ops/linkgraph.label_propagation) over the shared synthetic 45-host
+    graph: symmetrized weights, 3 iterations, most-weighted neighbor
+    label with (weight DESC, label ASC) tie-break — BIGINT-exact, so the
+    oracle's unrolled row_number CTEs hash-match the Spark min-struct
+    election exactly.  The community split of PageRank/HITS's rank
+    family: mirror farms and template rings cluster here."""
+    from html_parser_spark.ops.linkgraph import label_propagation
+
+    docs = _docs(spark, sf_dir)
+    return label_propagation(
+        _synth_host_edges(docs), iterations=3, checkpoint=checkpoint
+    )
+
+
+def q_readability(spark, sf_dir):
+    """Readability / lexical-diversity profile (ops/text.
+    readability_profile): word/sentence/syllable-group counts, scaled
+    type-token ratio, floored Flesch-Kincaid-x100 — the model-free
+    quality-feature family, one pure-codegen projection, zero shuffle.
+    The oracle evaluates the identical regexp counts and BIGINT
+    divisions."""
+    from html_parser_spark.ops.text import readability_profile
+
+    return readability_profile(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-query CORRECTNESS window rotates coverage.
 
@@ -2944,12 +2972,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       2. q_flagship_curate — NEW this round: the composed
          extract→graph→curate pipeline (jobs/flagship_job.py) as one
          driver-checked contract row;
-      3. the 8 other round-5 additions (trigram-LM scoring + CCNet
+      3. the 10 other round-5 additions (trigram-LM scoring + CCNet
          bucketing, BM25 retrieval, PMI collocations, HITS, hreflang
-         clusters, bitext mining, incremental LSH dedup) — this is the
-         FINAL round, so their only chance at a driver row is this
-         window;
-      4. 27 round-3-green veterans, the longest-unexposed cohort, in
+         clusters, bitext mining, incremental LSH dedup, readability
+         profile, label-propagation communities) — this is the FINAL
+         round, so their only chance at a driver row is this window;
+      4. 25 round-3-green veterans, the longest-unexposed cohort, in
          their registry order.
 
     Everything past position 50 carries a driver-green row from round 3
@@ -2986,6 +3014,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hreflang": q_hreflang,
         "q_bitext_mine": q_bitext_mine,
         "q_incremental_dedup": q_incremental_dedup,
+        "q_readability": q_readability,
+        "q_label_prop": q_label_prop,
         # -- longest-unexposed veterans (driver-green in round 3, pushed
         #    past the window by the round-4 additions) --
         "q_filter_project": q_filter_project,
@@ -3013,9 +3043,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_range_join": q_range_join,
         "q_extract_text": q_extract_text,
         "q_lang_id": q_lang_id,
+        # ---------------- driver window ends here (position 50) ---------
         "q_span_dedup": q_span_dedup,
         "q_url_parts": q_url_parts,
-        # ---------------- driver window ends here (position 50) ---------
         # -- round-3-green veterans that did not fit (22) --
         "q_url_canon": q_url_canon,
         "q_dim_broadcast_join": q_dim_broadcast_join,
@@ -3204,6 +3234,51 @@ def _hits_oracle_sql(iterations: int = 3) -> str:
         "WITH " + "".join(parts)
         + f"\nSELECT a.node, a.auth, h.hub"
         f"\nFROM a{iterations} a JOIN h{iterations} h ON h.node = a.node"
+    )
+
+
+def _lpa_oracle_sql(iterations: int = 3) -> str:
+    """Unrolled-CTE replica of ops/linkgraph.label_propagation over the
+    shared synthetic host graph: symmetrize + sum weights, then per
+    iteration the identical BIGINT label-weight sums with the
+    (weight DESC, label ASC) winner election — row_number here, a
+    min-struct there, same total order, so the hash matches exactly."""
+    parts = ["""e0 AS (
+  SELECT doc_id % 40 AS s, (doc_id * 7 + 3) % 40 AS t FROM documents
+  UNION ALL
+  SELECT doc_id % 40, (doc_id * 13 + 11) % 45 FROM documents
+), edges AS (
+  SELECT 'h' || s AS src, 'h' || t AS dst, CAST(COUNT(*) AS BIGINT) AS weight
+  FROM e0 WHERE s <> t GROUP BY 1, 2
+), sym AS (
+  SELECT src, dst, CAST(SUM(weight) AS BIGINT) AS weight FROM (
+    SELECT src, dst, weight FROM edges
+    UNION ALL
+    SELECT dst, src, weight FROM edges
+  ) GROUP BY src, dst
+), nodes AS (
+  SELECT DISTINCT src AS node FROM sym
+), l0 AS (
+  SELECT node, node AS label FROM nodes
+)"""]
+    for k in range(iterations):
+        parts.append(f""", c{k} AS (
+  SELECT s.src, l.label, CAST(SUM(s.weight) AS BIGINT) AS w
+  FROM sym s JOIN l{k} l ON l.node = s.dst GROUP BY s.src, l.label
+), w{k} AS (
+  SELECT src, label FROM (
+    SELECT src, label,
+           row_number() OVER (PARTITION BY src
+                              ORDER BY w DESC, label ASC) AS rn
+    FROM c{k}) t WHERE rn = 1
+), l{k + 1} AS (
+  SELECT n.node, COALESCE(w{k}.label, n.node) AS label
+  FROM nodes n LEFT JOIN w{k} ON w{k}.src = n.node
+)""")
+    return (
+        "WITH "
+        + "".join(parts)
+        + f"\nSELECT node, label AS community FROM l{iterations}"
     )
 
 
@@ -4773,6 +4848,36 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_lm_score": _LM_SCORE_SQL,
         "q_lm_buckets": _LM_BUCKETS_SQL,
+        "q_readability": """
+            -- identical regexp counts + floored BIGINT divisions; the
+            -- [.!?]+ / vowel-group runs count maximal matches in both
+            -- engines (greedy +), so the counts agree exactly
+            WITH toks AS (
+              SELECT doc_id, text,
+                     list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ), c AS (
+              SELECT doc_id,
+                     CAST(len(t) AS BIGINT) AS n_words,
+                     CAST(CASE WHEN len(t) > 0 THEN greatest(
+                       len(regexp_extract_all(text, '[.!?]+')), 1)
+                       ELSE 0 END AS BIGINT) AS n_sentences,
+                     CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))
+                       AS BIGINT) AS n_syllable_groups,
+                     CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct
+              FROM toks
+            )
+            SELECT doc_id, n_words, n_sentences, n_syllable_groups,
+                   CAST(CASE WHEN n_words > 0
+                        THEN (n_distinct * 10000) // n_words
+                        ELSE 0 END AS BIGINT) AS ttr_x10000,
+                   CAST(CASE WHEN n_words > 0
+                        THEN (39 * n_words) // n_sentences
+                             + (1180 * n_syllable_groups) // n_words - 1559
+                        ELSE 0 END AS BIGINT) AS fk_x100
+            FROM c
+        """,
         "q_bm25": """
             -- rebuild the inverted index + doc lengths over the same
             -- whitespace tokens, then the IDENTICAL BIGINT arithmetic:
@@ -6049,6 +6154,7 @@ def oracle_sql() -> dict[str, str]:
               FROM scored) WHERE rn = 1
         """,
         "q_hits": _hits_oracle_sql(3),
+        "q_label_prop": _lpa_oracle_sql(3),
         "q_hreflang": """
             -- closed-form replay of the synthesized hreflang triples: every
             -- page of cluster g declares en/de/fr + x-default, so

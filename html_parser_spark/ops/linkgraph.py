@@ -283,3 +283,75 @@ def hits_fixed_point(
             F.coalesce("hub", zero).alias("hub"),
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame, iterations: int = 3, checkpoint: bool = True
+) -> DataFrame:
+    """Deterministic synchronous label propagation (Raghavan et al. 2007)
+    over (src, dst, weight) — host-community detection, the third member
+    of the link-analysis family (PageRank = importance, HITS =
+    hub/authority roles, LPA = communities: mirror farms, template
+    networks, and SEO rings show up as one community even when their
+    individual rank looks ordinary).
+
+    Classic async LPA is nondeterministic (update order changes the
+    result); this is the SYNCHRONOUS variant with a total-order
+    tie-break, so the output is a pure function of the graph:
+
+    * the graph is symmetrized first (community membership is
+      undirected); parallel edge weights sum;
+    * every node starts labeled with itself;
+    * each iteration, every node adopts the label with the LARGEST
+      summed incident weight among its neighbors' current labels, ties
+      broken by SMALLEST label; isolated nodes keep their own label.
+
+    All arithmetic is BIGINT weight sums and the winner election is
+    ``min(struct(-weight_sum, label))`` — exact, shuffle-order
+    independent, replayable in any engine.  Synchronous LPA can
+    oscillate on bipartite structures; a fixed ``iterations`` budget
+    (the normal production choice) makes the output well-defined
+    regardless.
+
+    Scale shape per iteration: ONE (edges ⋈ labels) equi-join on dst +
+    TWO partial-agg groupBys (label-weight sum, then per-node min-struct
+    election) + the nodes LEFT join — edges are the only corpus-sized
+    side, labels are one row per node.  Lineage is truncated per
+    iteration with ``localCheckpoint`` (cluster: reliable checkpoint),
+    exactly like the PageRank/HITS loops.  Returns (node, community).
+    """
+    sym = (
+        edges.select("src", "dst", F.col("weight").cast("long").alias("weight"))
+        .unionByName(
+            edges.select(
+                F.col("dst").alias("src"),
+                F.col("src").alias("dst"),
+                F.col("weight").cast("long").alias("weight"),
+            )
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("weight").alias("weight"))
+    )
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(int(iterations)):
+        nb = sym.join(
+            labels.select(F.col("node").alias("dst"), "label"), "dst"
+        ).select("src", "label", "weight")
+        cw = nb.groupBy("src", "label").agg(F.sum("weight").alias("_w"))
+        win = (
+            cw.groupBy("src")
+            .agg(
+                F.min(F.struct((-F.col("_w")).alias("_nw"), F.col("label"))).alias(
+                    "_win"
+                )
+            )
+            .select(F.col("src").alias("node"), F.col("_win.label").alias("_new"))
+        )
+        labels = (
+            nodes.join(win, "node", "left")
+            .select("node", F.coalesce("_new", F.col("node")).alias("label"))
+        )
+        if checkpoint:
+            labels = labels.localCheckpoint(eager=False)
+    return labels.select("node", F.col("label").alias("community"))

@@ -338,3 +338,71 @@ def test_meta_robots_and_noindex_gate(spark):
     assert (got[5]["noindex"], got[5]["nofollow"]) == (1, 0)
     kept = {r["doc_id"] for r in noindex_filter(extract_page_meta(df)).collect()}
     assert kept == {3, 4}
+
+
+def test_label_propagation_two_communities(spark):
+    """Two weight-10 triangles joined by a weight-1 bridge must resolve
+    to two communities (each labeled by its min node), hand-traced
+    through the synchronous updates."""
+    from html_parser_spark.ops.linkgraph import label_propagation
+
+    edges = spark.createDataFrame(
+        [
+            ("a1", "a2", 10), ("a2", "a3", 10), ("a3", "a1", 10),
+            ("b1", "b2", 10), ("b2", "b3", 10), ("b3", "b1", 10),
+            ("a1", "b1", 1),
+        ],
+        ["src", "dst", "weight"],
+    )
+    out = {
+        r["node"]: r["community"]
+        for r in label_propagation(edges, iterations=3).collect()
+    }
+    assert out == {
+        "a1": "a1", "a2": "a1", "a3": "a1",
+        "b1": "b1", "b2": "b1", "b3": "b1",
+    }
+
+
+def test_label_propagation_weight_beats_count_and_isolated(spark):
+    """A single heavy edge outvotes two light neighbors; a node with no
+    edges after symmetrization cannot exist, but a self-contained pair
+    keeps its own min label."""
+    from html_parser_spark.ops.linkgraph import label_propagation
+
+    edges = spark.createDataFrame(
+        [
+            # x's neighbors: heavy h (w=5), light l1/l2 (w=1 each):
+            # h's label wins 5 > 2 even though the light side has 2 nodes
+            ("x", "h", 5), ("x", "l1", 1), ("x", "l2", 1),
+            ("p", "q", 1),
+        ],
+        ["src", "dst", "weight"],
+    )
+    out = {
+        r["node"]: r["community"]
+        for r in label_propagation(edges, iterations=1).collect()
+    }
+    assert out["x"] == "h"
+    # symmetric pair adopts each other's label on one sync step
+    assert out["p"] == "q" and out["q"] == "p"
+
+
+def test_label_propagation_deterministic_across_partitionings(spark):
+    """The election is min(struct(-w, label)): repartitioning the edge
+    list must not change a single community assignment."""
+    from html_parser_spark.ops.linkgraph import label_propagation
+
+    rows = [(f"n{i}", f"n{(i * 3 + 1) % 20}", 1 + i % 4) for i in range(60)]
+    edges = spark.createDataFrame(rows, ["src", "dst", "weight"]).where(
+        "src <> dst"
+    )
+    a = {
+        r["node"]: r["community"]
+        for r in label_propagation(edges.repartition(1), iterations=3).collect()
+    }
+    b = {
+        r["node"]: r["community"]
+        for r in label_propagation(edges.repartition(16), iterations=3).collect()
+    }
+    assert a == b

@@ -201,3 +201,49 @@ def test_pmi_and_bm25_plans_take_ordered(spark):
         # global flag is the 2nd arg); a corpus-wide global sort would
         # print `], true, 0` — none may exist
         assert "], true, 0" not in plan
+
+
+def test_readability_profile_hand_computed(spark):
+    from html_parser_spark.ops.text import readability_profile
+
+    docs = spark.createDataFrame(
+        [
+            # 6 words, 2 sentences, vowel groups: hello(2: e,o) world(1: o)
+            # it(1) is(1) a(1) test(1) = 7; distinct 6/6
+            (1, "Hello world. It is a test!"),
+            # no terminal punct -> sentences floored to 1
+            (2, "no punctuation here"),
+            (3, ""),
+            # repeated token -> ttr 2/3 ('dup.' keeps its period, so the
+            # whitespace types are {dup, dup.})
+            (4, "dup dup dup."),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in readability_profile(docs).collect()}
+    r1 = out[1]
+    assert (r1["n_words"], r1["n_sentences"], r1["n_syllable_groups"]) == (6, 2, 7)
+    assert r1["ttr_x10000"] == 10000
+    # fk_x100 = 39*6//2 + 1180*7//6 - 1559 = 117 + 1376 - 1559 = -66
+    assert r1["fk_x100"] == 117 + 1376 - 1559
+    assert out[2]["n_sentences"] == 1
+    r3 = out[3]
+    assert (r3["n_words"], r3["n_sentences"], r3["ttr_x10000"], r3["fk_x100"]) == (
+        0, 0, 0, 0,
+    )
+    assert out[4]["ttr_x10000"] == 6666
+
+
+def test_readability_plan_no_shuffle(spark):
+    import io
+    from contextlib import redirect_stdout
+
+    from html_parser_spark.ops.text import readability_profile
+
+    docs = spark.createDataFrame([(1, "a b."), (2, "c d!")], ["doc_id", "text"])
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        readability_profile(docs).explain(mode="simple")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan

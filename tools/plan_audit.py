@@ -918,6 +918,31 @@ def main():
         )
     )
 
+    p = plan_of(entrymod.q_label_prop(spark, sf_dir, checkpoint=False))
+    checks.append(
+        (
+            "q_label_prop — LPA iterations are edges⋈labels equi-joins + "
+            "partial-agg min-struct elections; no window, no cartesian, "
+            "zero Python",
+            p,
+            ["HashAggregate"],
+            ["CartesianProduct", "Window", "ArrowEvalPython",
+             "BatchEvalPython"],
+        )
+    )
+
+    p = plan_of(entrymod.q_readability(spark, sf_dir))
+    checks.append(
+        (
+            "q_readability — readability/lexical profile is ONE pure-codegen "
+            "projection: zero shuffle, zero Python",
+            p,
+            ["*(1)"],
+            ["Exchange", "ArrowEvalPython", "BatchEvalPython", "Join",
+             "Window"],
+        )
+    )
+
     failures = []
     out = ["# Physical-plan audit (generated by tools/plan_audit.py)\n"]
     out.append(
