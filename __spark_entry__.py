@@ -2944,6 +2944,27 @@ def q_label_prop(spark, sf_dir, checkpoint=True):
     )
 
 
+def q_dsir(spark, sf_dir):
+    """DSIR importance selection (ops/classify.dsir_*, Xie et al. 2023):
+    hashed-unigram importance weights toward the non-English docs as the
+    target distribution, per-bucket floor(log2 ratio) via exact integer
+    bit-length (no float log, no order-dependent float sum), doc weight
+    = Σ bucket weights, deterministic top-30% keep through the bounded
+    weight-histogram cumulative.  Returns (doc_id, weight, keep)."""
+    from html_parser_spark.ops.classify import (
+        dsir_bucket_weights,
+        dsir_doc_weights,
+        dsir_select,
+        hashed_features,
+    )
+
+    d = _docs(spark, sf_dir)
+    feats = hashed_features(d.select("doc_id", "text"))
+    target = d.where(F.col("lang") != "en").select("doc_id")
+    weights = dsir_bucket_weights(feats, target)
+    return dsir_select(dsir_doc_weights(feats, weights), keep_pct=30)
+
+
 def q_readability(spark, sf_dir):
     """Readability / lexical-diversity profile (ops/text.
     readability_profile): word/sentence/syllable-group counts, scaled
@@ -2972,12 +2993,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       2. q_flagship_curate — NEW this round: the composed
          extract→graph→curate pipeline (jobs/flagship_job.py) as one
          driver-checked contract row;
-      3. the 10 other round-5 additions (trigram-LM scoring + CCNet
+      3. the 11 other round-5 additions (trigram-LM scoring + CCNet
          bucketing, BM25 retrieval, PMI collocations, HITS, hreflang
          clusters, bitext mining, incremental LSH dedup, readability
-         profile, label-propagation communities) — this is the FINAL
-         round, so their only chance at a driver row is this window;
-      4. 25 round-3-green veterans, the longest-unexposed cohort, in
+         profile, label-propagation communities, DSIR selection) — this
+         is the FINAL round, so their only chance at a driver row is
+         this window;
+      4. 24 round-3-green veterans, the longest-unexposed cohort, in
          their registry order.
 
     Everything past position 50 carries a driver-green row from round 3
@@ -3016,6 +3038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_incremental_dedup": q_incremental_dedup,
         "q_readability": q_readability,
         "q_label_prop": q_label_prop,
+        "q_dsir": q_dsir,
         # -- longest-unexposed veterans (driver-green in round 3, pushed
         #    past the window by the round-4 additions) --
         "q_filter_project": q_filter_project,
@@ -3042,8 +3065,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_join": q_asof_join,
         "q_range_join": q_range_join,
         "q_extract_text": q_extract_text,
-        "q_lang_id": q_lang_id,
         # ---------------- driver window ends here (position 50) ---------
+        "q_lang_id": q_lang_id,
         "q_span_dedup": q_span_dedup,
         "q_url_parts": q_url_parts,
         # -- round-3-green veterans that did not fit (22) --
@@ -6155,6 +6178,67 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_hits": _hits_oracle_sql(3),
         "q_label_prop": _lpa_oracle_sql(3),
+        "q_dsir": """
+            -- DSIR replica: same 4096 md5 buckets as the NB oracle,
+            -- target = lang <> 'en'; per-bucket floor(log2 ratio) via
+            -- bin() bit length on the identical clamped integer ratio;
+            -- top-30% keep through the weight-histogram cumulative
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                       regexp_split_to_array(lower(text), '\\s+'),
+                       x -> len(x) > 0)) AS tok
+              FROM documents
+            ), feats AS (
+              SELECT doc_id,
+                     ((strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 4096
+                    + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1) * 256
+                    + (strpos('0123456789abcdef', substring(h, 3, 1)) - 1) * 16
+                    + (strpos('0123456789abcdef', substring(h, 4, 1)) - 1))
+                       % 4096 AS bucket
+              FROM (SELECT doc_id, md5('feat' || tok) AS h FROM tok)
+            ), cells AS (
+              SELECT bucket,
+                     CAST(sum(CASE WHEN d.lang <> 'en' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS cnt_t,
+                     CAST(sum(CASE WHEN d.lang <> 'en' THEN 0 ELSE 1 END)
+                       AS BIGINT) AS cnt_r
+              FROM feats f JOIN documents d USING (doc_id)
+              GROUP BY bucket
+            ), tot AS (
+              SELECT CAST(sum(cnt_t) AS BIGINT) AS tot_t,
+                     CAST(sum(cnt_r) AS BIGINT) AS tot_r
+              FROM cells
+            ), wts AS (
+              SELECT bucket,
+                     CAST(length(bin(CAST(greatest(least(
+                       ((cnt_t + 1) * (tot_r + 4096) * 1048576)
+                         // ((cnt_r + 1) * (tot_t + 4096)),
+                       4611686018427387904), 1) AS BIGINT))) - 1 - 20
+                       AS BIGINT) AS w
+              FROM cells, tot
+            ), dw AS (
+              SELECT f.doc_id,
+                     CAST(coalesce(sum(w.w), 0) AS BIGINT) AS weight
+              FROM feats f LEFT JOIN wts w USING (bucket)
+              GROUP BY f.doc_id
+            ), hist AS (
+              SELECT weight, CAST(count(*) AS BIGINT) AS n
+              FROM dw GROUP BY weight
+            ), cum AS (
+              SELECT weight,
+                     CAST(coalesce(sum(n) OVER (
+                       ORDER BY weight DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS BIGINT) AS better,
+                     CAST(sum(n) OVER () AS BIGINT) AS tot
+              FROM hist
+            )
+            SELECT dw.doc_id, dw.weight,
+                   CAST(CASE WHEN better * 100 < 30 * tot
+                        THEN 1 ELSE 0 END AS INT) AS keep
+            FROM dw JOIN cum USING (weight)
+        """,
         "q_hreflang": """
             -- closed-form replay of the synthesized hreflang triples: every
             -- page of cluster g declares en/de/fr + x-default, so

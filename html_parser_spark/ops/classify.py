@@ -108,3 +108,124 @@ def nb_vote_score(feats: DataFrame, votes: DataFrame) -> DataFrame:
     ).select(
         "doc_id", "score", (F.col("score") > 0).cast("int").alias("pred")
     )
+
+
+def dsir_bucket_weights(
+    feats: DataFrame,
+    target_ids: DataFrame,
+    buckets: int = 4096,
+    scale_bits: int = 20,
+) -> DataFrame:
+    """DSIR importance weights per hashed feature bucket (Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling") — the data-SELECTION complement of the NB quality
+    classifier above: instead of a learned decision boundary, every
+    bucket carries the log-ratio of its Laplace-smoothed frequency in a
+    small TARGET corpus vs the raw pool, and a document's weight is the
+    sum over its token occurrences.  Pipelines use it to skew a crawl
+    toward a reference distribution (Wikipedia, books, a domain).
+
+    Exactness: the published method sums float logs; a float sum over a
+    shuffle is order-dependent, so this variant quantizes each bucket's
+    log2-ratio to an INTEGER via bit length —
+
+        ratio_scaled = ((cnt_t+1)·(tot_r+B)·2^scale_bits)
+                         div ((cnt_r+1)·(tot_t+B))        (DECIMAL(38,0))
+        w = bitlen(clamp(ratio_scaled, 1, 2^62)) - 1 - scale_bits
+
+    i.e. w = floor(log2 ratio), a whole-log2 quantization (the same
+    exactness-for-granularity trade ops/linkgraph.py makes with integer
+    mass, one step finer than train_nb_votes' sign-only vote).  All
+    operands are non-negative, so Spark's `div` and DuckDB's `//` agree
+    and the result is bit-identical across engines and shuffle orders.
+
+    Scale shape: ONE feats⋈target_ids LEFT join on doc_id (target set is
+    per-DOC and modest — AQE broadcasts it), ONE groupBy(bucket) with
+    two partial-agg counters, ONE 1-row broadcast totals crossJoin.
+    Returns (bucket, w).
+    """
+    t = target_ids.select("doc_id", F.lit(1).alias("_t"))
+    cells = (
+        feats.join(t, "doc_id", "left")
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.coalesce(F.col("_t"), F.lit(0))).alias("cnt_t"),
+            F.sum(1 - F.coalesce(F.col("_t"), F.lit(0))).alias("cnt_r"),
+        )
+    )
+    totals = cells.agg(
+        F.sum("cnt_t").alias("_tot_t"), F.sum("cnt_r").alias("_tot_r")
+    )
+    s = 1 << int(scale_bits)
+    cap = 1 << 62
+    ratio = F.expr(
+        f"CAST((CAST(cnt_t AS DECIMAL(38,0)) + 1)"
+        f" * (CAST(_tot_r AS DECIMAL(38,0)) + {int(buckets)})"
+        f" * {s} div ((CAST(cnt_r AS DECIMAL(38,0)) + 1)"
+        f" * (CAST(_tot_t AS DECIMAL(38,0)) + {int(buckets)}))"
+        f" AS DECIMAL(38,0))"
+    )
+    return cells.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.length(
+                F.bin(
+                    F.greatest(
+                        F.least(ratio, F.lit(cap).cast("decimal(38,0)")),
+                        F.lit(1).cast("decimal(38,0)"),
+                    ).cast("long")
+                )
+            )
+            - 1
+            - int(scale_bits)
+        )
+        .cast("long")
+        .alias("w"),
+    )
+
+
+def dsir_doc_weights(feats: DataFrame, weights: DataFrame) -> DataFrame:
+    """(doc_id, weight): Σ bucket weights over the document's token
+    occurrences (buckets absent from training weigh 0).  The model
+    broadcasts (≤ buckets rows); ONE partial-agg groupBy(doc) — an
+    integer sum, order-independent."""
+    return (
+        feats.join(F.broadcast(weights), "bucket", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.coalesce(F.col("w"), F.lit(0))).cast("long").alias("weight")
+        )
+    )
+
+
+def dsir_select(scored: DataFrame, keep_pct: int = 30) -> DataFrame:
+    """Deterministic top-fraction selection over DSIR weights: keep the
+    ~keep_pct% highest-weight docs.  The published method adds Gumbel
+    noise for diversity; this variant is the reproducible rank cut, the
+    same histogram-cumulative device as ops/lm.perplexity_buckets —
+    a window only over the bounded (weight → count) histogram, never
+    over documents; weight TIES share a fate (the keep set can overshoot
+    keep_pct by the tie group, documented), which is what makes the
+    selection independent of partitioning.  Returns
+    (doc_id, weight, keep)."""
+    from pyspark.sql import Window
+
+    hist = scored.groupBy("weight").agg(F.count(F.lit(1)).alias("_n"))
+    w = (
+        Window.orderBy(F.desc("weight"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    totals = hist.agg(F.sum("_n").alias("_tot"))
+    cuts = (
+        hist.withColumn(
+            "_better", F.coalesce(F.sum("_n").over(w), F.lit(0)).cast("long")
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "weight",
+            (F.col("_better") * 100 < F.lit(int(keep_pct)) * F.col("_tot"))
+            .cast("int")
+            .alias("keep"),
+        )
+    )
+    return scored.join(cuts, "weight").select("doc_id", "weight", "keep")

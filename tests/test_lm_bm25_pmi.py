@@ -247,3 +247,65 @@ def test_readability_plan_no_shuffle(spark):
     plan = buf.getvalue()
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
+
+
+def test_dsir_directional_weights_and_select(spark):
+    """Docs resembling the target corpus must outweigh docs resembling
+    the raw pool; the keep cut is deterministic and tie-stable."""
+    from html_parser_spark.ops.classify import (
+        dsir_bucket_weights,
+        dsir_doc_weights,
+        dsir_select,
+        hashed_features,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "wiki wiki science"),
+            (2, "wiki math"),
+            (3, "spam spam buy now"),
+            (4, "buy spam"),
+            (5, "science math wiki"),
+        ],
+        ["doc_id", "text"],
+    )
+    feats = hashed_features(docs)
+    target = spark.createDataFrame([(1,), (2,)], ["doc_id"])
+    dw = dsir_doc_weights(feats, dsir_bucket_weights(feats, target))
+    w = {r["doc_id"]: r["weight"] for r in dw.collect()}
+    # target-vocabulary docs strictly above spam docs
+    assert min(w[1], w[2], w[5]) > max(w[3], w[4])
+    sel = {r["doc_id"]: r["keep"] for r in dsir_select(dw, keep_pct=40).collect()}
+    assert sel[1] == 1 and sel[3] == 0 and sel[4] == 0
+    # docs 2 and 5 tie on weight -> same fate (both kept here: the tie
+    # group straddles the 40% cut and ties share a bucket by design)
+    assert sel[2] == sel[5] == 1
+
+
+def test_dsir_weights_partition_independent(spark):
+    from html_parser_spark.ops.classify import (
+        dsir_bucket_weights,
+        dsir_doc_weights,
+        hashed_features,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 11} w{i % 7} w{i % 5} common") for i in range(80)],
+        ["doc_id", "text"],
+    )
+    target = docs.where("doc_id % 4 = 0").select("doc_id")
+    a = {
+        r["doc_id"]: r["weight"]
+        for r in dsir_doc_weights(
+            hashed_features(docs.repartition(1)),
+            dsir_bucket_weights(hashed_features(docs.repartition(1)), target),
+        ).collect()
+    }
+    b = {
+        r["doc_id"]: r["weight"]
+        for r in dsir_doc_weights(
+            hashed_features(docs.repartition(16)),
+            dsir_bucket_weights(hashed_features(docs.repartition(16)), target),
+        ).collect()
+    }
+    assert a == b

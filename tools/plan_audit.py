@@ -931,6 +931,19 @@ def main():
         )
     )
 
+    p = plan_of(entrymod.q_dsir(spark, sf_dir))
+    checks.append(
+        (
+            "q_dsir — importance weights: ONE groupBy(bucket) + 1-row "
+            "broadcast totals; doc weights via broadcast model join; the "
+            "only Window runs over the bounded weight histogram; zero "
+            "Python, no cartesian product",
+            p,
+            ["HashAggregate", "Window"],
+            ["CartesianProduct", "ArrowEvalPython", "BatchEvalPython"],
+        )
+    )
+
     p = plan_of(entrymod.q_readability(spark, sf_dir))
     checks.append(
         (
