@@ -4,7 +4,7 @@
     spark-submit --py-files htmlps.zip jobs/graph_job.py \
         --pages <pages parquet | synth:<sf_dir> | warc:<glob>> \
         --output <dir> [--partitions 256] [--iterations 3] \
-        [--budget-pages 0]
+        [--budget-pages 0] [--hits] [--communities]
 
 Chain (each step's scale shape documented at its op):
 
@@ -38,6 +38,12 @@ def main(argv=None):
     ap.add_argument("--iterations", type=int, default=3)
     ap.add_argument("--budget-pages", type=int, default=0,
                     help="also assign proportional crawl quotas (0 = skip)")
+    ap.add_argument("--hits", action="store_true",
+                    help="also compute integer-exact HITS hubs/authorities "
+                         "and join them onto ranks")
+    ap.add_argument("--communities", action="store_true",
+                    help="also run deterministic label propagation and "
+                         "join the community id onto ranks")
     ap.add_argument("--limit", type=int, default=0)
     args = ap.parse_args(argv)
 
@@ -83,6 +89,18 @@ def main(argv=None):
     ranks = pagerank_fixed_point(edges, iterations=args.iterations)
     stats = host_graph_stats(edges)
     out = ranks.join(stats, "node", "left")
+    if args.hits:
+        from html_parser_spark.ops.linkgraph import hits_fixed_point
+
+        out = out.join(
+            hits_fixed_point(edges, iterations=args.iterations), "node", "left"
+        )
+    if args.communities:
+        from html_parser_spark.ops.linkgraph import label_propagation
+
+        out = out.join(
+            label_propagation(edges, iterations=args.iterations), "node", "left"
+        )
     if args.budget_pages > 0:
         out = crawl_budget(out, args.budget_pages)
     out.write.mode("overwrite").parquet(os.path.join(args.output, "ranks"))
@@ -101,6 +119,8 @@ def main(argv=None):
         "edge_weight": int(agg["weight"]),
         "top_host": top["node"] if top else None,
         "top_rank": int(top["rank"]) if top else 0,
+        **({"communities": int(out.select("community").distinct().count())}
+           if args.communities else {}),
     }))
 
 

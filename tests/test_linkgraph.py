@@ -406,3 +406,37 @@ def test_label_propagation_deterministic_across_partitionings(spark):
         for r in label_propagation(edges.repartition(16), iterations=3).collect()
     }
     assert a == b
+
+
+def test_graph_job_hits_and_communities(spark, tmp_path, capsys):
+    """--hits and --communities join the HITS columns and the LPA
+    community id onto the ranks table."""
+    import json
+
+    import jobs.graph_job as gj
+
+    pages = [
+        ("https://a.com/1",
+         b'<html><body><a href="https://b.com/x">b</a>'
+         b'<a href="https://c.com/y">c</a></body></html>'),
+        ("https://b.com/2",
+         b'<html><body><a href="https://c.com/z">c</a></body></html>'),
+        ("https://c.com/3",
+         b'<html><body><a href="https://c.com/self">self</a></body></html>'),
+    ]
+    src = str(tmp_path / "pages")
+    spark.createDataFrame(pages, ["url", "html"]).write.parquet(src)
+    out = str(tmp_path / "graph")
+    gj.main(["--pages", src, "--output", out, "--partitions", "2",
+             "--hits", "--communities"])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["hosts"] == 3
+    assert 1 <= stats["communities"] <= 3
+    ranks = spark.read.parquet(f"{out}/ranks")
+    assert set(ranks.columns) >= {"node", "rank", "auth", "hub", "community"}
+    got = {r["node"]: r for r in ranks.collect()}
+    # c.com receives every link: highest authority, zero hub mass
+    assert got["c.com"]["auth"] == max(r["auth"] for r in got.values())
+    assert got["c.com"]["hub"] == 0
+    # every node got a community label
+    assert all(r["community"] is not None for r in got.values())
