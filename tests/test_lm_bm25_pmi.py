@@ -309,3 +309,114 @@ def test_dsir_weights_partition_independent(spark):
         ).collect()
     }
     assert a == b
+
+
+def _py_stupid_backoff(corpus, scale=10**6):
+    """Pure-Python reference for train+score on the same corpus: the
+    differential oracle for the Spark join formulation."""
+    from collections import Counter
+
+    toks = {d: t.split() for d, t in corpus}
+    uni, bi, tri = Counter(), Counter(), Counter()
+    for t in toks.values():
+        for i, w in enumerate(t):
+            uni[w] += 1
+            if i >= 1:
+                bi[(t[i - 1], w)] += 1
+            if i >= 2:
+                tri[(t[i - 2] + " " + t[i - 1], w)] += 1
+    tot1 = sum(uni.values())
+    tot2 = Counter()
+    for (c, _), n in bi.items():
+        tot2[c] += n
+    tot3 = Counter()
+    for (c, _), n in tri.items():
+        tot3[c] += n
+    out = {}
+    for d, t in toks.items():
+        s = h3 = h2 = h1 = oov = 0
+        for i, w in enumerate(t):
+            c2 = t[i - 2] + " " + t[i - 1] if i >= 2 else None
+            c1 = t[i - 1] if i >= 1 else None
+            if c2 is not None and tri[(c2, w)]:
+                s += tri[(c2, w)] * scale // tot3[c2]; h3 += 1
+            elif c1 is not None and bi[(c1, w)]:
+                k = 1 if c2 is not None else 0
+                s += bi[(c1, w)] * scale * 2**k // (tot2[c1] * 5**k); h2 += 1
+            elif uni[w]:
+                k = 2 if c2 is not None else (1 if c1 is not None else 0)
+                s += uni[w] * scale * 2**k // (tot1 * 5**k); h1 += 1
+            else:
+                oov += 1
+        out[d] = (len(t), s, h3, h2, h1, oov, s // len(t) if t else 0)
+    return out
+
+
+def test_lm_score_differential_vs_python_reference(spark):
+    """Seeded pseudo-random corpora: the Spark three-join scorer must
+    agree row-for-row with the sequential Python reference."""
+    import random
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(12)]
+    corpus = [
+        (d, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 25))))
+        for d in range(60)
+    ]
+    expect = _py_stupid_backoff(corpus)
+    from html_parser_spark.ops.lm import score_stupid_backoff, train_stupid_backoff
+
+    docs = spark.createDataFrame(corpus, ["doc_id", "text"])
+    m = train_stupid_backoff(docs)
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["sum_score"], r["hits3"], r["hits2"],
+            r["hits1"], r["oov"], r["avg_score"],
+        )
+        for r in score_stupid_backoff(docs, m).collect()
+    }
+    assert got == expect
+
+
+def test_bm25_differential_vs_python_reference(spark):
+    """Seeded corpus, multi-term query: the Spark scorer must reproduce
+    the literal integer formula."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"t{i}" for i in range(9)]
+    corpus = [
+        (d, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30))))
+        for d in range(40)
+    ]
+    terms = ["t1", "t4"]
+    toks = {d: t.split() for d, t in corpus}
+    n_docs = len(corpus)
+    total_dl = sum(len(t) for t in toks.values())
+    df = {q: sum(1 for t in toks.values() if q in t) for q in terms}
+    scale = 10**6
+    expect = {}
+    for d, t in toks.items():
+        s, n = 0, 0
+        for q in terms:
+            tf = t.count(q)
+            if not tf:
+                continue
+            n += 1
+            idf = (2 * n_docs - 2 * df[q] + 1) * scale // (2 * df[q] + 1)
+            tfp = (tf * 22 * total_dl * scale) // (
+                10 * tf * total_dl + 3 * total_dl + 9 * len(t) * n_docs
+            )
+            s += idf * tfp // scale
+        if n:
+            expect[d] = (n, s)
+    k = 15
+    top = sorted(expect.items(), key=lambda kv: (-kv[1][1], kv[0]))[:k]
+    from html_parser_spark.ops.search import bm25_topk
+
+    docs = spark.createDataFrame(corpus, ["doc_id", "text"])
+    got = [
+        (r["doc_id"], (r["n_terms"], r["score"]))
+        for r in bm25_topk(docs, terms, k=k).collect()
+    ]
+    assert got == top
