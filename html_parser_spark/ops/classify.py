@@ -208,8 +208,12 @@ def dsir_select(scored: DataFrame, keep_pct: int = 30) -> DataFrame:
     keep_pct by the tie group, documented), which is what makes the
     selection independent of partitioning.  Returns
     (doc_id, weight, keep)."""
+    from pyspark import StorageLevel
     from pyspark.sql import Window
 
+    # scored feeds both the histogram and the final join; persist so the
+    # upstream weighting chain executes once
+    scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
     hist = scored.groupBy("weight").agg(F.count(F.lit(1)).alias("_n"))
     w = (
         Window.orderBy(F.desc("weight"))

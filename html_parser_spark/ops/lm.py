@@ -133,6 +133,16 @@ def score_stupid_backoff(
     """
     if n != 3:
         raise NotImplementedError("scorer is written for the standard n=3")
+    # load-bearing persist, not a cache hint: the model is referenced by
+    # THREE joins below (m3/m2/m1) and Catalyst does not dedupe subplans,
+    # so a lazy model would re-run the full training aggregation once per
+    # join (and the training explode twice per run via the totals join).
+    # MEMORY_AND_DISK spills instead of OOMing when the n-gram table
+    # outgrows executor memory; a production pipeline materializes the
+    # model as a bucketBy(ctx) table instead (see module docstring).
+    from pyspark import StorageLevel
+
+    model = model.persist(StorageLevel.MEMORY_AND_DISK)
     toks = _token_arrays(docs, text_col, id_col)
     events = toks.select(
         "doc_id",
@@ -254,7 +264,11 @@ def perplexity_buckets(
     over that bounded histogram for the cumulative, and an equi-join
     back onto the docs.  No window ever partitions over documents.
     """
-    s = scored.join(langs, "doc_id")
+    from pyspark import StorageLevel
+
+    # persisted because s feeds BOTH the histogram and the final join —
+    # without it the whole upstream scoring chain executes twice
+    s = scored.join(langs, "doc_id").persist(StorageLevel.MEMORY_AND_DISK)
     hist = s.groupBy("lang", "avg_score").agg(
         F.count(F.lit(1)).cast("long").alias("_n")
     )
