@@ -2977,6 +2977,66 @@ def q_readability(spark, sf_dir):
     return readability_profile(_docs(spark, sf_dir).select("doc_id", "text"))
 
 
+def q_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct sketch (ops/sketch.hll_*, Flajolet 2007):
+    per-lang register tables built from two disjoint corpus halves, then
+    MERGED (union → groupBy max — the lossless HLL merge) and estimated
+    with the fixed-order BIGINT raw-HLL expression.  The crawl-ledger
+    primitive: distinct-url counts per group whose shuffle is bounded by
+    |groups|·m register cells, not by corpus size, and whose per-segment
+    sketches union without touching raw keys.  The oracle replays the
+    identical md5 buckets/ranks on the FULL corpus — valid because
+    union-max ≡ global max (the merge-equals-rebuild identity the unit
+    test pins)."""
+    from html_parser_spark.ops.sketch import hll_estimate, hll_merge, hll_registers
+
+    d = _docs(spark, sf_dir)
+    even = hll_registers(d.where(F.col("doc_id") % 2 == 0), "doc_id", ("lang",), m=64)
+    odd = hll_registers(d.where(F.col("doc_id") % 2 == 1), "doc_id", ("lang",), m=64)
+    return hll_estimate(hll_merge(even, odd, ("lang",)), ("lang",), m=64)
+
+
+def q_heavy_hitters(spark, sf_dir):
+    """Count-min frequency sketch (ops/sketch.count_min_*, Cormode &
+    Muthukrishnan 2005): the full token frequency table compressed into
+    4×1024 BIGINT cells (ONE partial-agg groupBy whose exchange is
+    bounded by the sketch size), then point-estimated for the probe set
+    (distinct tokens of docs 0-9) with the broadcast sketch.  Returns
+    (item, est, exact_cnt) so the never-underestimate guarantee is in
+    the checked values; the oracle replays the identical md5 cell
+    addressing and min-over-rows."""
+    from html_parser_spark.ops.sketch import count_min_build, count_min_query
+
+    toks = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"),
+        )
+        .filter(F.length("tok") > 0)
+    )
+    sk = count_min_build(toks, "tok", depth=4, width=1024)
+    probes = toks.where(F.col("doc_id") < 10).select("tok").distinct()
+    est = count_min_query(sk, probes, "tok", depth=4, width=1024)
+    truth = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    return est.join(truth, est["item"] == truth["tok"]).select(
+        "item", "est", "exact_cnt"
+    )
+
+
+def q_corpus_shuffle(spark, sf_dir):
+    """Deterministic pre-training corpus shuffle (ops/sketch.
+    corpus_shuffle): shard + within-shard position keyed by
+    md5(seed||doc_id) — the reproducible, resumable alternative to
+    ORDER BY rand() before training-shard writes.  The within-shard rank
+    window partitions BY SHARD (parallel, per-task bounded by the
+    file-sized shard); the oracle replays the identical key, shard mod,
+    and row_number total order."""
+    from html_parser_spark.ops.sketch import corpus_shuffle
+
+    return corpus_shuffle(_docs(spark, sf_dir), "doc_id", n_shards=8, seed="r5")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-query CORRECTNESS window rotates coverage.
 
@@ -2999,8 +3059,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
          profile, label-propagation communities, DSIR selection) — this
          is the FINAL round, so their only chance at a driver row is
          this window;
-      4. 24 round-3-green veterans, the longest-unexposed cohort, in
-         their registry order.
+      4. the 3 sketch/shuffle ops added in the final continuation
+         session (HLL distinct, count-min heavy hitters, deterministic
+         corpus shuffle) — never driver-exposed, so they take window
+         slots;
+      5. 21 round-3-green veterans, the longest-unexposed cohort, in
+         their registry order (q_asof_join / q_range_join /
+         q_extract_text were displaced past the window by item 4; all
+         three hold driver-green round-3 rows).
 
     Everything past position 50 carries a driver-green row from round 3
     (the 14 remaining veterans) or round 4 (all 47 round-4-green rows) and
@@ -3039,6 +3105,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_readability": q_readability,
         "q_label_prop": q_label_prop,
         "q_dsir": q_dsir,
+        # -- final-continuation-session ops (never driver-exposed) --
+        "q_hll_distinct": q_hll_distinct,
+        "q_heavy_hitters": q_heavy_hitters,
+        "q_corpus_shuffle": q_corpus_shuffle,
         # -- longest-unexposed veterans (driver-green in round 3, pushed
         #    past the window by the round-4 additions) --
         "q_filter_project": q_filter_project,
@@ -3062,10 +3132,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lsh_buckets": q_lsh_buckets,
         "q_event_windows": q_event_windows,
         "q_sessionize": q_sessionize,
+        # ---------------- driver window ends here (position 50) ---------
+        # (displaced by the sketch ops; driver-green in round 3)
         "q_asof_join": q_asof_join,
         "q_range_join": q_range_join,
         "q_extract_text": q_extract_text,
-        # ---------------- driver window ends here (position 50) ---------
         "q_lang_id": q_lang_id,
         "q_span_dedup": q_span_dedup,
         "q_url_parts": q_url_parts,
@@ -4900,6 +4971,95 @@ def oracle_sql() -> dict[str, str]:
                              + (1180 * n_syllable_groups) // n_words - 1559
                         ELSE 0 END AS BIGINT) AS fk_x100
             FROM c
+        """,
+        "q_hll_distinct": """
+            -- identical md5 bucket/rank registers replayed on the FULL
+            -- corpus (valid: the Spark side merges two halves, and
+            -- union-max == global max — the lossless-merge identity),
+            -- then the identical fixed-order BIGINT raw-HLL estimate
+            -- (t = alpha_m·m² pre-scaled, S includes 2^33 per untouched
+            -- register)
+            WITH h AS (
+              SELECT lang, md5('hll:' || CAST(doc_id AS VARCHAR)) AS h
+              FROM documents
+            ), br AS (
+              SELECT lang,
+                     CAST('0x' || substring(h, 1, 2) AS BIGINT) % 64 AS bucket,
+                     CAST('0x' || substring(h, 3, 8) AS BIGINT) AS r32
+              FROM h
+            ), regs AS (
+              SELECT lang, bucket,
+                     CAST(max(CASE WHEN r32 = 0 THEN 33
+                              ELSE 33 - length(bin(r32)) END) AS BIGINT) AS reg
+              FROM br GROUP BY lang, bucket
+            ), pg AS (
+              SELECT lang,
+                     CAST(sum(CAST(1 AS BIGINT) << CAST(33 - reg AS INT))
+                       AS BIGINT) AS s_present,
+                     CAST(count(*) AS BIGINT) AS n_present
+              FROM regs GROUP BY lang
+            )
+            SELECT lang,
+                   CAST((CAST(2905 AS BIGINT) * CAST(8589934592 AS BIGINT))
+                        // (s_present
+                            + (64 - n_present) * CAST(8589934592 AS BIGINT))
+                     AS BIGINT) AS est_distinct,
+                   CAST(64 - n_present AS BIGINT) AS zero_registers
+            FROM pg
+        """,
+        "q_heavy_hitters": """
+            -- identical 4x1024 count-min cells (md5 cell addressing),
+            -- min-over-rows point estimates for the probe tokens of
+            -- docs 0-9, joined to the exact counts so the
+            -- never-underestimate guarantee sits in the hashed values
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                       regexp_split_to_array(lower(text), '\\s+'),
+                       x -> len(x) > 0)) AS tok
+              FROM documents
+            ), cells AS (
+              SELECT j AS row,
+                     CAST('0x' || substring(
+                       md5('cms:' || CAST(j AS VARCHAR) || ':' || tok), 1, 8)
+                       AS BIGINT) % 1024 AS col,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM toks CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)
+              GROUP BY 1, 2
+            ), probes AS (
+              SELECT DISTINCT tok AS item FROM toks WHERE doc_id < 10
+            ), addr AS (
+              SELECT item, j AS row,
+                     CAST('0x' || substring(
+                       md5('cms:' || CAST(j AS VARCHAR) || ':' || item), 1, 8)
+                       AS BIGINT) % 1024 AS col
+              FROM probes CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)
+            ), est AS (
+              SELECT item, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est
+              FROM addr a LEFT JOIN cells c USING (row, col)
+              GROUP BY item
+            ), truth AS (
+              SELECT tok, CAST(count(*) AS BIGINT) AS exact_cnt
+              FROM toks GROUP BY tok
+            )
+            SELECT e.item, e.est, t.exact_cnt
+            FROM est e JOIN truth t ON e.item = t.tok
+        """,
+        "q_corpus_shuffle": """
+            -- identical md5 shuffle key, shard mod, and within-shard
+            -- row_number total order (skey is unique per doc_id; doc_id
+            -- appended as the formal tie-break in both engines)
+            WITH k AS (
+              SELECT doc_id,
+                     md5('shuf:r5:' || CAST(doc_id AS VARCHAR)) AS skey
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST('0x' || substring(skey, 1, 4) AS BIGINT) % 8 AS shard,
+                   CAST(row_number() OVER (
+                     PARTITION BY CAST('0x' || substring(skey, 1, 4) AS BIGINT) % 8
+                     ORDER BY skey, doc_id) AS BIGINT) AS pos
+            FROM k
         """,
         "q_bm25": """
             -- rebuild the inverted index + doc lengths over the same

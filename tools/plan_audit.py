@@ -956,6 +956,45 @@ def main():
         )
     )
 
+    p = plan_of(entrymod.q_hll_distinct(spark, sf_dir))
+    checks.append(
+        (
+            "q_hll_distinct — HLL registers: partial-agg groupBy max (the "
+            "exchange is bounded by |groups|·m register cells, never by "
+            "corpus size), union-max merge, pure-codegen estimate; zero "
+            "Python, no join, no window",
+            p,
+            ["HashAggregate"],
+            ["ArrowEvalPython", "BatchEvalPython", "Join", "Window",
+             "CartesianProduct"],
+        )
+    )
+
+    p = plan_of(entrymod.q_heavy_hitters(spark, sf_dir))
+    checks.append(
+        (
+            "q_heavy_hitters — count-min build is ONE partial-agg groupBy "
+            "over ≤ depth·width cells; the probe lookup joins the tiny "
+            "sketch broadcast; zero Python, no cartesian product",
+            p,
+            ["HashAggregate", "BroadcastHashJoin"],
+            ["ArrowEvalPython", "BatchEvalPython", "CartesianProduct"],
+        )
+    )
+
+    p = plan_of(entrymod.q_corpus_shuffle(spark, sf_dir))
+    checks.append(
+        (
+            "q_corpus_shuffle — deterministic shuffle: ONE hash exchange on "
+            "the shard key + a window partitioned BY SHARD (parallel across "
+            "shards, per-task bounded by the file-sized shard); never a "
+            "single-partition window, zero Python",
+            p,
+            ["Window", "hashpartitioning(shard"],
+            ["SinglePartition", "ArrowEvalPython", "BatchEvalPython"],
+        )
+    )
+
     failures = []
     out = ["# Physical-plan audit (generated by tools/plan_audit.py)\n"]
     out.append(
