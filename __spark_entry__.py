@@ -3037,6 +3037,22 @@ def q_corpus_shuffle(spark, sf_dir):
     return corpus_shuffle(_docs(spark, sf_dir), "doc_id", n_shards=8, seed="r5")
 
 
+def q_vocab_growth(spark, sf_dir):
+    """Heaps'-law vocabulary-growth curve (ops/corpus.vocab_growth):
+    (n_tokens, n_distinct) at six corpus-prefix points — the
+    tokenizer-budget / OCR-noise diagnostic.  ONE groupBy(tok) min is
+    the only corpus-sized shuffle; per-doc aggregates bucket to their
+    covering threshold via a pure array-filter projection and the
+    cumulative window runs over the 6-row curve frame only.  The oracle
+    counts the same prefixes directly."""
+    from html_parser_spark.ops.corpus import vocab_growth
+
+    return vocab_growth(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        thresholds=[9, 24, 49, 99, 249, 499],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-query CORRECTNESS window rotates coverage.
 
@@ -3059,14 +3075,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
          profile, label-propagation communities, DSIR selection) — this
          is the FINAL round, so their only chance at a driver row is
          this window;
-      4. the 3 sketch/shuffle ops added in the final continuation
+      4. the 4 sketch/diagnostic ops added in the final continuation
          session (HLL distinct, count-min heavy hitters, deterministic
-         corpus shuffle) — never driver-exposed, so they take window
-         slots;
-      5. 21 round-3-green veterans, the longest-unexposed cohort, in
-         their registry order (q_asof_join / q_range_join /
-         q_extract_text were displaced past the window by item 4; all
-         three hold driver-green round-3 rows).
+         corpus shuffle, vocab-growth curve) — never driver-exposed, so
+         they take window slots;
+      5. 20 round-3-green veterans, the longest-unexposed cohort, in
+         their registry order (q_sessionize / q_asof_join /
+         q_range_join / q_extract_text were displaced past the window
+         by item 4; all four hold driver-green round-3 rows).
 
     Everything past position 50 carries a driver-green row from round 3
     (the 14 remaining veterans) or round 4 (all 47 round-4-green rows) and
@@ -3109,6 +3125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hll_distinct": q_hll_distinct,
         "q_heavy_hitters": q_heavy_hitters,
         "q_corpus_shuffle": q_corpus_shuffle,
+        "q_vocab_growth": q_vocab_growth,
         # -- longest-unexposed veterans (driver-green in round 3, pushed
         #    past the window by the round-4 additions) --
         "q_filter_project": q_filter_project,
@@ -3131,9 +3148,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash": q_simhash,
         "q_lsh_buckets": q_lsh_buckets,
         "q_event_windows": q_event_windows,
-        "q_sessionize": q_sessionize,
         # ---------------- driver window ends here (position 50) ---------
-        # (displaced by the sketch ops; driver-green in round 3)
+        # (displaced by the sketch/diagnostic ops; driver-green in round 3)
+        "q_sessionize": q_sessionize,
         "q_asof_join": q_asof_join,
         "q_range_join": q_range_join,
         "q_extract_text": q_extract_text,
@@ -5044,6 +5061,29 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT e.item, e.est, t.exact_cnt
             FROM est e JOIN truth t ON e.item = t.tok
+        """,
+        "q_vocab_growth": """
+            -- the curve counted directly per prefix: total occurrences
+            -- with doc_id <= t, distinct tokens whose FIRST doc <= t
+            -- (identical lowercase whitespace tokenization)
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                       regexp_split_to_array(lower(text), '\\s+'),
+                       x -> len(x) > 0)) AS tok
+              FROM documents
+            ), firsts AS (
+              SELECT tok, min(doc_id) AS first_doc FROM toks GROUP BY tok
+            ), thr AS (
+              SELECT unnest([9, 24, 49, 99, 249, 499]) AS threshold
+            )
+            SELECT CAST(t.threshold AS BIGINT) AS threshold,
+                   CAST((SELECT count(*) FROM toks
+                         WHERE doc_id <= t.threshold) AS BIGINT) AS n_tokens,
+                   CAST((SELECT count(*) FROM firsts
+                         WHERE first_doc <= t.threshold) AS BIGINT)
+                     AS n_distinct
+            FROM thr t
         """,
         "q_corpus_shuffle": """
             -- identical md5 shuffle key, shard mod, and within-shard

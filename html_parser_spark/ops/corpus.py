@@ -1034,3 +1034,90 @@ def ngram_novelty(
             F.round(F.col("n_novel") / F.col("n_shingles"), 4),
         ).alias("novelty"),
     )
+
+
+def vocab_growth(
+    docs: DataFrame,
+    thresholds: "list[int]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve: (threshold, n_tokens,
+    n_distinct) for each corpus prefix ``doc_id <= threshold``.
+
+    The tokenizer-budget diagnostic: how fast does the vocabulary grow
+    as the corpus grows?  A corpus whose distinct-token curve keeps
+    climbing linearly is OCR noise / boilerplate-slug heavy (every page
+    mints new "words"); clean natural text flattens per Heaps' law
+    V ≈ K·nᵝ, β≈0.5.  Curve points also decide when a BPE vocab
+    retrain is due as a crawl accumulates.
+
+    Scale shape (the dsir/lm histogram-cumulative discipline — no
+    per-threshold pass over the corpus, no window over documents):
+
+    1. first occurrence per token: ONE partial-agg groupBy(tok) min —
+       the only corpus-sized shuffle, bounded by distinct tokens;
+    2. per-doc aggregates: new-token count by first_doc, occurrence
+       count by doc — both ≤ |docs| tiny rows;
+    3. each row buckets to the SMALLEST covering threshold via a pure
+       array-filter projection (T literals, no join);
+    4. cumulative over the ≤ T-row curve frame (a window over T rows,
+       never over documents).
+
+    ``thresholds`` must be ascending; docs past the last threshold
+    contribute nothing (the curve is only evaluated at its points).
+    All BIGINT — bit-identical across engines and shuffle orders.
+    """
+    if thresholds != sorted(thresholds) or len(set(thresholds)) != len(thresholds):
+        raise ValueError("thresholds must be strictly ascending")
+    from pyspark.sql import Window
+
+    thr_arr = F.array(*[F.lit(int(t)).cast("long") for t in thresholds])
+    toks = docs.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+
+    def bucket_of(col):
+        # smallest threshold >= value; NULL (dropped) past the curve
+        return F.element_at(F.filter(thr_arr, lambda t: t >= F.col(col)), 1)
+
+    new_by_doc = (
+        toks.groupBy("tok")
+        .agg(F.min("_doc").alias("first_doc"))
+        .groupBy("first_doc")
+        .agg(F.count(F.lit(1)).cast("long").alias("_new"))
+        .select(bucket_of("first_doc").alias("threshold"), "_new")
+        .where(F.col("threshold").isNotNull())
+        .groupBy("threshold")
+        .agg(F.sum("_new").alias("_new"))
+    )
+    occ_by_doc = (
+        toks.groupBy("_doc")
+        .agg(F.count(F.lit(1)).cast("long").alias("_occ"))
+        .select(bucket_of("_doc").alias("threshold"), "_occ")
+        .where(F.col("threshold").isNotNull())
+        .groupBy("threshold")
+        .agg(F.sum("_occ").alias("_occ"))
+    )
+    # materialize every curve point (a threshold bin can be empty), then
+    # the cumulative runs over the ≤ T-row frame only
+    spark = docs.sparkSession
+    points = spark.createDataFrame(
+        [(int(t),) for t in thresholds], "threshold long"
+    )
+    curve = (
+        points.join(new_by_doc, "threshold", "left")
+        .join(occ_by_doc, "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce("_new", F.lit(0)).cast("long").alias("_new"),
+            F.coalesce("_occ", F.lit(0)).cast("long").alias("_occ"),
+        )
+    )
+    w = Window.orderBy("threshold").rowsBetween(Window.unboundedPreceding, 0)
+    return curve.select(
+        "threshold",
+        F.sum("_occ").over(w).cast("long").alias("n_tokens"),
+        F.sum("_new").over(w).cast("long").alias("n_distinct"),
+    )

@@ -140,11 +140,12 @@ def hll_estimate(
       t  = (7213·m³) div (10000·m + 10790)        -- alpha_m·m², scaled
       E  = (t · 2^33) div S
 
-    (alpha_m = 0.7213/(1 + 1.079/m) per Flajolet et al.; 7213·m³ ≤ 1.9e9
-    for m ≤ 64 and t·2^33 ≤ 2.6e13, so nothing overflows.)  Emits
+    (alpha_m = 0.7213/(1 + 1.079/m) per Flajolet et al.; t ≤ ~4.7e4 and
+    t·2^33 ≤ ~4.1e14 for m ≤ 256, so nothing overflows.)  Emits
     ``zero_registers`` so a consumer can detect the small-range regime
     where published HLL switches to linear counting (that correction
-    needs a float ln, deliberately left out of the integer contract).
+    needs a float ln, deliberately left out of the integer contract —
+    :func:`hll_linear_corrected` applies it for job-side consumers).
     """
     alpha_num = 7213 * m * m * m
     alpha_den = 10000 * m + 10790
@@ -269,4 +270,30 @@ def corpus_shuffle(
     w = Window.partitionBy("shard").orderBy("skey", id_col)
     return planned.select(
         id_col, "shard", F.row_number().over(w).cast("long").alias("pos")
+    )
+
+
+def hll_linear_corrected(estimates: DataFrame, m: int = 64) -> DataFrame:
+    """Published small-range correction over :func:`hll_estimate` output.
+
+    Raw HLL reads ~0.72·m when the registers are nearly empty (with 3
+    keys and m=256 it answers ~180); Flajolet et al. switch to linear
+    counting ``m·ln(m/V)`` (V = zero registers) when the raw estimate is
+    under 5m/2.  That needs a logarithm, so this correction lives
+    OUTSIDE the integer-exact oracle contract (q_hll_distinct pins the
+    raw path): ln over a BIGINT register count is still deterministic
+    and partitioning-independent — just not replayable in pure integer
+    SQL — which is exactly right for job-side sidecars like the
+    datacard's vocab estimate.
+    """
+    threshold = (5 * m) // 2
+    lc = F.round(
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("zero_registers"))
+    ).cast("long")
+    return estimates.withColumn(
+        "est_distinct",
+        F.when(
+            (F.col("est_distinct") <= threshold) & (F.col("zero_registers") > 0),
+            lc,
+        ).otherwise(F.col("est_distinct")),
     )

@@ -202,6 +202,13 @@ def main(argv=None):
     ap.add_argument("--pack-seq-len", type=int, default=0,
                     help="write a packed-sequence table (GPT concat-and-"
                          "split at L slots per sequence, per split; 0=off)")
+    ap.add_argument("--shuffle-shards", type=int, default=0,
+                    help="write a deterministic training-shuffle sidecar "
+                         "(doc_id, shard, pos) per split with this many "
+                         "shards (ops/sketch.corpus_shuffle; 0 = off)")
+    ap.add_argument("--shuffle-seed", default="s1",
+                    help="seed for --shuffle-shards (the shuffle order is "
+                         "reproducible from the seed alone)")
     ap.add_argument("--lm-buckets", action="store_true",
                     help="train a stupid-backoff trigram LM on the train "
                          "split and write a CCNet-style head/middle/tail "
@@ -373,6 +380,31 @@ def main(argv=None):
             )
         n_sequences = spark.read.parquet(out_seqs).count()
 
+    # 6b. optional deterministic training-shuffle sidecar: the
+    # reproducible ORDER BY rand() replacement (ops/sketch.
+    # corpus_shuffle) — shard + within-shard position keyed by
+    # md5(seed||doc_id), per split so train/valid/test never share a
+    # shard; the shuffle order re-derives from the seed alone on resume
+    n_shuffled = 0
+    if args.shuffle_shards > 0 and splits:
+        import shutil
+
+        from html_parser_spark.ops.sketch import corpus_shuffle
+
+        out_shuf = os.path.join(args.output, "shuffle")
+        # same stale-split sweep as the sequences table: a shrunken
+        # split set must not leave a previous run's split=<name> behind
+        shutil.rmtree(out_shuf, ignore_errors=True)
+        for split_name in sorted(splits):
+            part = final.where(F.col("split") == split_name).select("doc_id")
+            corpus_shuffle(
+                part, "doc_id", n_shards=args.shuffle_shards,
+                seed=args.shuffle_seed,
+            ).write.mode("overwrite").parquet(
+                os.path.join(out_shuf, f"split={split_name}")
+            )
+        n_shuffled = spark.read.parquet(out_shuf).count()
+
     # 7. optional BPE tokenizer training on the TRAIN split only (never
     # valid/test — the tokenizer is part of the model): the corpus-scale
     # pass is ops/bpe.word_freqs (ONE partial-agg groupBy); the merge
@@ -426,6 +458,7 @@ def main(argv=None):
         "splits": splits,
         "chunks": n_chunks,
         **({"sequences": n_sequences} if args.pack_seq_len > 0 else {}),
+        **({"shuffled": n_shuffled} if args.shuffle_shards > 0 else {}),
         **({"bpe_merges": n_merges} if args.bpe_merges > 0 else {}),
         **({"lm_buckets": lm_counts} if args.lm_buckets else {}),
     }))

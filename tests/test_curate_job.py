@@ -267,6 +267,52 @@ def test_curate_job_pack_sequences(spark, tmp_path, capsys):
         assert all(s == 16 for s in sizes[:-1])
 
 
+def test_curate_job_shuffle_shards(spark, tmp_path, capsys):
+    """--shuffle-shards writes the deterministic training-shuffle sidecar:
+    every surviving doc gets exactly one (shard, pos) per split, shards in
+    range, positions dense from 1 within each (split, shard)."""
+    from pyspark.sql import functions as F
+
+    import jobs.curate_job as cj
+
+    docs_dir = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [
+            (i, " ".join(f"w{i}x{j}" for j in range((i % 9) + 3)), "en")
+            for i in range(40)
+        ],
+        "doc_id long, text string, lang string",
+    ).write.parquet(docs_dir)
+    out = str(tmp_path / "curated")
+    cj.main([
+        "--docs", docs_dir,
+        "--output", out,
+        "--min-tokens", "1",
+        "--num-hashes", "4",
+        "--bands", "2",
+        "--shuffle-shards", "4",
+        "--shuffle-seed", "e2e",
+    ])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    final = spark.read.parquet(os.path.join(out, "docs"))
+    shuf = spark.read.parquet(os.path.join(out, "shuffle"))
+    assert stats["shuffled"] == shuf.count() == final.count()
+    # one sidecar row per surviving doc, per split
+    assert (
+        shuf.join(final.select("doc_id", "split"), ["doc_id", "split"]).count()
+        == final.count()
+    )
+    assert shuf.where((F.col("shard") < 0) | (F.col("shard") >= 4)).count() == 0
+    # positions dense from 1 within each (split, shard)
+    for r in (
+        shuf.groupBy("split", "shard")
+        .agg(F.count("*").alias("n"), F.min("pos").alias("lo"),
+             F.max("pos").alias("hi"))
+        .collect()
+    ):
+        assert (r["lo"], r["hi"]) == (1, r["n"])
+
+
 def test_curate_job_bpe_training(spark, tmp_path, capsys):
     """--bpe-merges trains on the TRAIN split only and writes a merge
     list that bpe_encode can consume (a learned merge shrinks tokens vs
@@ -367,6 +413,10 @@ def test_datacard_job(spark, tmp_path, capsys):
     assert by[("train", "de")]["n_tokens"] == 2
     assert by[("valid", "und")]["n_tokens"] == 0   # NULL text/lang row
     assert abs(by[("train", "en")]["token_share"] - 8 / 14) < 1e-6
+    # HLL+linear-counting vocab estimate: tiny exact-regime cardinalities
+    assert by[("train", "en")]["vocab_est"] == 8      # a..h, all distinct
+    assert by[("train", "de")]["vocab_est"] == 2      # x y
+    assert by[("valid", "und")]["vocab_est"] == 0     # NULL text
     assert set(card["token_length_percentiles"]) == {"train", "valid"}
     tbl = spark.read.parquet(os.path.join(out, "card_rows"))
     assert tbl.count() == len(card["rows"])

@@ -146,3 +146,71 @@ def test_corpus_shuffle_partition_independent_and_seeded(spark):
     assert key(a).equals(key(b))  # md5 total order: partitioning-independent
     c = corpus_shuffle(docs, "doc_id", n_shards=8, seed="s2").toPandas()
     assert not key(a).equals(key(c))  # a different seed reorders
+
+
+# ---------------------------------------------------------------------------
+# Heaps'-law vocabulary growth — ops/corpus.vocab_growth
+# ---------------------------------------------------------------------------
+def test_vocab_growth_hand_computed(spark):
+    from html_parser_spark.ops.corpus import vocab_growth
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a"),        # 3 occ, new: a b
+            (1, "b c"),          # 2 occ, new: c
+            (2, "c c d"),        # 3 occ, new: d
+            (5, "e"),            # past threshold 3, inside 9
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["threshold"]: (r["n_tokens"], r["n_distinct"])
+        for r in vocab_growth(docs, thresholds=[0, 1, 3, 9]).collect()
+    }
+    assert out == {0: (3, 2), 1: (5, 3), 3: (8, 4), 9: (9, 5)}
+
+
+def test_vocab_growth_monotone_and_validation(spark):
+    import pytest as _pytest
+
+    from html_parser_spark.ops.corpus import vocab_growth
+
+    docs = spark.range(60).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("w"), (F.col("id") % 17).cast("string"), F.lit(" common")).alias(
+            "text"
+        ),
+    )
+    rows = vocab_growth(docs, thresholds=[9, 29, 59]).orderBy("threshold").collect()
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_tokens"] >= a["n_tokens"]
+        assert b["n_distinct"] >= a["n_distinct"]
+    # full prefix sees every token twice per doc, 17 w-words + 'common'
+    assert rows[-1]["n_tokens"] == 120 and rows[-1]["n_distinct"] == 18
+    with _pytest.raises(ValueError):
+        vocab_growth(docs, thresholds=[10, 5])
+
+
+def test_hll_linear_correction_small_range(spark):
+    from html_parser_spark.ops.sketch import (
+        hll_estimate,
+        hll_linear_corrected,
+        hll_registers,
+    )
+
+    # 8 keys at m=256: raw HLL reads ~0.72*m (the documented small-range
+    # bias); linear counting recovers the true count within ±2
+    small = hll_linear_corrected(
+        hll_estimate(hll_registers(_keys(spark, 8), "key", (), m=256), (), m=256),
+        m=256,
+    ).collect()[0]
+    assert abs(small["est_distinct"] - 8) <= 2
+    # large cardinality (raw estimate > 5m/2): the raw path is untouched
+    raw = hll_estimate(
+        hll_registers(_keys(spark, 5000), "key", (), m=256), (), m=256
+    ).collect()[0]
+    corrected = hll_linear_corrected(
+        hll_estimate(hll_registers(_keys(spark, 5000), "key", (), m=256), (), m=256),
+        m=256,
+    ).collect()[0]
+    assert corrected["est_distinct"] == raw["est_distinct"]

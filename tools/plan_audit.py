@@ -995,6 +995,21 @@ def main():
         )
     )
 
+    p = plan_of(entrymod.q_vocab_growth(spark, sf_dir))
+    checks.append(
+        (
+            "q_vocab_growth — Heaps'-law curve: ONE corpus-sized partial-agg "
+            "groupBy(tok) min (bounded by distinct tokens); threshold "
+            "bucketing is a pure array-filter projection (no join against a "
+            "threshold table); the only window runs over the |thresholds|-row "
+            "curve frame (bounded by construction, like _running_offsets); "
+            "zero Python, no cartesian product",
+            p,
+            ["HashAggregate", "Window"],
+            ["ArrowEvalPython", "BatchEvalPython", "CartesianProduct"],
+        )
+    )
+
     failures = []
     out = ["# Physical-plan audit (generated by tools/plan_audit.py)\n"]
     out.append(
