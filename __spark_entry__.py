@@ -3053,6 +3053,74 @@ def q_vocab_growth(spark, sf_dir):
     )
 
 
+def q_dist_drift(spark, sf_dir):
+    """Crawl-snapshot distribution drift (ops/corpus.distribution_drift):
+    per-language share delta (ppm, integer-exact IntegralDivide) between
+    two snapshots carved deterministically from the documents table by
+    doc_id parity — the crawl-monitoring op (TVD = Σ delta_ppm / 2·10⁶).
+    Two partial-agg groupBys + a tiny full-outer bucket join + the 1-row
+    broadcast-totals crossJoin; nothing corpus-sized past the scans."""
+    from html_parser_spark.ops.corpus import distribution_drift
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    return distribution_drift(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+        bucket_col="lang",
+    ).withColumnRenamed("bucket", "lang")
+
+
+def q_freq_spectrum(spark, sf_dir):
+    """Token frequency-of-frequencies spectrum + Good-Turing hapax mass
+    (ops/corpus.freq_spectrum): n_types / ppm shares at freq 1..8.  The
+    synthetic corpus has only ~31 distinct unigrams (min freq 26 at
+    sf0.01 — an empty f≤8 head), so the query feeds the op word-TRIGRAM
+    shingle tokens ('w1_w2_w3', whitespace-joined), which carry a real
+    Zipf tail (9,424 hapaxes at sf0.01).  ONE corpus-sized
+    groupBy(tok); the spectrum groupBy and the totals crossJoin are
+    ≤8-row / 1-row frames.  Oracle replays the identical shingling,
+    tokenization, and integer division in DuckDB."""
+    from html_parser_spark.ops.corpus import freq_spectrum
+
+    shingled = (
+        _docs(spark, sf_dir)
+        .select(
+            F.expr(
+                r"filter(split(lower(text), '\\s+'), x -> length(x) > 0)"
+            ).alias("w")
+        )
+        .select(
+            F.expr(
+                "array_join(CASE WHEN size(w) >= 3"
+                " THEN transform(sequence(0, size(w) - 3),"
+                "      i -> concat(w[i], '_', w[i+1], '_', w[i+2]))"
+                " ELSE CAST(array() AS array<string>) END, ' ')"
+            ).alias("text")
+        )
+    )
+    return freq_spectrum(shingled, max_freq=8)
+
+
+def q_mojibake(spark, sf_dir):
+    """Encoding-damage score (ops/encoding.mojibake_score): double-encoded
+    UTF-8 signatures + U+FFFD counts per doc, ppm of chars.  The synthetic
+    corpus is clean, so the query plants deterministic damage first
+    (doc_id%5==0 gets a 'Ã©â€™' suffix, doc_id%11==0 a replacement char) —
+    the oracle plants the identical damage.  ONE codegen projection,
+    zero shuffle, zero Python."""
+    from html_parser_spark.ops.encoding import mojibake_score
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" Ã©â€™")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(" �")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return mojibake_score(docs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-query CORRECTNESS window rotates coverage.
 
@@ -3075,14 +3143,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
          profile, label-propagation communities, DSIR selection) — this
          is the FINAL round, so their only chance at a driver row is
          this window;
-      4. the 4 sketch/diagnostic ops added in the final continuation
-         session (HLL distinct, count-min heavy hitters, deterministic
-         corpus shuffle, vocab-growth curve) — never driver-exposed, so
+      4. the 7 sketch/diagnostic ops added in the final continuation
+         sessions (HLL distinct, count-min heavy hitters, deterministic
+         corpus shuffle, vocab-growth curve, distribution drift,
+         frequency spectrum, mojibake score) — never driver-exposed, so
          they take window slots;
-      5. 20 round-3-green veterans, the longest-unexposed cohort, in
-         their registry order (q_sessionize / q_asof_join /
-         q_range_join / q_extract_text were displaced past the window
-         by item 4; all four hold driver-green round-3 rows).
+      5. 17 round-3-green veterans, the longest-unexposed cohort, in
+         their registry order (q_simhash / q_lsh_buckets /
+         q_event_windows / q_sessionize / q_asof_join / q_range_join /
+         q_extract_text were displaced past the window by item 4; all
+         seven hold driver-green round-3 rows).
 
     Everything past position 50 carries a driver-green row from round 3
     (the 14 remaining veterans) or round 4 (all 47 round-4-green rows) and
@@ -3126,6 +3196,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_heavy_hitters": q_heavy_hitters,
         "q_corpus_shuffle": q_corpus_shuffle,
         "q_vocab_growth": q_vocab_growth,
+        "q_dist_drift": q_dist_drift,
+        "q_freq_spectrum": q_freq_spectrum,
+        "q_mojibake": q_mojibake,
         # -- longest-unexposed veterans (driver-green in round 3, pushed
         #    past the window by the round-4 additions) --
         "q_filter_project": q_filter_project,
@@ -3145,11 +3218,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dup_clusters": q_dup_clusters,
         "q_cosine_topk": q_cosine_topk,
         "q_ivf_topk": q_ivf_topk,
+        # ---------------- driver window ends here (position 50) ---------
+        # (displaced by the sketch/diagnostic ops; driver-green in round 3)
         "q_simhash": q_simhash,
         "q_lsh_buckets": q_lsh_buckets,
         "q_event_windows": q_event_windows,
-        # ---------------- driver window ends here (position 50) ---------
-        # (displaced by the sketch/diagnostic ops; driver-green in round 3)
         "q_sessionize": q_sessionize,
         "q_asof_join": q_asof_join,
         "q_range_join": q_range_join,
@@ -3515,6 +3588,7 @@ _LM_BUCKETS_SQL = f"""
 
 
 def oracle_sql() -> dict[str, str]:
+    from html_parser_spark.ops.encoding import MOJIBAKE_RE
     from html_parser_spark.ops.text import PII_PATTERNS
 
     pii_counts = ",\n                   ".join(
@@ -5084,6 +5158,91 @@ def oracle_sql() -> dict[str, str]:
                          WHERE first_doc <= t.threshold) AS BIGINT)
                      AS n_distinct
             FROM thr t
+        """,
+        "q_dist_drift": """
+            -- identical parity split, bucket counts, and ppm integer
+            -- division (// ≡ Spark div on non-negative operands)
+            WITH a AS (SELECT lang, count(*) AS n_a FROM documents
+                       WHERE doc_id % 2 = 0 GROUP BY lang),
+                 b AS (SELECT lang, count(*) AS n_b FROM documents
+                       WHERE doc_id % 2 = 1 GROUP BY lang),
+                 j AS (SELECT coalesce(a.lang, b.lang) AS lang,
+                              coalesce(a.n_a, 0) AS n_a,
+                              coalesce(b.n_b, 0) AS n_b
+                       FROM a FULL OUTER JOIN b ON a.lang = b.lang),
+                 t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM j),
+                 s AS (SELECT j.lang, j.n_a, j.n_b,
+                              coalesce((j.n_a * 1000000) // nullif(t.ta, 0), 0)
+                                AS share_a_ppm,
+                              coalesce((j.n_b * 1000000) // nullif(t.tb, 0), 0)
+                                AS share_b_ppm
+                       FROM j, t)
+            SELECT lang,
+                   CAST(n_a AS BIGINT) AS n_a,
+                   CAST(n_b AS BIGINT) AS n_b,
+                   CAST(share_a_ppm AS BIGINT) AS share_a_ppm,
+                   CAST(share_b_ppm AS BIGINT) AS share_b_ppm,
+                   CAST(abs(share_a_ppm - share_b_ppm) AS BIGINT)
+                     AS delta_ppm
+            FROM s
+        """,
+        "q_freq_spectrum": """
+            -- identical word-trigram shingling ('w1_w2_w3' tokens) and
+            -- tokenization (lowercase, \\s+ split, drop empty), spectrum
+            -- head at freq<=8, ppm vs FULL vocab/token totals
+            WITH w AS (
+              SELECT list_filter(
+                       regexp_split_to_array(lower(text), '\\s+'),
+                       x -> len(x) > 0) AS w
+              FROM documents
+            ), toks AS (
+              SELECT unnest(list_transform(range(1, len(w) - 1),
+                       i -> w[i] || '_' || w[i+1] || '_' || w[i+2])) AS tok
+              FROM w
+              WHERE len(w) >= 3
+            ), freqs AS (
+              SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+            ), tot AS (
+              SELECT count(*) AS n_ty, sum(cnt) AS n_to FROM freqs
+            ), spec AS (
+              SELECT cnt AS freq, count(*) AS n_types FROM freqs
+              WHERE cnt <= 8 GROUP BY cnt
+            )
+            SELECT CAST(s.freq AS BIGINT) AS freq,
+                   CAST(s.n_types AS BIGINT) AS n_types,
+                   CAST(s.freq * s.n_types AS BIGINT) AS n_tokens,
+                   CAST(coalesce((s.n_types * 1000000) // t.n_ty, 0)
+                     AS BIGINT) AS types_ppm,
+                   CAST(coalesce((s.freq * s.n_types * 1000000) // t.n_to,
+                     0) AS BIGINT) AS tokens_ppm
+            FROM spec s, tot t
+        """,
+        "q_mojibake": f"""
+            -- identical planted damage, literal-codepoint signature class
+            -- (compiled by RE2 here, Java regex on the Spark side), and
+            -- ppm IntegralDivide with the same null-to-zero fold
+            WITH d AS (
+              SELECT doc_id,
+                     text
+                       || (CASE WHEN doc_id % 5 = 0
+                                THEN ' Ã©â€™' ELSE '' END)
+                       || (CASE WHEN doc_id % 11 = 0
+                                THEN ' �' ELSE '' END) AS text
+              FROM documents
+            ), c AS (
+              SELECT doc_id,
+                     CAST(length(text) AS BIGINT) AS n_chars,
+                     CAST(len(regexp_extract_all(text, '{MOJIBAKE_RE}'))
+                       AS BIGINT) AS n_double_encoded,
+                     CAST(len(regexp_extract_all(text, '�'))
+                       AS BIGINT) AS n_replacement
+              FROM d
+            )
+            SELECT doc_id, n_chars, n_double_encoded, n_replacement,
+                   CAST(coalesce(
+                     ((n_double_encoded + n_replacement) * 1000000)
+                       // nullif(n_chars, 0), 0) AS BIGINT) AS mojibake_ppm
+            FROM c
         """,
         "q_corpus_shuffle": """
             -- identical md5 shuffle key, shard mod, and within-shard

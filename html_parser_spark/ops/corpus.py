@@ -1121,3 +1121,116 @@ def vocab_growth(
         F.sum("_occ").over(w).cast("long").alias("n_tokens"),
         F.sum("_new").over(w).cast("long").alias("n_distinct"),
     )
+
+
+def distribution_drift(
+    a: DataFrame,
+    b: DataFrame,
+    bucket_col: str = "bucket",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-bucket share drift between two corpus snapshots — the crawl
+    monitoring op: did this month's crawl shift its language / length /
+    quality-bucket mix versus last month's?  Total-variation distance is
+    ``sum(delta_ppm) / (2·scale)`` over the result (the consumer's one
+    fold); PSI would need a logarithm, so it stays outside the
+    integer-exact contract by the same rule as HLL's linear counting.
+
+    Returns (bucket, n_a, n_b, share_a_ppm, share_b_ppm, delta_ppm), all
+    BIGINT: ``share_ppm = (n·scale) div total`` — IntegralDivide over
+    non-negative operands, bit-identical across engines and shuffle
+    orders.  Empty sides yield 0-ppm shares (never NULL, never a crash).
+
+    Scale shape: ONE partial-agg groupBy per snapshot (the only
+    corpus-sized shuffles, each bounded by |buckets| after the map-side
+    combine), a full-outer join on the tiny bucket frame, and a 1-row
+    broadcast crossJoin for the totals — the package's standing pattern
+    for global denominators (classify.py, text.py).  Nothing here grows
+    with corpus size past the two first-stage scans.
+    """
+    ca = a.groupBy(F.col(bucket_col).alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_a")
+    )
+    cb = b.groupBy(F.col(bucket_col).alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_b")
+    )
+    joined = ca.join(cb, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce("n_a", F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).cast("long").alias("n_b"),
+    )
+    tot = joined.agg(
+        F.sum("n_a").cast("long").alias("_ta"),
+        F.sum("n_b").cast("long").alias("_tb"),
+    )
+    s = int(scale)
+    return (
+        joined.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_a",
+            "n_b",
+            F.coalesce(
+                F.expr(f"(n_a * {s}) div nullif(_ta, 0)"), F.lit(0)
+            ).cast("long").alias("share_a_ppm"),
+            F.coalesce(
+                F.expr(f"(n_b * {s}) div nullif(_tb, 0)"), F.lit(0)
+            ).cast("long").alias("share_b_ppm"),
+        )
+        .withColumn(
+            "delta_ppm",
+            F.abs(F.col("share_a_ppm") - F.col("share_b_ppm")).cast("long"),
+        )
+    )
+
+
+def freq_spectrum(
+    docs: DataFrame,
+    max_freq: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """Token frequency-of-frequencies spectrum — how many vocabulary
+    types occur exactly f times, for f = 1..max_freq.  The Good-Turing
+    companion to :func:`vocab_growth`: the f=1 row's ``tokens_ppm`` IS
+    the Good-Turing unseen-probability mass N₁/N (×10⁶), and a hapax
+    share that climbs with crawl size is the OCR-noise / random-slug
+    alarm that decides when the token filter needs retuning.
+
+    Returns (freq, n_types, n_tokens, types_ppm, tokens_ppm), all
+    BIGINT; ppm denominators are the FULL vocabulary / token totals
+    (not just the spectrum head), via the 1-row broadcast-totals
+    pattern.  Tokenization is identical to :func:`vocab_growth`
+    (lowercase, split on whitespace, drop empties) so the two
+    diagnostics read the same corpus.
+
+    Scale shape: ONE corpus-sized partial-agg groupBy(tok) (bounded by
+    distinct tokens after map-side combine), then a groupBy over the
+    ≤ max_freq-row spectrum and a 1-row totals crossJoin.  No window,
+    no Python, no join against corpus-sized sides.
+    """
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok")
+    ).filter(F.length("tok") > 0)
+    freqs = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    tot = freqs.agg(
+        F.count(F.lit(1)).cast("long").alias("_types"),
+        F.sum("cnt").cast("long").alias("_tokens"),
+    )
+    spec = (
+        freqs.where(F.col("cnt") <= int(max_freq))
+        .groupBy(F.col("cnt").alias("freq"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_types"))
+    )
+    return spec.crossJoin(F.broadcast(tot)).select(
+        "freq",
+        "n_types",
+        (F.col("freq") * F.col("n_types")).cast("long").alias("n_tokens"),
+        F.coalesce(
+            F.expr("(n_types * 1000000) div _types"), F.lit(0)
+        ).cast("long").alias("types_ppm"),
+        F.coalesce(
+            F.expr("(freq * n_types * 1000000) div _tokens"), F.lit(0)
+        ).cast("long").alias("tokens_ppm"),
+    )

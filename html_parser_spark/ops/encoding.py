@@ -268,3 +268,66 @@ def normalize_to_utf8(
     return sniffed.withColumn(
         body_col, transcode_utf8_udf()(F.col(body_col), F.col("charset"))
     )
+
+
+# UTF-8 bytes mis-decoded as windows-1252/latin-1 leave a fingerprint:
+# a lead byte C2-C5 / E2 (as the chars Â Ã Ä Å â) immediately followed
+# by a decoded CONTINUATION byte — U+0080-U+00BF as latin-1, or the 27
+# cp1252 remappings of 0x80-0x9F (€ ‚ ƒ „ … † ‡ ˆ ‰ Š ‹ Œ Ž ‘ ’ “ ” •
+# – — ˜ ™ š › œ ž Ÿ).  Both classes resolve to literal codepoints at
+# import time (the \\u escapes are Python's, not the regex engine's),
+# so the Java (Spark) and RE2 (DuckDB) engines compile the identical
+# character set.
+_MOJIBAKE_CONT = (
+    "-¿"
+    "€‚ƒ„…†‡ˆ‰Š"
+    "‹ŒŽ‘’“”•–—"
+    "˜™š›œžŸ"
+)
+MOJIBAKE_RE = f"[ÂÃÄÅâ][{_MOJIBAKE_CONT}]"
+REPLACEMENT_RE = "�"
+
+
+def mojibake_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document encoding-damage score — the post-decode QA twin of
+    :func:`charset_of`: a page whose *bytes* decoded fine can still carry
+    text that was already mojibake at the origin (double-encoded UTF-8,
+    the single most common corruption in web corpora: 'Ã©' for 'é',
+    'â€™' for '’'), or U+FFFD replacement characters from an upstream
+    lossy decode.  Corpus pipelines gate on this the way they gate on
+    Gopher frac_* rules — a handful of hits is quoting noise, a high
+    ppm means the document (often the whole host) needs re-decoding or
+    dropping.
+
+    Returns (id, n_chars, n_double_encoded, n_replacement,
+    mojibake_ppm), all BIGINT: ``mojibake_ppm = ((n_double_encoded +
+    n_replacement) · 10⁶) div n_chars`` (0 for empty text — never NULL).
+    Heuristic, deterministic, and engine-portable: both signature
+    classes are literal-codepoint regexes (no lookaround, no \\p
+    classes), identical under Java regex and RE2.
+
+    Scale shape: ONE whole-stage-codegen projection — two
+    ``regexp_count`` calls and a length.  Zero shuffle, zero Python; at
+    10^12 rows this fuses into the scan stage.
+    """
+    n_dbl = F.regexp_count(F.col(text_col), F.lit(MOJIBAKE_RE)).cast("long")
+    n_rep = F.regexp_count(F.col(text_col), F.lit(REPLACEMENT_RE)).cast("long")
+    return docs.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        n_dbl.alias("n_double_encoded"),
+        n_rep.alias("n_replacement"),
+    ).withColumn(
+        "mojibake_ppm",
+        F.coalesce(
+            F.expr(
+                "((n_double_encoded + n_replacement) * 1000000)"
+                " div nullif(n_chars, 0)"
+            ),
+            F.lit(0),
+        ).cast("long"),
+    )

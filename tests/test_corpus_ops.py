@@ -612,3 +612,73 @@ def test_sentence_split(spark):
     assert got[1] == [(0, "no boundary at all", 4)]
     assert 2 not in got and 3 not in got  # blank/NULL docs yield no rows
     assert got[4] == [(0, "Trailing period.", 2)]
+
+
+# ---------------------------------------------------------------------------
+# distribution drift + frequency spectrum — the crawl-monitoring diagnostics
+# ---------------------------------------------------------------------------
+def test_distribution_drift_hand_computed(spark):
+    from html_parser_spark.ops.corpus import distribution_drift
+
+    a = spark.createDataFrame(
+        [("en",)] * 6 + [("de",)] * 3 + [("fr",)] * 1, "lang string"
+    )
+    b = spark.createDataFrame(
+        [("en",)] * 2 + [("de",)] * 2 + [("ru",)] * 1, "lang string"
+    )
+    got = {
+        r["bucket"]: r.asDict()
+        for r in distribution_drift(a, b, "lang").collect()
+    }
+    assert got["en"]["share_a_ppm"] == 600000   # 6/10
+    assert got["en"]["share_b_ppm"] == 400000   # 2/5
+    assert got["en"]["delta_ppm"] == 200000
+    # one-sided buckets: 0-count, 0-share on the missing side
+    assert got["fr"]["n_b"] == 0 and got["fr"]["share_b_ppm"] == 0
+    assert got["ru"]["n_a"] == 0 and got["ru"]["share_a_ppm"] == 0
+    assert got["ru"]["delta_ppm"] == 200000     # 1/5 vs nothing
+    # TVD fold over the result: identical mix would read 0
+    tvd_ppm = sum(r["delta_ppm"] for r in got.values()) / 2
+    assert tvd_ppm == (200000 + 100000 + 100000 + 200000) / 2
+
+
+def test_distribution_drift_empty_side_never_nulls(spark):
+    from html_parser_spark.ops.corpus import distribution_drift
+
+    a = spark.createDataFrame([("en",)], "lang string")
+    b = a.where(F.lit(False))
+    rows = distribution_drift(a, b, "lang").collect()
+    assert [r.asDict() for r in rows] == [
+        {"bucket": "en", "n_a": 1, "n_b": 0,
+         "share_a_ppm": 1000000, "share_b_ppm": 0, "delta_ppm": 1000000}
+    ]
+
+
+def test_freq_spectrum_hand_computed(spark):
+    from html_parser_spark.ops.corpus import freq_spectrum
+
+    # corpus: a×4 b×2 c×2 d×1 e×1 f×1  → 11 tokens, 6 types
+    docs = spark.createDataFrame(
+        [("a b a c d",), ("A b c e F a",)], "text string"
+    )
+    got = {r["freq"]: r.asDict() for r in freq_spectrum(docs, max_freq=3).collect()}
+    assert got[1]["n_types"] == 3 and got[1]["n_tokens"] == 3
+    assert got[2]["n_types"] == 2 and got[2]["n_tokens"] == 4
+    assert 4 not in got                      # past max_freq: excluded
+    # ppm denominators are the FULL totals (6 types, 11 tokens), not the
+    # spectrum head — the Good-Turing mass is hapax tokens over ALL tokens
+    assert got[1]["types_ppm"] == 3 * 1000000 // 6
+    assert got[1]["tokens_ppm"] == 3 * 1000000 // 11
+    assert got[2]["tokens_ppm"] == 4 * 1000000 // 11
+
+
+def test_freq_spectrum_partition_independent(spark):
+    from html_parser_spark.ops.corpus import freq_spectrum
+
+    docs = spark.range(200).select(
+        F.concat(F.lit("tok"), (F.col("id") % 37).cast("string"),
+                 F.lit(" filler")).alias("text")
+    )
+    one = sorted(map(tuple, freq_spectrum(docs, max_freq=8).collect()))
+    many = sorted(map(tuple, freq_spectrum(docs.repartition(17), max_freq=8).collect()))
+    assert one == many

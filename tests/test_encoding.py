@@ -130,3 +130,58 @@ def test_normalize_to_utf8_transcode_and_passthrough(spark):
     # UTF-8 BOM is stripped by the normalizer
     assert bytes(out[2]["html"]) == b"bom"
     assert out[3]["html"] is None
+
+
+# ---------------------------------------------------------------------------
+# mojibake / encoding-damage score — ops/encoding.mojibake_score
+# ---------------------------------------------------------------------------
+def test_mojibake_score_detects_double_encoding(spark):
+    from html_parser_spark.ops.encoding import mojibake_score
+
+    # fixtures are real double-encodings, built by the same byte round
+    # trip a broken origin performs (utf-8 bytes read back as cp1252);
+    # undefined cp1252 bytes (e.g. 0x9D from U+201D) fall back to their
+    # C1 codepoints, exactly as browsers and WHATWG decoders do
+    def dbl(s: str) -> str:
+        return s.encode("utf-8").decode("cp1252", errors="replace").replace(
+            "�", ""
+        )
+
+    assert dbl("Café cliché") == "CafÃ© clichÃ©"
+    rows = [
+        (0, "clean text with accents: café naïve Århus âge"),
+        (1, dbl("Café cliché")),
+        (2, dbl("it’s “quoted”")),
+        (3, "lossy � decode �"),
+        (4, ""),
+    ]
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in mojibake_score(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    # legit accents and Nordic/French letters never fire
+    assert got[0]["n_double_encoded"] == 0 and got[0]["mojibake_ppm"] == 0
+    assert got[1]["n_double_encoded"] == 2
+    assert got[2]["n_double_encoded"] == 3   # ' " and the C1-tail "
+    assert got[3]["n_replacement"] == 2 and got[3]["n_double_encoded"] == 0
+    # empty text: ppm degrades to 0, never NULL / divide-by-zero
+    assert got[4]["n_chars"] == 0 and got[4]["mojibake_ppm"] == 0
+    assert got[1]["mojibake_ppm"] == 2 * 1000000 // got[1]["n_chars"]
+
+
+def test_mojibake_regex_portable_to_re2(spark):
+    """The signature classes must compile identically under RE2 (the
+    DuckDB oracle's engine): literal codepoints only, no Java-isms."""
+    import duckdb
+
+    from html_parser_spark.ops.encoding import MOJIBAKE_RE
+
+    probe = "Café it’s ok".encode("utf-8").decode("latin-1")
+    n = duckdb.sql(
+        f"SELECT len(regexp_extract_all('{probe}', '{MOJIBAKE_RE}'))"
+    ).fetchone()[0]
+    # 'Ã©' from é, then 'â'+U+0080 from ’ (non-overlapping: the third
+    # byte U+0099 has no lead char left to pair with)
+    assert n == 2

@@ -1010,6 +1010,49 @@ def main():
         )
     )
 
+    p = plan_of(entrymod.q_dist_drift(spark, sf_dir))
+    checks.append(
+        (
+            "q_dist_drift — snapshot drift: TWO partial-agg groupBys (each "
+            "exchange bounded by |buckets| after map-side combine), a "
+            "full-outer join on the tiny bucket frame, and the 1-row "
+            "broadcast-totals crossJoin; zero Python, no corpus-sized join, "
+            "no window",
+            p,
+            ["HashAggregate"],
+            ["ArrowEvalPython", "BatchEvalPython", "CartesianProduct",
+             "Window"],
+        )
+    )
+
+    p = plan_of(entrymod.q_freq_spectrum(spark, sf_dir))
+    checks.append(
+        (
+            "q_freq_spectrum — frequency-of-frequencies: ONE corpus-sized "
+            "partial-agg groupBy(tok) (bounded by distinct shingles), then a "
+            "≤8-row spectrum groupBy and the 1-row broadcast-totals "
+            "crossJoin; shingling is a pure codegen array projection; zero "
+            "Python, no window",
+            p,
+            ["HashAggregate", "BroadcastNestedLoopJoin"],
+            ["ArrowEvalPython", "BatchEvalPython", "CartesianProduct",
+             "Window"],
+        )
+    )
+
+    p = plan_of(entrymod.q_mojibake(spark, sf_dir))
+    checks.append(
+        (
+            "q_mojibake — encoding-damage score: ONE whole-stage-codegen "
+            "projection (two regexp_counts + length + IntegralDivide) fused "
+            "into the scan; zero shuffle, zero Python, no join, no window",
+            p,
+            ["Project"],
+            ["ArrowEvalPython", "BatchEvalPython", "Exchange", "Join",
+             "Window", "HashAggregate"],
+        )
+    )
+
     failures = []
     out = ["# Physical-plan audit (generated by tools/plan_audit.py)\n"]
     out.append(
