@@ -444,3 +444,83 @@ def test_materialize_sequences_reconstructs_stream(spark):
     for sid, n, text in seqs[:-1]:
         assert n == L and len(text.split()) == L
     assert seqs[-1][1] == len(expect_stream) - (len(seqs) - 1) * L
+
+
+# ---------------------------------------------------------------------------
+# round-5: adversarial battery for the NB quality gate (verdict item 8) —
+# hard-negative fixtures with pinned precision/recall floors, the way the
+# soft-404 battery pins its families.
+# ---------------------------------------------------------------------------
+def test_nb_classifier_hard_negative_battery(spark):
+    import hashlib
+
+    from html_parser_spark.ops.classify import (
+        hashed_features,
+        nb_vote_score,
+        train_nb_votes,
+    )
+
+    GOOD = (
+        "analysis evidence method results study conclusion dataset model "
+        "hypothesis measurement"
+    ).split()
+    SPAM = "casino bonus win free click cheap pills offer lottery prize".split()
+    BOILER = (
+        "home about contact login menu search privacy terms cookie "
+        "subscribe sidebar footer"
+    ).split()
+
+    # fixture sanity: the three vocabularies are collision-free under the
+    # production bucketing (16-bit md5 prefix mod 4096), so a bucket merge
+    # can never silently launder a spam token into a good vote
+    def bkt(tok):
+        return int(hashlib.md5(("feat" + tok).encode()).hexdigest()[:4], 16) % 4096
+
+    buckets = [bkt(w) for w in GOOD + SPAM + BOILER]
+    assert len(set(buckets)) == len(buckets)
+
+    def doc(words, i, n):
+        return " ".join(words[(i + j) % len(words)] for j in range(n))
+
+    # training: boilerplate appears with IDENTICAL counts in both classes,
+    # so its buckets tie to vote 0 — the gate must learn that nav chrome
+    # carries no class signal
+    train = []
+    for i in range(30):
+        train.append((i, doc(GOOD, i, 24) + " " + doc(BOILER, i, 6), 1))
+        train.append((100 + i, doc(SPAM, i, 24) + " " + doc(BOILER, i, 6), 0))
+    tdf = spark.createDataFrame(train, "doc_id long, text string, label int")
+    votes = train_nb_votes(hashed_features(tdf), tdf.select("doc_id", "label"))
+
+    boiler_votes = {
+        r["bucket"]: r["vote"]
+        for r in votes.where(F.col("bucket").isin([bkt(w) for w in BOILER])).collect()
+    }
+    assert set(boiler_votes.values()) == {0}
+
+    # adversarial eval: (a) boilerplate-heavy GOOD pages (83% nav chrome),
+    # (b) short legit landing pages (3 tokens), (c) spam sprinkled with
+    # good words — the three families that break naive keyword gates
+    hard = []
+    for i in range(10):
+        hard.append((1000 + i, doc(BOILER, i, 25) + " " + doc(GOOD, i, 5), 1))
+    for i in range(10):
+        hard.append((2000 + i, doc(GOOD, i, 3), 1))
+    for i in range(10):
+        hard.append((3000 + i, doc(SPAM, i, 20) + " " + doc(GOOD, i, 4), 0))
+    edf = spark.createDataFrame(hard, "doc_id long, text string, label int")
+    pred = {
+        r["doc_id"]: r["pred"]
+        for r in nb_vote_score(hashed_features(edf), votes).collect()
+    }
+    truth = {d: y for d, _, y in hard}
+
+    tp = sum(1 for d in truth if truth[d] == 1 and pred[d] == 1)
+    fp = sum(1 for d in truth if truth[d] == 0 and pred[d] == 1)
+    fn = sum(1 for d in truth if truth[d] == 1 and pred[d] == 0)
+    precision = tp / (tp + fp) if tp + fp else 0.0
+    recall = tp / (tp + fn) if tp + fn else 0.0
+    # pinned floors: this battery is deterministic (collision-free vocab,
+    # tied boilerplate) so the gate must be EXACT on it
+    assert precision == 1.0
+    assert recall == 1.0
