@@ -3121,6 +3121,22 @@ def q_mojibake(spark, sf_dir):
     return mojibake_score(docs)
 
 
+def q_shard_manifest(spark, sf_dir):
+    """Release-integrity manifest (ops/corpus.shard_manifest): per-shard
+    row counts, char totals, and the two order-insensitive content
+    digests (bit_xor + DECIMAL-summed mod 2^61-1) a data release ships
+    for shard-for-shard reproducibility checks.  Shards carved
+    deterministically by doc_id mod 7.  ONE partial-agg groupBy(shard)
+    — the exchange carries ≤7 rows after map-side combine; zero Python,
+    no join, no window."""
+    from html_parser_spark.ops.corpus import shard_manifest
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", (F.col("doc_id") % 7).alias("shard"), "text"
+    )
+    return shard_manifest(docs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-query CORRECTNESS window rotates coverage.
 
@@ -3143,16 +3159,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
          profile, label-propagation communities, DSIR selection) — this
          is the FINAL round, so their only chance at a driver row is
          this window;
-      4. the 7 sketch/diagnostic ops added in the final continuation
+      4. the 8 sketch/diagnostic ops added in the final continuation
          sessions (HLL distinct, count-min heavy hitters, deterministic
          corpus shuffle, vocab-growth curve, distribution drift,
-         frequency spectrum, mojibake score) — never driver-exposed, so
-         they take window slots;
-      5. 17 round-3-green veterans, the longest-unexposed cohort, in
+         frequency spectrum, mojibake score, shard manifest) — never
+         driver-exposed, so they take window slots;
+      5. 16 round-3-green veterans, the longest-unexposed cohort, in
          their registry order (q_simhash / q_lsh_buckets /
          q_event_windows / q_sessionize / q_asof_join / q_range_join /
-         q_extract_text were displaced past the window by item 4; all
-         seven hold driver-green round-3 rows).
+         q_extract_text / q_ivf_topk were displaced past the window by
+         item 4; all eight hold driver-green round-3 rows).
 
     Everything past position 50 carries a driver-green row from round 3
     (the 14 remaining veterans) or round 4 (all 47 round-4-green rows) and
@@ -3199,6 +3215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dist_drift": q_dist_drift,
         "q_freq_spectrum": q_freq_spectrum,
         "q_mojibake": q_mojibake,
+        "q_shard_manifest": q_shard_manifest,
         # -- longest-unexposed veterans (driver-green in round 3, pushed
         #    past the window by the round-4 additions) --
         "q_filter_project": q_filter_project,
@@ -3217,9 +3234,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_near_dup_pairs": q_near_dup_pairs,
         "q_dup_clusters": q_dup_clusters,
         "q_cosine_topk": q_cosine_topk,
-        "q_ivf_topk": q_ivf_topk,
         # ---------------- driver window ends here (position 50) ---------
         # (displaced by the sketch/diagnostic ops; driver-green in round 3)
+        "q_ivf_topk": q_ivf_topk,
         "q_simhash": q_simhash,
         "q_lsh_buckets": q_lsh_buckets,
         "q_event_windows": q_event_windows,
@@ -5243,6 +5260,25 @@ def oracle_sql() -> dict[str, str]:
                      ((n_double_encoded + n_replacement) * 1000000)
                        // nullif(n_chars, 0), 0) AS BIGINT) AS mojibake_ppm
             FROM c
+        """,
+        "q_shard_manifest": """
+            -- identical per-doc 60-bit md5 hash (Spark conv(..,16,10) ≡
+            -- '0x' CAST), bit_xor and HUGEINT-summed mod 2^61-1 digests
+            WITH d AS (
+              SELECT doc_id % 7 AS shard,
+                     CAST(length(text) AS BIGINT) AS n,
+                     CAST('0x' || substring(
+                       md5(CAST(doc_id AS VARCHAR) || chr(31) || text),
+                       1, 15) AS BIGINT) AS h
+              FROM documents
+            )
+            SELECT CAST(shard AS BIGINT) AS shard,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n) AS BIGINT) AS n_chars,
+                   CAST(bit_xor(h) AS BIGINT) AS xor_digest,
+                   CAST(sum(h) % 2305843009213693951 AS BIGINT)
+                     AS sum_digest
+            FROM d GROUP BY shard
         """,
         "q_corpus_shuffle": """
             -- identical md5 shuffle key, shard mod, and within-shard

@@ -1234,3 +1234,68 @@ def freq_spectrum(
             F.expr("(freq * n_types * 1000000) div _tokens"), F.lit(0)
         ).cast("long").alias("tokens_ppm"),
     )
+
+
+def shard_manifest(
+    docs: DataFrame,
+    shard_col: str = "shard",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-shard release-integrity manifest — the reproducibility ledger a
+    data release ships next to its training shards: row counts, char
+    totals, and two ORDER-INSENSITIVE content digests per shard, so a
+    consumer (or a re-run of the pipeline) can verify shard-for-shard that
+    the content is identical without re-reading both corpora side by side.
+
+    Per-doc hash ``h = int(md5(doc_id ‖ 0x1f ‖ text)[:15 hex])`` — 60 bits,
+    always positive, and portable (Spark ``conv(…,16,10)`` ≡ DuckDB
+    ``CAST('0x'||… AS BIGINT)``).  Two digests because each covers the
+    other's blind spot: ``xor_digest`` (bit_xor of h) is immune to
+    overflow but blind to duplicated PAIRS (x⊕x=0); ``sum_digest``
+    (Σh mod 2⁶¹−1, summed in DECIMAL(38,0) so ANSI overflow can never
+    fire, reduced once AFTER the aggregate) catches exactly those.  Both
+    are commutative+associative, hence bit-identical across partitionings,
+    shuffle orders, and engines.
+
+    Scale shape: ONE partial-agg groupBy(shard) — the exchange carries
+    ≤ |shards| rows after map-side combine; zero Python, no join, no
+    window.  At 10^12 rows this is a single scan.
+    """
+    _MOD = 2305843009213693951  # 2^61 - 1
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "\x1f", F.col(id_col).cast("string"), F.col(text_col)
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    per = docs.select(
+        F.col(shard_col).alias("shard"),
+        F.length(text_col).cast("long").alias("_n"),
+        h.alias("_h"),
+    )
+    return (
+        per.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_n").cast("long").alias("n_chars"),
+            F.expr("bit_xor(_h)").cast("long").alias("xor_digest"),
+            F.sum(F.col("_h").cast("decimal(38,0)")).alias("_sum"),
+        )
+        .select(
+            "shard",
+            "n_docs",
+            "n_chars",
+            "xor_digest",
+            (F.col("_sum") % F.lit(_MOD).cast("decimal(38,0)"))
+            .cast("long")
+            .alias("sum_digest"),
+        )
+    )

@@ -682,3 +682,55 @@ def test_freq_spectrum_partition_independent(spark):
     one = sorted(map(tuple, freq_spectrum(docs, max_freq=8).collect()))
     many = sorted(map(tuple, freq_spectrum(docs.repartition(17), max_freq=8).collect()))
     assert one == many
+
+
+# ---------------------------------------------------------------------------
+# shard manifest — release-integrity digests (ops/corpus.shard_manifest)
+# ---------------------------------------------------------------------------
+def _manifest_h(doc_id, text):
+    import hashlib
+
+    m = hashlib.md5(f"{doc_id}\x1f{text}".encode()).hexdigest()
+    return int(m[:15], 16)
+
+
+def test_shard_manifest_hand_computed(spark):
+    from html_parser_spark.ops.corpus import shard_manifest
+
+    rows = [(0, 0, "alpha"), (1, 0, "beta"), (2, 1, "gamma")]
+    got = {
+        r["shard"]: r.asDict()
+        for r in shard_manifest(
+            spark.createDataFrame(rows, "doc_id long, shard int, text string")
+        ).collect()
+    }
+    MOD = 2305843009213693951
+    h0, h1, h2 = (_manifest_h(i, t) for i, _, t in rows)
+    assert got[0]["n_docs"] == 2 and got[0]["n_chars"] == 9
+    assert got[0]["xor_digest"] == h0 ^ h1
+    assert got[0]["sum_digest"] == (h0 + h1) % MOD
+    assert got[1]["xor_digest"] == h2 and got[1]["sum_digest"] == h2 % MOD
+
+
+def test_shard_manifest_partition_independent_and_dup_sensitive(spark):
+    from html_parser_spark.ops.corpus import shard_manifest
+
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7).cast("int").alias("shard"),
+        F.concat(F.lit("text-"), F.col("id").cast("string")).alias("text"),
+    )
+    one = sorted(map(tuple, shard_manifest(docs).collect()))
+    many = sorted(map(tuple, shard_manifest(docs.repartition(19)).collect()))
+    assert one == many
+
+    # a duplicated PAIR of rows is invisible to xor (x^x=0) but must move
+    # the sum digest — the reason the manifest carries both
+    dup = docs.union(docs.where(F.col("doc_id") == 3))\
+              .union(docs.where(F.col("doc_id") == 3))
+    base = {r["shard"]: r.asDict() for r in shard_manifest(docs).collect()}
+    dupd = {r["shard"]: r.asDict() for r in shard_manifest(dup).collect()}
+    s = 3 % 7
+    assert dupd[s]["xor_digest"] == base[s]["xor_digest"]
+    assert dupd[s]["sum_digest"] != base[s]["sum_digest"]
+    assert dupd[s]["n_docs"] == base[s]["n_docs"] + 2

@@ -1053,6 +1053,21 @@ def main():
         )
     )
 
+    p = plan_of(entrymod.q_shard_manifest(spark, sf_dir))
+    checks.append(
+        (
+            "q_shard_manifest — release-integrity manifest: ONE partial-agg "
+            "groupBy(shard) whose exchange carries ≤|shards| rows after "
+            "map-side combine (count/sum/bit_xor all combine); digests are "
+            "order-insensitive so the result is partition-independent; zero "
+            "Python, no join, no window",
+            p,
+            ["HashAggregate"],
+            ["ArrowEvalPython", "BatchEvalPython", "Join", "Window",
+             "CartesianProduct"],
+        )
+    )
+
     failures = []
     out = ["# Physical-plan audit (generated by tools/plan_audit.py)\n"]
     out.append(
