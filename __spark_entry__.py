@@ -3137,6 +3137,28 @@ def q_shard_manifest(spark, sf_dir):
     return shard_manifest(docs)
 
 
+def q_token_prf(spark, sf_dir):
+    """Extraction-QA metric (ops/text.token_prf): per-doc token-multiset
+    precision/recall/F1 (exact multiset-Dice, ppm IntegralDivide)
+    between a deterministically perturbed extraction and the reference
+    text — drops tokens whose md5 starts with '0' (content-keyed, no
+    positional lambda so both engines replay it) and appends a noise
+    token for doc_id%3==0.  Two explode→partial-agg groupBys, ONE
+    (doc, tok) equi-join, ONE groupBy(doc) fold; no window, no Python."""
+    from html_parser_spark.ops.text import token_prf
+
+    pairs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(
+            r"concat(array_join(filter(filter(split(lower(text), '\\s+'),"
+            r" x -> length(x) > 0), x -> substring(md5(x), 1, 1) != '0'),"
+            r" ' '), CASE WHEN doc_id % 3 = 0 THEN ' zzz-noise' ELSE '' END)"
+        ).alias("got_text"),
+        F.col("text").alias("ref_text"),
+    )
+    return token_prf(pairs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-query CORRECTNESS window rotates coverage.
 
@@ -3159,16 +3181,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
          profile, label-propagation communities, DSIR selection) — this
          is the FINAL round, so their only chance at a driver row is
          this window;
-      4. the 8 sketch/diagnostic ops added in the final continuation
+      4. the 9 sketch/diagnostic ops added in the final continuation
          sessions (HLL distinct, count-min heavy hitters, deterministic
          corpus shuffle, vocab-growth curve, distribution drift,
-         frequency spectrum, mojibake score, shard manifest) — never
-         driver-exposed, so they take window slots;
-      5. 16 round-3-green veterans, the longest-unexposed cohort, in
+         frequency spectrum, mojibake score, shard manifest, token
+         P/R/F1) — never driver-exposed, so they take window slots;
+      5. 15 round-3-green veterans, the longest-unexposed cohort, in
          their registry order (q_simhash / q_lsh_buckets /
          q_event_windows / q_sessionize / q_asof_join / q_range_join /
-         q_extract_text / q_ivf_topk were displaced past the window by
-         item 4; all eight hold driver-green round-3 rows).
+         q_extract_text / q_ivf_topk / q_cosine_topk were displaced past
+         the window by item 4; all nine hold driver-green round-3 rows).
 
     Everything past position 50 carries a driver-green row from round 3
     (the 14 remaining veterans) or round 4 (all 47 round-4-green rows) and
@@ -3216,6 +3238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_freq_spectrum": q_freq_spectrum,
         "q_mojibake": q_mojibake,
         "q_shard_manifest": q_shard_manifest,
+        "q_token_prf": q_token_prf,
         # -- longest-unexposed veterans (driver-green in round 3, pushed
         #    past the window by the round-4 additions) --
         "q_filter_project": q_filter_project,
@@ -3233,9 +3256,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_sig": q_minhash_sig,
         "q_near_dup_pairs": q_near_dup_pairs,
         "q_dup_clusters": q_dup_clusters,
-        "q_cosine_topk": q_cosine_topk,
         # ---------------- driver window ends here (position 50) ---------
         # (displaced by the sketch/diagnostic ops; driver-green in round 3)
+        "q_cosine_topk": q_cosine_topk,
         "q_ivf_topk": q_ivf_topk,
         "q_simhash": q_simhash,
         "q_lsh_buckets": q_lsh_buckets,
@@ -5260,6 +5283,56 @@ def oracle_sql() -> dict[str, str]:
                      ((n_double_encoded + n_replacement) * 1000000)
                        // nullif(n_chars, 0), 0) AS BIGINT) AS mojibake_ppm
             FROM c
+        """,
+        "q_token_prf": """
+            -- identical content-keyed perturbation (md5-prefix token drop
+            -- + noise token), multiset-min overlap, and ppm divisions
+            WITH p AS (
+              SELECT doc_id,
+                     array_to_string(list_filter(list_filter(
+                       regexp_split_to_array(lower(text), '\\s+'),
+                       x -> len(x) > 0),
+                       x -> substring(md5(x), 1, 1) <> '0'), ' ')
+                     || (CASE WHEN doc_id % 3 = 0
+                              THEN ' zzz-noise' ELSE '' END) AS got_text,
+                     text AS ref_text
+              FROM documents
+            ), gt AS (
+              SELECT doc_id, tok, count(*) AS c_got FROM (
+                SELECT doc_id, unnest(list_filter(
+                  regexp_split_to_array(lower(got_text), '\\s+'),
+                  x -> len(x) > 0)) AS tok FROM p)
+              GROUP BY doc_id, tok
+            ), rt AS (
+              SELECT doc_id, tok, count(*) AS c_ref FROM (
+                SELECT doc_id, unnest(list_filter(
+                  regexp_split_to_array(lower(ref_text), '\\s+'),
+                  x -> len(x) > 0)) AS tok FROM p)
+              GROUP BY doc_id, tok
+            ), j AS (
+              SELECT coalesce(gt.doc_id, rt.doc_id) AS doc_id,
+                     coalesce(gt.c_got, 0) AS c_got,
+                     coalesce(rt.c_ref, 0) AS c_ref
+              FROM gt FULL OUTER JOIN rt
+                ON gt.doc_id = rt.doc_id AND gt.tok = rt.tok
+            ), f AS (
+              SELECT doc_id, sum(c_got) AS n_got, sum(c_ref) AS n_ref,
+                     sum(least(c_got, c_ref)) AS overlap
+              FROM j GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(f.n_got, 0) AS BIGINT) AS n_got,
+                   CAST(coalesce(f.n_ref, 0) AS BIGINT) AS n_ref,
+                   CAST(coalesce(f.overlap, 0) AS BIGINT) AS overlap,
+                   CAST(coalesce((f.overlap * 1000000)
+                     // nullif(f.n_got, 0), 0) AS BIGINT) AS precision_ppm,
+                   CAST(coalesce((f.overlap * 1000000)
+                     // nullif(f.n_ref, 0), 0) AS BIGINT) AS recall_ppm,
+                   CAST(coalesce((2 * f.overlap * 1000000)
+                     // nullif(f.n_got + f.n_ref, 0), 0) AS BIGINT)
+                     AS f1_ppm
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            LEFT JOIN f ON d.doc_id = f.doc_id
         """,
         "q_shard_manifest": """
             -- identical per-doc 60-bit md5 hash (Spark conv(..,16,10) ≡

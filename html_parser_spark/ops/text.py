@@ -685,3 +685,94 @@ def readability_profile(
         .cast("long")
         .alias("fk_x100"),
     )
+
+
+def token_prf(
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    got_col: str = "got_text",
+    ref_col: str = "ref_text",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Token-multiset precision/recall/F1 between an extracted text and a
+    reference text, per document — the extraction-QA metric a 100 TB
+    pipeline runs whenever the kernel changes: the contract is
+    byte-identical text per url on the golden fixtures, but against a
+    labeled VALIDATION sample (human-cleaned pages, a trafilatura-style
+    second opinion, last month's output) you want the drift QUANTIFIED,
+    not just flagged — which pages lost content (recall), which gained
+    boilerplate (precision), and how much.
+
+    Tokenization matches the corpus diagnostics (lowercase, ``\\s+``
+    split, drop empties).  ``overlap = Σ_tok min(c_got, c_ref)`` (true
+    multiset intersection — repeated tokens must match per-occurrence,
+    so a page that duplicates a paragraph cannot hide behind set
+    semantics); ``precision_ppm = overlap·scale div n_got``,
+    ``recall_ppm = overlap·scale div n_ref``, ``f1_ppm = 2·overlap·scale
+    div (n_got + n_ref)`` (the exact multiset-Dice identity — no float
+    harmonic mean).  Empty sides degrade to 0-ppm, never NULL or a
+    divide-by-zero.  All BIGINT IntegralDivide over non-negative
+    operands: bit-identical across engines, partitionings, and shuffle
+    orders.
+
+    Scale shape: two explode → partial-agg groupBy(doc, tok) counts, ONE
+    equi-join on (doc, tok) (both sides pre-aggregated, uniform md5-free
+    keys co-partition), ONE groupBy(doc) fold.  No window, no Python, no
+    corpus-sized broadcast; every shuffle is keyed by doc_id(+tok), so
+    skew is bounded by the longest single document.
+    """
+
+    def counts(col: str, out: str) -> DataFrame:
+        return (
+            pairs.select(
+                F.col(id_col).alias("doc_id"),
+                F.explode(
+                    F.split(F.lower(F.col(col)), r"\s+")
+                ).alias("tok"),
+            )
+            .filter(F.length("tok") > 0)
+            .groupBy("doc_id", "tok")
+            .agg(F.count(F.lit(1)).cast("long").alias(out))
+        )
+
+    g = counts(got_col, "c_got")
+    r = counts(ref_col, "c_ref")
+    per_tok = g.join(r, ["doc_id", "tok"], "full_outer").select(
+        "doc_id",
+        F.coalesce("c_got", F.lit(0)).alias("c_got"),
+        F.coalesce("c_ref", F.lit(0)).alias("c_ref"),
+    )
+    folded = per_tok.groupBy("doc_id").agg(
+        F.sum("c_got").cast("long").alias("n_got"),
+        F.sum("c_ref").cast("long").alias("n_ref"),
+        F.sum(F.least("c_got", "c_ref")).cast("long").alias("overlap"),
+    )
+    # docs whose BOTH texts tokenize to nothing never reach the join —
+    # re-attach them so the metric covers every input row
+    base = pairs.select(F.col(id_col).alias("doc_id")).distinct()
+    s = int(scale)
+    return (
+        base.join(folded, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_got", F.lit(0)).cast("long").alias("n_got"),
+            F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),
+            F.coalesce("overlap", F.lit(0)).cast("long").alias("overlap"),
+        )
+        .select(
+            "doc_id",
+            "n_got",
+            "n_ref",
+            "overlap",
+            F.coalesce(
+                F.expr(f"(overlap * {s}) div nullif(n_got, 0)"), F.lit(0)
+            ).cast("long").alias("precision_ppm"),
+            F.coalesce(
+                F.expr(f"(overlap * {s}) div nullif(n_ref, 0)"), F.lit(0)
+            ).cast("long").alias("recall_ppm"),
+            F.coalesce(
+                F.expr(f"(2 * overlap * {s}) div nullif(n_got + n_ref, 0)"),
+                F.lit(0),
+            ).cast("long").alias("f1_ppm"),
+        )
+    )

@@ -734,3 +734,58 @@ def test_shard_manifest_partition_independent_and_dup_sensitive(spark):
     assert dupd[s]["xor_digest"] == base[s]["xor_digest"]
     assert dupd[s]["sum_digest"] != base[s]["sum_digest"]
     assert dupd[s]["n_docs"] == base[s]["n_docs"] + 2
+
+
+# ---------------------------------------------------------------------------
+# token-multiset P/R/F1 — the extraction-QA metric (ops/text.token_prf)
+# ---------------------------------------------------------------------------
+def test_token_prf_hand_computed(spark):
+    from html_parser_spark.ops.text import token_prf
+
+    rows = [
+        # got = ref → perfect
+        (0, "a b b c", "a b b c"),
+        # got lost one 'b' (recall hit) and gained 'x' (precision hit):
+        # got = {a,b,x}, ref = {a,b,b}; overlap = min-counts = a:1 b:1 = 2
+        (1, "a b x", "a b b"),
+        # duplicated paragraph must NOT hide behind set semantics:
+        # got doubles every token; overlap stays at ref's counts
+        (2, "a a b b", "a b"),
+        # one side empty / both sides empty: 0-ppm, never NULL
+        (3, "", "a b"),
+        (4, "", ""),
+    ]
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in token_prf(
+            spark.createDataFrame(rows, "doc_id long, got_text string, ref_text string")
+        ).collect()
+    }
+    assert got[0]["precision_ppm"] == got[0]["recall_ppm"] == got[0]["f1_ppm"] == 1000000
+    assert got[1]["overlap"] == 2
+    assert got[1]["precision_ppm"] == 2 * 1000000 // 3
+    assert got[1]["recall_ppm"] == 2 * 1000000 // 3
+    assert got[1]["f1_ppm"] == 4 * 1000000 // 6
+    assert got[2]["overlap"] == 2 and got[2]["precision_ppm"] == 500000
+    assert got[2]["recall_ppm"] == 1000000
+    assert got[3]["n_got"] == 0 and got[3]["precision_ppm"] == 0
+    assert got[3]["recall_ppm"] == 0 and got[3]["f1_ppm"] == 0
+    assert got[4] == {
+        "doc_id": 4, "n_got": 0, "n_ref": 0, "overlap": 0,
+        "precision_ppm": 0, "recall_ppm": 0, "f1_ppm": 0,
+    }
+
+
+def test_token_prf_partition_independent(spark):
+    from html_parser_spark.ops.text import token_prf
+
+    pairs = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("w"), (F.col("id") % 11).cast("string"),
+                 F.lit(" common common")).alias("got_text"),
+        F.concat(F.lit("w"), (F.col("id") % 7).cast("string"),
+                 F.lit(" common")).alias("ref_text"),
+    )
+    one = sorted(map(tuple, token_prf(pairs).collect()))
+    many = sorted(map(tuple, token_prf(pairs.repartition(23)).collect()))
+    assert one == many

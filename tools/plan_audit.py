@@ -1068,6 +1068,21 @@ def main():
         )
     )
 
+    p = plan_of(entrymod.q_token_prf(spark, sf_dir))
+    checks.append(
+        (
+            "q_token_prf — extraction-QA P/R/F1: two explode→partial-agg "
+            "groupBy(doc, tok) counts, ONE (doc, tok) equi-join (both sides "
+            "pre-aggregated), ONE groupBy(doc) fold; every shuffle keyed by "
+            "doc_id(+tok) so skew is bounded by the longest document; zero "
+            "Python, no window, no cartesian product",
+            p,
+            ["HashAggregate"],
+            ["ArrowEvalPython", "BatchEvalPython", "Window",
+             "CartesianProduct"],
+        )
+    )
+
     failures = []
     out = ["# Physical-plan audit (generated by tools/plan_audit.py)\n"]
     out.append(
