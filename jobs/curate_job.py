@@ -192,6 +192,11 @@ def main(argv=None):
                     help="comma-separated hosts to drop (--from-extract only)")
     ap.add_argument("--chunk-tokens", type=int, default=0,
                     help="also write fixed-size token chunks (0 = skip)")
+    ap.add_argument("--mojibake-max-ppm", type=int, default=0,
+                    help="drop docs whose encoding-damage score (double-"
+                         "encoded UTF-8 signatures + U+FFFD, ppm of chars "
+                         "— ops/encoding.mojibake_score) exceeds this "
+                         "(0 = off)")
     ap.add_argument("--c4-lines", action="store_true",
                     help="apply C4 line-level cleaning (terminal punct, "
                          ">=3 words, no javascript; drop lorem-ipsum/"
@@ -302,6 +307,21 @@ def main(argv=None):
             F.col("extracted_text").alias("text"),
             "lang",
         )
+    n_before_mojibake = None
+    if args.mojibake_max_ppm > 0:
+        # encoding-damage gate FIRST: a page whose text is already
+        # mojibake poisons every downstream token-level gate, so it
+        # drops before the quality battery ever reads it (one codegen
+        # projection + a left-semi join on doc_id)
+        from html_parser_spark.ops.encoding import mojibake_score
+
+        n_before_mojibake = docs.count()
+        clean_ids = (
+            mojibake_score(docs)
+            .where(F.col("mojibake_ppm") <= args.mojibake_max_ppm)
+            .select("doc_id")
+        )
+        docs = docs.join(clean_ids, "doc_id", "left_semi")
     n_before_c4 = None
     if args.c4_lines:
         # C4 line-level cleaning BEFORE the doc-level gates: lines that
@@ -453,6 +473,8 @@ def main(argv=None):
     print(json.dumps({
         "job": "curate",
         **({"captures_in": n_captures} if n_captures is not None else {}),
+        **({"before_mojibake": n_before_mojibake}
+           if n_before_mojibake is not None else {}),
         **({"before_c4_lines": n_before_c4} if n_before_c4 is not None else {}),
         **funnel,
         "splits": splits,

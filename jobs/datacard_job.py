@@ -12,7 +12,14 @@ Reads any parquet with (doc_id, text, lang[, split]) — e.g. the
   chars, bytes), per-(split, lang) rows with doc/token/char counts and
   corpus share, and token-length percentiles (p50/p90/p99) per split;
 * ``card_rows/`` parquet — the same per-(split, lang) rows as a table,
-  so the card is queryable, not just printable.
+  so the card is queryable, not just printable;
+* with ``--manifest-shards N``: ``manifest/`` — per-shard row counts +
+  order-insensitive content digests (ops/corpus.shard_manifest), the
+  shard-for-shard reproducibility ledger a release ships;
+* with ``--compare <old docs>``: ``drift/`` — per-lang share delta vs
+  the previous release (ops/corpus.distribution_drift) plus the integer
+  total-variation distance in the summary line — the month-over-month
+  crawl-mix alarm.
 
 Scale shape: ONE partial-agg groupBy(split, lang) for the counts and ONE
 ``percentile_approx`` aggregate per split for the length quantiles
@@ -134,7 +141,20 @@ def main(argv=None):
     ap.add_argument("--docs", required=True,
                     help="parquet dir with (doc_id, text, lang[, split])")
     ap.add_argument("--output", required=True)
+    ap.add_argument("--manifest-shards", type=int, default=0,
+                    help="also write manifest/ — per-shard row counts + "
+                         "order-insensitive content digests for release "
+                         "integrity (ops/corpus.shard_manifest); shards "
+                         "are keyed by md5(doc_id) mod N unless the input "
+                         "already carries a 'shard' column (0 = off)")
+    ap.add_argument("--compare", default=None,
+                    help="previous release's docs parquet: also write "
+                         "drift/ (per-lang share delta vs this release, "
+                         "ops/corpus.distribution_drift) and report the "
+                         "total-variation distance in the summary line")
     args = ap.parse_args(argv)
+
+    from pyspark.sql import functions as F
 
     from html_parser_spark.spark.session import get_spark
 
@@ -145,9 +165,45 @@ def main(argv=None):
     rows.write.mode("overwrite").parquet(
         os.path.join(args.output, "card_rows")
     )
+    extras = {}
+    if args.manifest_shards > 0:
+        from html_parser_spark.ops.corpus import shard_manifest
+
+        sharded = docs
+        if "shard" not in docs.columns:
+            sharded = docs.withColumn(
+                "shard",
+                F.conv(
+                    F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+                    16,
+                    10,
+                ).cast("long")
+                % args.manifest_shards,
+            )
+        out_manifest = os.path.join(args.output, "manifest")
+        shard_manifest(sharded).write.mode("overwrite").parquet(out_manifest)
+        extras["manifest_shards"] = spark.read.parquet(out_manifest).count()
+    if args.compare:
+        from html_parser_spark.ops.corpus import distribution_drift
+
+        prev = spark.read.parquet(args.compare)
+        lang_of = lambda d: d.select(  # noqa: E731
+            F.coalesce(F.col("lang"), F.lit("und")).alias("lang")
+        )
+        drift = distribution_drift(lang_of(prev), lang_of(docs), "lang")
+        out_drift = os.path.join(args.output, "drift")
+        drift.write.mode("overwrite").parquet(out_drift)
+        tvd2 = (
+            spark.read.parquet(out_drift)
+            .agg(F.sum("delta_ppm").cast("long").alias("s"))
+            .collect()[0]["s"]
+        ) or 0
+        # TVD = Σ|Δshare|/2; delta is in ppm, so halve the integer sum —
+        # report in ppm (of 10^6) so the number stays integer-exact
+        extras["drift_tvd_ppm"] = tvd2 // 2
     with open(os.path.join(args.output, "datacard.json"), "w") as f:
-        json.dump(card, f, indent=2, sort_keys=True)
-    print(json.dumps({"job": "datacard", **card["totals"]}))
+        json.dump({**card, **extras}, f, indent=2, sort_keys=True)
+    print(json.dumps({"job": "datacard", **card["totals"], **extras}))
 
 
 if __name__ == "__main__":

@@ -497,3 +497,84 @@ def test_curate_job_lm_buckets(spark, tmp_path, capsys):
     tot_en = sum(n for (l, _), n in per.items() if l == "en")
     if tot_en >= 3:
         assert per.get(("en", "head"), 0) <= 2 * tot_en / 3 + 1
+
+
+def test_curate_job_mojibake_gate(spark, tmp_path, capsys):
+    """--mojibake-max-ppm drops encoding-damaged docs BEFORE the quality
+    battery; clean docs are untouched and the funnel reports the gate."""
+    import jobs.curate_job as cj
+
+    clean = [
+        (i, " ".join(f"w{i}{j} word{j} token{j}" for j in range(6)), "en")
+        for i in range(4)
+    ]
+    poisoned = [(99, "Ã©x â€™y " * 10 + "filler words here for length", "en")]
+    docs_dir = str(tmp_path / "docs_in")
+    spark.createDataFrame(
+        clean + poisoned, "doc_id long, text string, lang string"
+    ).write.parquet(docs_dir)
+
+    out = str(tmp_path / "curated")
+    cj.main([
+        "--docs", docs_dir,
+        "--output", out,
+        "--min-tokens", "3",
+        "--mojibake-max-ppm", "10000",
+        "--num-hashes", "4",
+        "--bands", "2",
+    ])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["before_mojibake"] == 5
+    assert stats["docs_in"] == 4          # the gate ran before the funnel
+    surv = spark.read.parquet(os.path.join(out, "docs"))
+    ids = {r["doc_id"] for r in surv.select("doc_id").collect()}
+    assert 99 not in ids and len(ids) == 4
+
+
+def test_datacard_job_manifest_and_drift(spark, tmp_path, capsys):
+    """--manifest-shards writes the release-integrity manifest (matching a
+    direct shard_manifest call), --compare writes the per-lang drift table
+    and reports the integer TVD."""
+    import jobs.datacard_job as dj
+    from pyspark.sql import functions as F
+
+    from html_parser_spark.ops.corpus import shard_manifest
+
+    new_rows = [(i, f"text number {i}", "en" if i < 8 else "de")
+                for i in range(10)]
+    old_rows = [(i, f"old text {i}", "en" if i < 5 else "de")
+                for i in range(10)]
+    new_dir, old_dir = str(tmp_path / "new"), str(tmp_path / "old")
+    spark.createDataFrame(
+        new_rows, "doc_id long, text string, lang string"
+    ).write.parquet(new_dir)
+    spark.createDataFrame(
+        old_rows, "doc_id long, text string, lang string"
+    ).write.parquet(old_dir)
+
+    out = str(tmp_path / "card")
+    dj.main(["--docs", new_dir, "--output", out,
+             "--manifest-shards", "3", "--compare", old_dir])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    manifest = spark.read.parquet(os.path.join(out, "manifest"))
+    assert stats["manifest_shards"] == manifest.count() <= 3
+    expected = shard_manifest(
+        spark.read.parquet(new_dir).withColumn(
+            "shard",
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+                   16, 10).cast("long") % 3,
+        )
+    )
+    assert sorted(map(tuple, manifest.collect())) == sorted(
+        map(tuple, expected.collect())
+    )
+
+    # old mix en/de = 50/50, new = 80/20 → TVD = 30% = 300000 ppm
+    drift = {r["bucket"]: r.asDict()
+             for r in spark.read.parquet(os.path.join(out, "drift")).collect()}
+    assert drift["en"]["delta_ppm"] == 300000
+    assert drift["de"]["delta_ppm"] == 300000
+    assert stats["drift_tvd_ppm"] == 300000
+    card = json.load(open(os.path.join(out, "datacard.json")))
+    assert card["drift_tvd_ppm"] == 300000
