@@ -3159,6 +3159,31 @@ def q_token_prf(spark, sf_dir):
     return token_prf(pairs)
 
 
+def q_exact_quantiles(spark, sf_dir):
+    """Exact type-1 per-lang token-count quantiles (ops/corpus.
+    exact_quantiles): smallest value covering q·N, cross-multiplied
+    integer test (no division) — the engine-portable percentile_approx
+    replacement.  ONE partial-agg groupBy(lang, v) histogram (exchange
+    bounded by distinct token counts), cumulative window over the
+    bounded histogram (never over documents), |qs|-row fan-out, bounded
+    min-struct groupBy."""
+    from html_parser_spark.ops.corpus import exact_quantiles
+
+    docs = _docs(spark, sf_dir).select(
+        "lang",
+        F.size(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"),
+                lambda x: F.length(x) > 0,
+            )
+        ).cast("long").alias("n_tokens"),
+    )
+    return exact_quantiles(
+        docs, "n_tokens", (250_000, 500_000, 900_000, 990_000),
+        group_col="lang",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-query CORRECTNESS window rotates coverage.
 
@@ -3181,16 +3206,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
          profile, label-propagation communities, DSIR selection) — this
          is the FINAL round, so their only chance at a driver row is
          this window;
-      4. the 9 sketch/diagnostic ops added in the final continuation
+      4. the 10 sketch/diagnostic ops added in the final continuation
          sessions (HLL distinct, count-min heavy hitters, deterministic
          corpus shuffle, vocab-growth curve, distribution drift,
          frequency spectrum, mojibake score, shard manifest, token
-         P/R/F1) — never driver-exposed, so they take window slots;
-      5. 15 round-3-green veterans, the longest-unexposed cohort, in
+         P/R/F1, exact quantiles) — never driver-exposed, so they take
+         window slots;
+      5. 14 round-3-green veterans, the longest-unexposed cohort, in
          their registry order (q_simhash / q_lsh_buckets /
          q_event_windows / q_sessionize / q_asof_join / q_range_join /
-         q_extract_text / q_ivf_topk / q_cosine_topk were displaced past
-         the window by item 4; all nine hold driver-green round-3 rows).
+         q_extract_text / q_ivf_topk / q_cosine_topk / q_dup_clusters
+         were displaced past the window by item 4; all ten hold
+         driver-green round-3 rows).
 
     Everything past position 50 carries a driver-green row from round 3
     (the 14 remaining veterans) or round 4 (all 47 round-4-green rows) and
@@ -3239,6 +3266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mojibake": q_mojibake,
         "q_shard_manifest": q_shard_manifest,
         "q_token_prf": q_token_prf,
+        "q_exact_quantiles": q_exact_quantiles,
         # -- longest-unexposed veterans (driver-green in round 3, pushed
         #    past the window by the round-4 additions) --
         "q_filter_project": q_filter_project,
@@ -3255,9 +3283,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pii_scan": q_pii_scan,
         "q_minhash_sig": q_minhash_sig,
         "q_near_dup_pairs": q_near_dup_pairs,
-        "q_dup_clusters": q_dup_clusters,
         # ---------------- driver window ends here (position 50) ---------
         # (displaced by the sketch/diagnostic ops; driver-green in round 3)
+        "q_dup_clusters": q_dup_clusters,
         "q_cosine_topk": q_cosine_topk,
         "q_ivf_topk": q_ivf_topk,
         "q_simhash": q_simhash,
@@ -5283,6 +5311,39 @@ def oracle_sql() -> dict[str, str]:
                      ((n_double_encoded + n_replacement) * 1000000)
                        // nullif(n_chars, 0), 0) AS BIGINT) AS mojibake_ppm
             FROM c
+        """,
+        "q_exact_quantiles": """
+            -- identical tokenization, histogram cumulative, and the
+            -- cross-multiplied covering test (no division anywhere)
+            WITH d AS (
+              SELECT lang,
+                     len(list_filter(
+                       regexp_split_to_array(lower(text), '\\s+'),
+                       x -> len(x) > 0)) AS v
+              FROM documents
+            ), h AS (
+              SELECT lang, v, count(*) AS n FROM d GROUP BY lang, v
+            ), c AS (
+              SELECT lang, v,
+                     sum(n) OVER (PARTITION BY lang ORDER BY v) AS n_le,
+                     sum(n) OVER (PARTITION BY lang) AS total
+              FROM h
+            ), q AS (
+              SELECT unnest([250000, 500000, 900000, 990000]) AS q_ppm
+            ), cov AS (
+              SELECT c.lang, q.q_ppm, c.v, c.n_le, c.total
+              FROM c, q
+              WHERE c.n_le * 1000000 >= q.q_ppm * c.total
+            ), best AS (
+              SELECT lang, q_ppm, min(v) AS value
+              FROM cov GROUP BY lang, q_ppm
+            )
+            SELECT b.lang,
+                   CAST(b.q_ppm AS BIGINT) AS q_ppm,
+                   CAST(b.value AS BIGINT) AS value,
+                   CAST(c.n_le AS BIGINT) AS n_le,
+                   CAST(c.total AS BIGINT) AS total
+            FROM best b JOIN c ON b.lang = c.lang AND b.value = c.v
         """,
         "q_token_prf": """
             -- identical content-keyed perturbation (md5-prefix token drop

@@ -1299,3 +1299,67 @@ def shard_manifest(
             .alias("sum_digest"),
         )
     )
+
+
+def exact_quantiles(
+    docs: DataFrame,
+    value_col: str,
+    qs_ppm: "tuple[int, ...] | list[int]" = (500_000, 900_000, 990_000),
+    group_col: str | None = None,
+) -> DataFrame:
+    """Exact type-1 (lower discrete) quantiles of an integer column, per
+    group — the engine-portable alternative to ``percentile_approx``:
+    ``value(q) = min{ v : cum_count(v) · 10⁶ ≥ q_ppm · total }``, the
+    classic "smallest value covering the rank" definition, evaluated in
+    pure integer arithmetic (cross-multiplied — no division at all), so
+    Spark, DuckDB, and a re-run on different partitioning all produce the
+    IDENTICAL value.  t-digest sketches are the right call when the value
+    domain is unbounded floats; corpus pipelines quantile bounded integer
+    measures (token counts, line lengths, scores), where the value
+    histogram is small and the exact answer is one partial-agg pass —
+    the same histogram-cumulative device as lm.perplexity_buckets /
+    classify.dsir_select.
+
+    Returns (group?, q_ppm, value, n_le, total); quantiles of an empty
+    group don't exist, so empty inputs yield no rows (never NULL).
+
+    Scale shape: ONE corpus-sized partial-agg groupBy(value) — the
+    exchange is bounded by |distinct values| per group, not by rows; the
+    cumulative window runs over that bounded histogram (never over
+    documents); the qs fan-out joins a |qs|-row broadcast literal frame;
+    the per-(group, q) min is a second bounded groupBy.
+    """
+    gcols = [group_col] if group_col else []
+    hist = docs.groupBy(*gcols, F.col(value_col).cast("long").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    w = (
+        (Window.partitionBy(group_col) if group_col else Window.partitionBy())
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot_w = (
+        Window.partitionBy(group_col) if group_col else Window.partitionBy()
+    ).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = hist.select(
+        *gcols,
+        "v",
+        F.sum("_n").over(w).cast("long").alias("n_le"),
+        F.sum("_n").over(tot_w).cast("long").alias("total"),
+    )
+    qs = sorted(int(q) for q in qs_ppm)
+    qdf = F.explode(F.array(*[F.lit(q) for q in qs])).alias("q_ppm")
+    fanned = cum.select(*gcols, "v", "n_le", "total", qdf)
+    covered = fanned.where(
+        F.col("n_le") * F.lit(1_000_000) >= F.col("q_ppm") * F.col("total")
+    )
+    best = covered.groupBy(*gcols, "q_ppm").agg(
+        F.min(F.struct("v", "n_le", "total")).alias("_s")
+    )
+    return best.select(
+        *gcols,
+        "q_ppm",
+        F.col("_s.v").alias("value"),
+        F.col("_s.n_le").alias("n_le"),
+        F.col("_s.total").alias("total"),
+    )

@@ -789,3 +789,57 @@ def test_token_prf_partition_independent(spark):
     one = sorted(map(tuple, token_prf(pairs).collect()))
     many = sorted(map(tuple, token_prf(pairs.repartition(23)).collect()))
     assert one == many
+
+
+# ---------------------------------------------------------------------------
+# exact type-1 quantiles — ops/corpus.exact_quantiles
+# ---------------------------------------------------------------------------
+def test_exact_quantiles_hand_computed(spark):
+    from html_parser_spark.ops.corpus import exact_quantiles
+
+    docs = spark.createDataFrame([(v,) for v in [1, 2, 3, 4]], "x long")
+    got = {
+        r["q_ppm"]: r.asDict()
+        for r in exact_quantiles(
+            docs, "x", (500_000, 900_000, 990_000)
+        ).collect()
+    }
+    # type-1 lower discrete: smallest v whose cum count covers q·N
+    assert got[500000]["value"] == 2 and got[500000]["n_le"] == 2
+    assert got[900000]["value"] == 4   # needs cum ≥ 3.6
+    assert got[990000]["value"] == 4
+    assert all(r["total"] == 4 for r in got.values())
+
+    # duplicates shift the histogram, not the definition
+    docs2 = spark.createDataFrame([(v,) for v in [1, 1, 1, 10]], "x long")
+    got2 = {
+        r["q_ppm"]: r["value"]
+        for r in exact_quantiles(docs2, "x", (500_000, 750_000, 760_000)).collect()
+    }
+    assert got2[500000] == 1 and got2[750000] == 1 and got2[760000] == 10
+
+
+def test_exact_quantiles_grouped_empty_and_partition_independent(spark):
+    from html_parser_spark.ops.corpus import exact_quantiles
+
+    docs = spark.createDataFrame(
+        [("a", v) for v in range(1, 101)] + [("b", 7)],
+        "g string, x long",
+    )
+    got = {
+        (r["g"], r["q_ppm"]): r["value"]
+        for r in exact_quantiles(
+            docs, "x", (500_000, 990_000), group_col="g"
+        ).collect()
+    }
+    assert got[("a", 500000)] == 50 and got[("a", 990000)] == 99
+    assert got[("b", 500000)] == 7 and got[("b", 990000)] == 7
+
+    # empty input: no rows, never NULL
+    assert exact_quantiles(docs.where(F.lit(False)), "x").count() == 0
+
+    one = sorted(map(tuple, exact_quantiles(docs, "x", group_col="g").collect()))
+    many = sorted(
+        map(tuple, exact_quantiles(docs.repartition(13), "x", group_col="g").collect())
+    )
+    assert one == many

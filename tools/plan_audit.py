@@ -1083,6 +1083,22 @@ def main():
         )
     )
 
+    p = plan_of(entrymod.q_exact_quantiles(spark, sf_dir))
+    checks.append(
+        (
+            "q_exact_quantiles — exact type-1 quantiles: ONE corpus-sized "
+            "partial-agg groupBy(lang, v) histogram (exchange bounded by "
+            "distinct values per group); the cumulative window partitions "
+            "by lang over that bounded histogram — never over documents, "
+            "never SinglePartition; |qs|-row fan-out + bounded min-struct "
+            "groupBy; zero Python",
+            p,
+            ["HashAggregate", "Window", "hashpartitioning(lang"],
+            ["ArrowEvalPython", "BatchEvalPython", "SinglePartition",
+             "CartesianProduct"],
+        )
+    )
+
     failures = []
     out = ["# Physical-plan audit (generated by tools/plan_audit.py)\n"]
     out.append(
