@@ -3184,6 +3184,102 @@ def q_exact_quantiles(spark, sf_dir):
     )
 
 
+def q_containment(spark, sf_dir):
+    """Shingle CONTAINMENT dedup (ops/dedup.containment_candidates +
+    containment_pairs) — the asymmetric complement of Jaccard resemblance
+    (Broder 1997): quote / wrapped-page / sub-document detection.  The
+    FULL scale path is oracle-checked end-to-end: inverted-shingle
+    postings, stop-shingle df cap (≤5), common≥2 candidate pairs, then
+    exact two-equi-join verification in integer basis points (no float
+    division anywhere — bit-exact across engines)."""
+    from html_parser_spark.ops.dedup import (
+        containment_candidates,
+        containment_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    cands = containment_candidates(docs, shingle_k=3, max_df=5, min_common=2)
+    return containment_pairs(
+        docs, shingle_k=3, min_containment_bp=300, candidates=cands
+    )
+
+
+def q_trustrank(spark, sf_dir, checkpoint=True):
+    """TrustRank (Gyöngyi et al., VLDB 2004) in fixed-point integer
+    arithmetic (ops/linkgraph.trustrank_fixed_point) over the shared
+    synthetic 45-host graph: teleport + dangling mass flow ONLY to the 6
+    seed hosts h0,h7,…,h35, so hosts unreachable from the seeds score
+    exactly 0 (spam demotion).  Same bit-exact integer discipline as
+    q_pagerank — the DuckDB oracle's unrolled seed-gated CTEs hash-match
+    EXACTLY."""
+    docs = _docs(spark, sf_dir)
+    from html_parser_spark.ops.linkgraph import trustrank_fixed_point
+
+    edges = _synth_host_edges(docs)
+    seeds = spark.createDataFrame(
+        [(f"h{i}",) for i in range(0, 40, 7)], ["node"]
+    )
+    return trustrank_fixed_point(
+        edges, seeds, iterations=3, checkpoint=checkpoint
+    ).select("node", F.col("rank").cast("long").alias("rank"))
+
+
+def q_dom_templates(spark, sf_dir):
+    """Template clustering (ops/web.template_clusters): md5 over the
+    ordered opening-tag sequence groups pages by CMS template regardless
+    of text content — the extraction-QA / drift-monitoring view of a
+    crawl.  Pages are synthesized with two independent structural bits
+    (og:title meta on even doc_ids, a <b> promo on doc_id%5==0) so each
+    host carries 4 template clusters; the oracle rebuilds the identical
+    html and recomputes the signature with DuckDB's own regexp+md5 — a
+    hash match is a cross-engine tag-tokenization equality proof."""
+    from html_parser_spark.ops.web import template_clusters
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    did = d.cast("string")
+    url = F.concat(
+        F.lit("http://t"), (d % 4).cast("string"), F.lit(".example.com/p"), did
+    )
+    html = F.concat(
+        F.lit("<html><head><title>"),
+        F.substring("text", 1, 30),
+        F.lit("</title>"),
+        F.when(
+            d % 2 == 0, F.lit('<meta property="og:title" content="x">')
+        ).otherwise(F.lit("")),
+        F.lit("</head><body><p>"),
+        F.substring("text", 1, 60),
+        F.lit("</p>"),
+        F.when(d % 5 == 0, F.lit("<b>promo</b>")).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    pages = docs.select(url.alias("url"), html.alias("html"))
+    return template_clusters(pages, min_pages=2)
+
+
+def q_url_templates(spark, sf_dir):
+    """URL path-template mining (ops/web.url_templates): hex runs ≥16
+    chars collapse to {hex} (content hashes), digit runs to {n} — the
+    crawler-trap / crawl-budget view of the frontier.  Urls are pure
+    functions of doc_id (a /h/<md5> branch on doc_id%3==0, an
+    /a/<n>/p<n> branch otherwise) so the oracle states the same urls and
+    applies the same two collapse regexes (both plain character classes —
+    identical under Java regex and RE2)."""
+    from html_parser_spark.ops.web import url_templates
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    did = d.cast("string")
+    path = F.when(d % 3 == 0, F.concat(F.lit("/h/"), F.md5(did))).otherwise(
+        F.concat(F.lit("/a/"), (d % 5).cast("string"), F.lit("/p"), did)
+    )
+    url = F.concat(
+        F.lit("https://u"), (d % 4).cast("string"), F.lit(".example.com"), path
+    )
+    return url_templates(docs.select(url.alias("url")), min_urls=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-query CORRECTNESS window rotates coverage.
 
@@ -3212,7 +3308,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
          frequency spectrum, mojibake score, shard manifest, token
          P/R/F1, exact quantiles) — never driver-exposed, so they take
          window slots;
-      5. 14 round-3-green veterans, the longest-unexposed cohort, in
+      4b. the 4 final-session ops (shingle-containment dedup, TrustRank,
+         DOM template clustering, URL template mining) — never
+         driver-exposed, so they take window slots;
+      5. 10 round-3-green veterans, the longest-unexposed cohort, in
          their registry order (q_simhash / q_lsh_buckets /
          q_event_windows / q_sessionize / q_asof_join / q_range_join /
          q_extract_text / q_ivf_topk / q_cosine_topk / q_dup_clusters
@@ -3267,6 +3366,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_shard_manifest": q_shard_manifest,
         "q_token_prf": q_token_prf,
         "q_exact_quantiles": q_exact_quantiles,
+        # -- final-session ops (never driver-exposed): containment dedup,
+        #    TrustRank, template clustering, URL template mining --
+        "q_containment": q_containment,
+        "q_trustrank": q_trustrank,
+        "q_dom_templates": q_dom_templates,
+        "q_url_templates": q_url_templates,
         # -- longest-unexposed veterans (driver-green in round 3, pushed
         #    past the window by the round-4 additions) --
         "q_filter_project": q_filter_project,
@@ -3279,11 +3384,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tfidf": q_tfidf,
         "q_data_split": q_data_split,
         "q_contamination": q_contamination,
+        # ---------------- driver window ends here (position 50) ---------
+        # (displaced by the final-session ops; driver-green in round 3)
         "q_chunk_plan": q_chunk_plan,
         "q_pii_scan": q_pii_scan,
         "q_minhash_sig": q_minhash_sig,
         "q_near_dup_pairs": q_near_dup_pairs,
-        # ---------------- driver window ends here (position 50) ---------
         # (displaced by the sketch/diagnostic ops; driver-green in round 3)
         "q_dup_clusters": q_dup_clusters,
         "q_cosine_topk": q_cosine_topk,
@@ -3436,6 +3542,61 @@ def _pagerank_oracle_sql(iterations: int = 3) -> str:
               + ({num} * (COALESCE(c.in_sum, 0) + d{k}.dang // nn.n)) // {den}
               AS BIGINT) AS rank
   FROM nodes n LEFT JOIN c{k} c ON c.node = n.node, nn, d{k}
+)""")
+    return "WITH " + "".join(parts) + f"\nSELECT node, rank FROM r{iterations}"
+
+
+def _trustrank_oracle_sql(iterations: int = 3) -> str:
+    """Unrolled-CTE replica of ops/linkgraph.trustrank_fixed_point over the
+    shared synthetic graph with seeds h0,h7,…,h35: the pagerank chain with
+    N replaced by the seed count m and the teleport base + dangling
+    redistribution gated to seed rows.  All-BIGINT ``//`` floor division on
+    non-negative operands — bit-exact regardless of shuffle order."""
+    S, num, den = 10**12, 85, 100
+    seed_values = ", ".join(f"('h{i}')" for i in range(0, 40, 7))
+    parts = [f"""e0 AS (
+  SELECT doc_id % 40 AS s, (doc_id * 7 + 3) % 40 AS t FROM documents
+  UNION ALL
+  SELECT doc_id % 40, (doc_id * 13 + 11) % 45 FROM documents
+), edges AS (
+  SELECT 'h' || s AS src, 'h' || t AS dst, CAST(COUNT(*) AS BIGINT) AS weight
+  FROM e0 WHERE s <> t GROUP BY 1, 2
+), nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+), seeds AS (SELECT * FROM (VALUES {seed_values}) sv(node)
+), sn AS (
+  SELECT n.node FROM nodes n JOIN seeds s ON s.node = n.node
+), mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM sn
+), flagged AS (
+  SELECT n.node,
+         CASE WHEN s.node IS NOT NULL THEN 1 ELSE 0 END AS seed
+  FROM nodes n LEFT JOIN sn s ON s.node = n.node
+), outw AS (
+  SELECT src, CAST(SUM(weight) AS BIGINT) AS w_out FROM edges GROUP BY src
+), r0 AS (
+  SELECT node, seed,
+         CAST(CASE WHEN seed = 1 THEN {S} // m ELSE 0 END AS BIGINT) AS rank
+  FROM flagged, mm
+)"""]
+    for k in range(iterations):
+        parts.append(f""", d{k} AS (
+  SELECT CAST(COALESCE(SUM(rank), 0) AS BIGINT) AS dang
+  FROM r{k} WHERE node NOT IN (SELECT src FROM outw)
+), c{k} AS (
+  SELECT e.dst AS node,
+         CAST(SUM((r.rank * e.weight) // o.w_out) AS BIGINT) AS in_sum
+  FROM edges e
+  JOIN r{k} r ON r.node = e.src
+  JOIN outw o ON o.src = e.src
+  GROUP BY e.dst
+), r{k + 1} AS (
+  SELECT f.node, f.seed,
+         CAST(CASE WHEN f.seed = 1
+                   THEN ({den - num} * {S}) // ({den} * mm.m) ELSE 0 END
+              + ({num} * (COALESCE(c.in_sum, 0)
+                          + f.seed * (d{k}.dang // mm.m))) // {den}
+              AS BIGINT) AS rank
+  FROM flagged f LEFT JOIN c{k} c ON c.node = f.node, mm, d{k}
 )""")
     return "WITH " + "".join(parts) + f"\nSELECT node, rank FROM r{iterations}"
 
@@ -5344,6 +5505,111 @@ def oracle_sql() -> dict[str, str]:
                    CAST(c.n_le AS BIGINT) AS n_le,
                    CAST(c.total AS BIGINT) AS total
             FROM best b JOIN c ON b.lang = c.lang AND b.value = c.v
+        """,
+        "q_containment": """
+            -- identical shingle postings, df≤5 stop-shingle cap, common≥2
+            -- candidate pairs, then exact intersect sizes in integer basis
+            -- points (floor division, no floats anywhere)
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                    for i in range(1, len(t) - 1)]) AS s
+              FROM toks
+            ), ex AS (
+              SELECT doc_id, unnest(s) AS g FROM sh
+            ), rare AS (
+              SELECT g FROM ex GROUP BY g HAVING COUNT(*) <= 5
+            ), exf AS (
+              SELECT e.doc_id, e.g FROM ex e JOIN rare USING (g)
+            ), cand AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM exf a JOIN exf b
+                ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2 HAVING COUNT(*) >= 2
+            ), ver AS (
+              SELECT c.doc_a, c.doc_b,
+                     CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS common,
+                     CAST(len(sa.s) AS BIGINT) AS na,
+                     CAST(len(sb.s) AS BIGINT) AS nb
+              FROM cand c
+              JOIN sh sa ON sa.doc_id = c.doc_a
+              JOIN sh sb ON sb.doc_id = c.doc_b
+            )
+            SELECT doc_a, doc_b, common,
+                   CAST(CASE WHEN na > 0 THEN (common * 10000) // na
+                        ELSE 0 END AS BIGINT) AS cont_a_in_b_bp,
+                   CAST(CASE WHEN nb > 0 THEN (common * 10000) // nb
+                        ELSE 0 END AS BIGINT) AS cont_b_in_a_bp
+            FROM ver
+            WHERE GREATEST(
+                    CASE WHEN na > 0 THEN (common * 10000) // na ELSE 0 END,
+                    CASE WHEN nb > 0 THEN (common * 10000) // nb ELSE 0 END
+                  ) >= 300
+        """,
+        "q_trustrank": _trustrank_oracle_sql(3),
+        "q_dom_templates": """
+            -- identical page synthesis, then DuckDB's own regexp+md5
+            -- recompute the structural signature: a hash match proves the
+            -- tag tokenization and signature agree across engines
+            WITH pages AS (
+              SELECT 'http://t' || (doc_id % 4) || '.example.com/p' || doc_id
+                       AS url,
+                     '<html><head><title>' || substring(text, 1, 30)
+                     || '</title>'
+                     || CASE WHEN doc_id % 2 = 0
+                             THEN '<meta property="og:title" content="x">'
+                             ELSE '' END
+                     || '</head><body><p>' || substring(text, 1, 60)
+                     || '</p>'
+                     || CASE WHEN doc_id % 5 = 0
+                             THEN '<b>promo</b>' ELSE '' END
+                     || '</body></html>' AS html
+              FROM documents
+            ), tagged AS (
+              SELECT url,
+                     regexp_extract(url, '^http://([^/]+)', 1) AS host,
+                     regexp_extract_all(lower(html),
+                                        '<([a-z][a-z0-9]*)', 1) AS tags
+              FROM pages
+            )
+            SELECT host,
+                   md5(array_to_string(tags, ',')) AS template_sig,
+                   CAST(COUNT(*) AS BIGINT) AS n_pages,
+                   CAST(MIN(len(tags)) AS BIGINT) AS n_tags,
+                   MIN(url) AS example_url
+            FROM tagged
+            GROUP BY host, template_sig
+            HAVING COUNT(*) >= 2
+        """,
+        "q_url_templates": """
+            -- identical url synthesis; the same two collapse regexes
+            -- (plain character classes — Java regex ≡ RE2) applied with
+            -- the global flag
+            WITH urls AS (
+              SELECT 'u' || (doc_id % 4) || '.example.com' AS host,
+                     CASE WHEN doc_id % 3 = 0
+                          THEN '/h/' || md5(CAST(doc_id AS VARCHAR))
+                          ELSE '/a/' || (doc_id % 5) || '/p' || doc_id
+                     END AS path
+              FROM documents
+            ), t AS (
+              SELECT host,
+                     regexp_replace(
+                       regexp_replace(path, '[0-9a-f]{16,}', '{hex}', 'g'),
+                       '[0-9]+', '{n}', 'g') AS path_template,
+                     'https://' || host || path AS url
+              FROM urls
+            )
+            SELECT host, path_template,
+                   CAST(COUNT(*) AS BIGINT) AS n_urls,
+                   MIN(url) AS example_url
+            FROM t
+            GROUP BY host, path_template
+            HAVING COUNT(*) >= 2
         """,
         "q_token_prf": """
             -- identical content-keyed perturbation (md5-prefix token drop

@@ -168,6 +168,121 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_candidates(
+    docs: DataFrame,
+    text_col: str = "text",
+    shingle_k: int = 3,
+    max_df: int = 5,
+    min_common: int = 2,
+) -> DataFrame:
+    """Inverted-shingle candidate generation for CONTAINMENT detection
+    (Broder 1997 §2 distinguishes *containment* C(A,B)=|S(A)∩S(B)|/|S(A)|
+    from *resemblance*; MinHash-LSH estimates only the latter, so quote /
+    wrapped-page / sub-document detection needs its own candidate path).
+
+    Plan: distinct (doc_id, shingle) postings → drop stop-shingles whose
+    document frequency exceeds ``max_df`` (the boilerplate n-grams that
+    would otherwise make the posting self-join quadratic) → equi-join the
+    postings list with itself on the shingle → count common shingles per
+    ordered pair, keep pairs sharing ≥ ``min_common``.
+
+    Scale shape: every join/agg keys on the shingle hash or the id pair —
+    uniform keys, map-side partials everywhere; the df cap bounds each
+    posting list at ``max_df`` docs so the per-shingle pair fan-out is at
+    most max_df·(max_df−1)/2 regardless of corpus size.  Returns
+    (doc_a, doc_b, common)."""
+    posting = _with_shingles(docs, text_col, shingle_k).select(
+        "doc_id", F.explode(F.array_distinct("_shingles")).alias("g")
+    )
+    rare = (
+        posting.groupBy("g")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("g")
+    )
+    p = posting.join(rare, "g")
+    return (
+        p.alias("a")
+        .join(p.alias("b"), "g")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").cast("long").alias("common"))
+        .filter(F.col("common") >= min_common)
+    )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    shingle_k: int = 3,
+    min_containment_bp: int = 2500,
+    candidates: DataFrame | None = None,
+    id_limit: int | None = None,
+) -> DataFrame:
+    """Exact shingle containment per candidate pair — the asymmetric
+    complement of ``ngram_jaccard_pairs``: a 100-word page quoted inside a
+    10k-word page has Jaccard ≈ 0.01 (invisible to resemblance dedup) but
+    containment ≈ 1.0 in the small→large direction.
+
+    Containment is reported in integer basis points (``common·10⁴ div
+    |S(side)|``) so the result is bit-exact across engines — no float
+    division anywhere.  A pair survives when EITHER direction reaches
+    ``min_containment_bp``.  As with Jaccard, an unbounded all-pairs
+    self-join is refused: pass ``candidates`` (``containment_candidates``
+    output — the scale path) or ``id_limit`` (bounded baseline).
+
+    Scale shape: two equi-joins of the candidate pair table against the
+    per-doc distinct-shingle arrays (shuffle on doc ids, uniform), then a
+    pure-codegen projection; nothing quadratic."""
+    if candidates is None and id_limit is None:
+        raise ValueError(
+            "containment_pairs: unbounded all-pairs self-join refused — pass "
+            "candidates= (containment_candidates output) or id_limit="
+        )
+    sh = docs.select(
+        "doc_id",
+        F.array_distinct(word_shingles(F.col(text_col), shingle_k)).alias("sh"),
+    )
+    if candidates is not None:
+        scored = (
+            candidates.select("doc_a", "doc_b")
+            .join(sh.alias("a"), F.col("doc_a") == F.col("a.doc_id"))
+            .join(sh.alias("b"), F.col("doc_b") == F.col("b.doc_id"))
+        )
+    else:
+        sh = sh.filter(F.col("doc_id") < id_limit)
+        scored = sh.alias("a").join(
+            sh.alias("b"), F.col("a.doc_id") < F.col("b.doc_id")
+        )
+    sized = scored.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+        .cast("long")
+        .alias("common"),
+        F.size(F.col("a.sh")).cast("long").alias("_na"),
+        F.size(F.col("b.sh")).cast("long").alias("_nb"),
+    )
+    out = sized.select(
+        "doc_a",
+        "doc_b",
+        "common",
+        F.when(F.col("_na") > 0, F.expr("(common * 10000) div _na"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("cont_a_in_b_bp"),
+        F.when(F.col("_nb") > 0, F.expr("(common * 10000) div _nb"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("cont_b_in_a_bp"),
+    )
+    return out.filter(
+        F.greatest("cont_a_in_b_bp", "cont_b_in_a_bp") >= min_containment_bp
+    )
+
+
 SIMHASH_BITS = 60
 
 

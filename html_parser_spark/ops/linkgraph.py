@@ -117,6 +117,94 @@ def pagerank_fixed_point(
     return ranks
 
 
+def trustrank_fixed_point(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 3,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    total_mass: int = TOTAL_MASS,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004): biased
+    PageRank whose teleport vector is uniform over a hand-vetted SEED set
+    instead of all nodes — trust flows outward from known-good hosts, so
+    spam farms reachable only from other spam score ≈ 0.  The web-scale
+    spam-demotion complement of ``pagerank_fixed_point``.
+
+    Same exact fixed-point integer discipline as PageRank with N replaced
+    by the seed count ``m`` and both the teleport base and the dangling
+    redistribution gated to seed nodes::
+
+        rank0[v]  = S div m                     if v ∈ seeds else 0
+        rank'[v]  = [v ∈ seeds] * ((den-num)*S) div (den*m)
+                    + (num * (in_sum[v] + [v ∈ seeds] * (dang div m))) div den
+
+    Every step is 64-bit integer arithmetic — bit-exact, shuffle-order
+    independent, oracle-matchable.  ``seeds`` is a (node) DataFrame; seeds
+    absent from the graph are ignored.  Scale shape: identical to PageRank
+    (per-iteration edge⋈rank equi-join + groupBy(dst) with map-side
+    partials); the seed flag is ONE extra broadcast-sized join at init —
+    the seed list is tiny by construction (human-vetted).
+    Returns (node, rank)."""
+    edges = edges.select(
+        "src", "dst", F.col("weight").cast("long").alias("weight")
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seed_nodes = F.broadcast(
+        nodes.join(seeds.select("node").distinct(), "node", "left_semi")
+    )
+    m = seed_nodes.count()
+    if m == 0:
+        return nodes.withColumn("rank", F.lit(0).cast("long"))
+    flagged = nodes.join(
+        seed_nodes.withColumn("_seed", F.lit(1)), "node", "left"
+    ).select("node", F.coalesce("_seed", F.lit(0)).alias("_seed"))
+    base = ((damping_den - damping_num) * total_mass) // (damping_den * m)
+    outw = edges.groupBy("src").agg(F.sum("weight").alias("w_out"))
+    ranks = flagged.select(
+        "node",
+        "_seed",
+        F.when(F.col("_seed") == 1, F.lit(total_mass // m))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rank"),
+    )
+    for _ in range(iterations):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(outw, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.expr("(rank * weight) div w_out")).alias("in_sum"))
+        )
+        dang = (
+            ranks.join(outw, ranks.node == outw.src, "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0)).cast("long").alias("dang"))
+        )
+        ranks = (
+            flagged.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                "_seed",
+                (
+                    F.when(F.col("_seed") == 1, F.lit(base)).otherwise(F.lit(0))
+                    + F.expr(
+                        f"({damping_num} * (coalesce(in_sum, 0L)"
+                        f" + _seed * (dang div {m}))) div {damping_den}"
+                    )
+                ).cast("long").alias("rank"),
+            )
+        )
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks.select("node", "rank")
+
+
 def crawl_budget(
     ranks: DataFrame, budget_pages: int, rank_col: str = "rank"
 ) -> DataFrame:

@@ -723,3 +723,101 @@ def hreflang_pairs(
         F.col("href").alias("dst_url"),
         F.col("hreflang").alias("dst_lang"),
     )
+
+
+def template_signature(html_col) -> "F.Column":
+    """Structural fingerprint of a page: md5 over the ordered sequence of
+    opening-tag names.  Pages rendered from the same CMS template share the
+    signature even when every text node differs — the standard device for
+    template-level dedup/QA on a crawl (Gibson, Punera & Tomkins, WWW 2005
+    measure template content at 40-50% of the web).
+
+    One ``regexp_extract_all`` + ``concat_ws`` + ``md5`` — pure codegen,
+    portable: the tag regex ``<([a-zA-Z][a-zA-Z0-9]*)`` compiles identically
+    under Java regex and RE2, and md5-of-joined-names is engine-neutral.
+    Tag names are lowercased (HTML tag names are case-insensitive); closing
+    tags and attributes never reach the signature."""
+    tags = F.regexp_extract_all(
+        F.lower(html_col), F.lit("<([a-z][a-z0-9]*)"), 1
+    )
+    return F.md5(F.concat_ws(",", tags))
+
+
+def template_clusters(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    min_pages: int = 2,
+) -> DataFrame:
+    """Group crawl pages by (host, template signature) — the extraction-QA
+    view: a template cluster with thousands of pages and near-identical
+    extracted text is boilerplate the main-content pass must be stripping;
+    a sudden new big cluster on a known host is a site redesign that can
+    silently break extraction heuristics (drift monitoring).
+
+    Scale shape: one codegen projection computes the md5 signature per
+    page (the shuffle key is 32 bytes regardless of page size), then ONE
+    groupBy(host, sig) with map-side partial aggregation.  Hosts are
+    zipfian but (host, sig) splits each mega-host across its templates;
+    residual skew is AQE's job.  Returns (host, template_sig, n_pages,
+    n_tags, example_url) for clusters of at least ``min_pages``."""
+    host = F.parse_url(F.col(url_col), F.lit("HOST"))
+    sig = template_signature(F.col(html_col))
+    n_tags = F.size(
+        F.regexp_extract_all(
+            F.lower(F.col(html_col)), F.lit("<([a-z][a-z0-9]*)"), 1
+        )
+    ).cast("long")
+    return (
+        pages.select(
+            host.alias("host"),
+            sig.alias("template_sig"),
+            n_tags.alias("n_tags"),
+            F.col(url_col).alias("url"),
+        )
+        .groupBy("host", "template_sig")
+        .agg(
+            F.count("*").cast("long").alias("n_pages"),
+            F.min("n_tags").cast("long").alias("n_tags"),
+            F.min("url").alias("example_url"),
+        )
+        .filter(F.col("n_pages") >= min_pages)
+    )
+
+
+def url_templates(
+    df: DataFrame, url_col: str = "url", min_urls: int = 2
+) -> DataFrame:
+    """Mine per-host URL path templates by collapsing variable segments:
+    runs of 16+ hex chars (content hashes / UUIDs sans dashes) become
+    ``{hex}`` first, then digit runs become ``{n}`` — so
+    ``/a/3/p4711`` → ``/a/{n}/p{n}`` and ``/h/0cc175b9...`` → ``/h/{hex}``.
+
+    The frontier-side complement of content dedup: a template whose url
+    count explodes (calendar pages, session ids, faceted search) is a
+    crawler trap to cap BEFORE fetching, and template-level counts are the
+    unit of crawl-budget allocation within a host.  Both collapse patterns
+    are plain character-class regexes — identical under Java regex and
+    RE2, so the oracle states them verbatim.
+
+    Scale shape: pure-codegen projection → ONE groupBy(host, template)
+    with map-side partials; keys are short strings.  Returns (host,
+    path_template, n_urls, example_url)."""
+    u = F.col(url_col)
+    path = F.parse_url(u, F.lit("PATH"))
+    template = F.regexp_replace(
+        F.regexp_replace(path, "[0-9a-f]{16,}", "{hex}"), "[0-9]+", "{n}"
+    )
+    return (
+        df.select(
+            F.parse_url(u, F.lit("HOST")).alias("host"),
+            template.alias("path_template"),
+            u.alias("url"),
+        )
+        .groupBy("host", "path_template")
+        .agg(
+            F.count("*").cast("long").alias("n_urls"),
+            F.min("url").alias("example_url"),
+        )
+        .filter(F.col("n_urls") >= min_urls)
+    )

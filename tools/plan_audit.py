@@ -1099,6 +1099,67 @@ def main():
         )
     )
 
+    p = plan_of(entrymod.q_containment(spark, sf_dir))
+    checks.append(
+        (
+            "q_containment — containment dedup: inverted-shingle postings "
+            "with the df-cap semi-join pruning stop-shingles BEFORE the "
+            "posting self-join (per-shingle fan-out ≤ max_df²), candidate "
+            "groupBy with map-side partials, then two equi-joins for exact "
+            "verification — no cartesian product, zero Python, no window",
+            p,
+            ["HashAggregate"],
+            ["CartesianProduct", "ArrowEvalPython", "BatchEvalPython",
+             "Window"],
+        )
+    )
+
+    p = plan_of(entrymod.q_trustrank(spark, sf_dir, checkpoint=False))
+    checks.append(
+        (
+            "q_trustrank — seeded propagation: per-iteration edge⋈rank "
+            "equi-join + groupBy(dst) partials exactly like q_pagerank; the "
+            "seed flag is ONE broadcast-sized semi-join at init and the "
+            "1-row dangling aggregate rides an explicit broadcast, never a "
+            "cross join over nodes; zero Python, no window",
+            p,
+            ["HashAggregate", "Join"],
+            ["ArrowEvalPython", "BatchEvalPython", "Window",
+             "CartesianProduct"],
+        )
+    )
+
+    p = plan_of(entrymod.q_dom_templates(spark, sf_dir))
+    checks.append(
+        (
+            "q_dom_templates — template clustering: the md5 structural "
+            "signature is a pure-codegen projection (shuffle key is 32 "
+            "bytes regardless of page size), then ONE groupBy(host, sig) "
+            "with map-side partial aggregation (SortAggregate here: "
+            "min(string) has no mutable hash buffer — the partial_* before "
+            "the exchange is the property that matters); zero Python, no "
+            "join, no window",
+            p,
+            ["partial_count(1)", "Exchange hashpartitioning(host", "*("],
+            ["ArrowEvalPython", "BatchEvalPython", "Join", "Window",
+             "CartesianProduct"],
+        )
+    )
+
+    p = plan_of(entrymod.q_url_templates(spark, sf_dir))
+    checks.append(
+        (
+            "q_url_templates — URL template mining: pure-codegen collapse "
+            "regexes + ONE groupBy(host, template) with map-side partial "
+            "aggregation (SortAggregate: min(string) buffer, partial_* "
+            "before the exchange); zero Python, no join, no window",
+            p,
+            ["partial_count(1)", "Exchange hashpartitioning(host", "*("],
+            ["ArrowEvalPython", "BatchEvalPython", "Join", "Window",
+             "CartesianProduct"],
+        )
+    )
+
     failures = []
     out = ["# Physical-plan audit (generated by tools/plan_audit.py)\n"]
     out.append(
