@@ -3280,6 +3280,138 @@ def q_url_templates(spark, sf_dir):
     return url_templates(docs.select(url.alias("url")), min_urls=2)
 
 
+def q_click_depth(spark, sf_dir, checkpoint=True):
+    """Seed click-depth BFS (ops/linkgraph.seed_distance) over the shared
+    synthetic 45-host graph with the TrustRank seed list (h0,h7,...,h35):
+    exact minimum hop distance from any seed, frontier-only relaxation
+    (hop h joins only the hosts first reached at h-1 against the edge
+    list, never the settled set).  Hosts beyond max_hops are absent —
+    at corpus scale the unreachable set is the majority and
+    materializing "infinity" rows would be the expensive way to spell a
+    filter.  The DuckDB oracle unrolls the same BFS as per-hop CTEs
+    (frontier = successors of the previous frontier minus everything
+    settled); integer hop labels make the hash match exact across
+    engines."""
+    docs = _docs(spark, sf_dir)
+    from html_parser_spark.ops.linkgraph import seed_distance
+
+    edges = _synth_host_edges(docs)
+    seeds = spark.createDataFrame(
+        [(f"h{i}",) for i in range(0, 40, 7)], ["node"]
+    )
+    return seed_distance(edges, seeds, max_hops=3, checkpoint=checkpoint)
+
+
+def q_pub_dates(spark, sf_dir):
+    """Publication-date extraction (ops/web.publication_dates): the
+    regexp priority chain meta > time > jsonld > url-path over pages
+    synthesized from doc_id arithmetic.  Pins, one per failure mode:
+    doc_id%8==1 pages carry BOTH a meta tag and a time tag (meta must
+    win); doc_id%4==0 && %10==0 pages carry a regex-valid but
+    calendar-invalid meta date (2023-02-30 — pub_src says 'meta', date
+    is NULL, and Spark's to_date must agree with DuckDB's TRY_CAST);
+    doc_id%4==2 && %7==0 pages carry a month-13 jsonld date the shape
+    regex itself rejects (falls through to the url rule);  doc_id%3==0
+    urls embed a /YYYY/MM/DD/ permalink with a DIFFERENT year so the
+    priority order is observable.  The oracle rebuilds the identical
+    html+url in SQL and replays the same four regexes through DuckDB's
+    RE2 — a hash match is a cross-engine regex-semantics equality
+    proof."""
+    from html_parser_spark.ops.web import publication_dates
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    did = d.cast("string")
+    mm = F.lpad((d % 12 + 1).cast("string"), 2, "0")
+    dd = F.lpad((d % 28 + 1).cast("string"), 2, "0")
+    iso = F.concat((d % 9 + 2015).cast("string"), F.lit("-"), mm,
+                   F.lit("-"), dd)
+    meta_iso = F.when(d % 10 == 0, F.lit("2023-02-30")).otherwise(iso)
+    meta_tag = F.concat(
+        F.lit('<meta property="article:published_time" content="'),
+        meta_iso, F.lit('T08:30:00Z">'),
+    )
+    k = d % 4
+    html = F.concat(
+        F.lit("<html><head>"),
+        F.when(k == 0, meta_tag)
+        .when((k == 1) & (d % 8 == 1),
+              F.lit('<meta property="article:published_time" '
+                    'content="1999-12-31T00:00:00Z">'))
+        .otherwise(F.lit("")),
+        F.lit("</head><body>"),
+        F.when(k == 1, F.concat(F.lit('<time datetime="'), iso,
+                                F.lit('">then</time>')))
+        .when(k == 2, F.concat(
+            F.lit('<script type="application/ld+json">'
+                  '{"@type":"Article","datePublished": "'),
+            F.when(d % 7 == 0, F.lit("2023-13-05")).otherwise(iso),
+            F.lit('"}</script>'),
+        ))
+        .otherwise(F.lit("<p>plain</p>")),
+        F.lit("</body></html>"),
+    )
+    upath = F.when(
+        d % 3 == 0,
+        F.concat(F.lit("/"), (d % 5 + 2005).cast("string"), F.lit("/"), mm,
+                 F.lit("/"), dd, F.lit("/p"), did),
+    ).otherwise(F.concat(F.lit("/p"), did))
+    url = F.concat(
+        F.lit("https://s"), (d % 10).cast("string"), F.lit(".example.com"),
+        upath,
+    )
+    pages = docs.select(
+        url.alias("url"), F.encode(html, "UTF-8").alias("html")
+    )
+    return publication_dates(pages)
+
+
+
+def q_concentration(spark, sf_dir):
+    """Corpus byte-concentration profile (ops/corpus.concentration_profile)
+    over a synthetic skewed host layout: per-host byte totals bucket by
+    integer bit-length (log2 magnitude), cumulative-from-the-top shares in
+    exact ppm — the "top hosts hold X% of the bytes" release-audit table
+    without a global host sort.  Host h0 carries a 64x weight multiplier
+    so multiple magnitude buckets are occupied.  All-integer arithmetic
+    (length(bin(x)) both engines, IntegralDivide ppm) — hash-exact."""
+    from html_parser_spark.ops.corpus import concentration_profile
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    sized = docs.select(
+        F.concat(F.lit("h"), (d % 37).cast("string")).alias("host"),
+        (
+            F.length("text").cast("long")
+            * F.when(d % 37 == 0, F.lit(64)).otherwise(d % 13 + 1)
+        ).alias("n_bytes"),
+    )
+    return concentration_profile(sized, "host", "n_bytes")
+
+def q_code_profile(spark, sf_dir):
+    """Code-vs-prose routing profile (ops/text.code_profile): per-doc
+    non-blank line count, code-line count (terminator / indentation /
+    declaration-keyword signals), exact integer code_ppm.  doc_id%3==0
+    docs get a 4-line code block (plus a blank line that must NOT count)
+    appended so both classes are populated; the oracle replays the three
+    detector regexes verbatim through DuckDB's RE2 over the identically
+    augmented text — a hash match proves the line split, blank-line
+    rule, and regex semantics agree across engines."""
+    from html_parser_spark.ops.text import code_profile
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    code_block = (
+        "\nimport os\n    x = 1;\ncall();\n\nplain words here"
+    )
+    aug = docs.select(
+        "doc_id",
+        F.when(d % 3 == 0, F.concat(F.col("text"), F.lit(code_block)))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return code_profile(aug)
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-query CORRECTNESS window rotates coverage.
 
@@ -3372,6 +3504,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_trustrank": q_trustrank,
         "q_dom_templates": q_dom_templates,
         "q_url_templates": q_url_templates,
+        "q_click_depth": q_click_depth,
+        "q_pub_dates": q_pub_dates,
+        "q_concentration": q_concentration,
+        "q_code_profile": q_code_profile,
         # -- longest-unexposed veterans (driver-green in round 3, pushed
         #    past the window by the round-4 additions) --
         "q_filter_project": q_filter_project,
@@ -3502,6 +3638,178 @@ SELECT doc_id,
        list_min(list_transform(shingles, s -> md5('3|' || s))) AS sig_3
 FROM sh
 """
+
+
+_PUB_DATES_ORACLE = r"""
+WITH syn AS (
+  SELECT
+    'https://s' || (doc_id % 10) || '.example.com' ||
+      CASE WHEN doc_id % 3 = 0
+           THEN '/' || (doc_id % 5 + 2005) || '/' ||
+                lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') || '/' ||
+                lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') ||
+                '/p' || doc_id
+           ELSE '/p' || doc_id END AS url,
+    '<html><head>' ||
+      CASE WHEN doc_id % 4 = 0 THEN
+             '<meta property="article:published_time" content="' ||
+             CASE WHEN doc_id % 10 = 0 THEN '2023-02-30'
+                  ELSE (doc_id % 9 + 2015) || '-' ||
+                       lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') ||
+                       '-' ||
+                       lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') END ||
+             'T08:30:00Z">'
+           WHEN doc_id % 4 = 1 AND doc_id % 8 = 1 THEN
+             '<meta property="article:published_time" content="1999-12-31T00:00:00Z">'
+           ELSE '' END ||
+    '</head><body>' ||
+      CASE WHEN doc_id % 4 = 1 THEN
+             '<time datetime="' ||
+             (doc_id % 9 + 2015) || '-' ||
+             lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') || '-' ||
+             lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') ||
+             '">then</time>'
+           WHEN doc_id % 4 = 2 THEN
+             '<script type="application/ld+json">{"@type":"Article","datePublished": "' ||
+             CASE WHEN doc_id % 7 = 0 THEN '2023-13-05'
+                  ELSE (doc_id % 9 + 2015) || '-' ||
+                       lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') ||
+                       '-' ||
+                       lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') END ||
+             '"}</script>'
+           ELSE '<p>plain</p>' END ||
+    '</body></html>' AS html
+  FROM documents
+), hits AS (
+  SELECT url,
+    regexp_extract(html,
+      '<meta[^>]*property="article:published_time"[^>]*content="((?:19|20)\d\d-(?:0[1-9]|1[0-2])-(?:0[1-9]|[12]\d|3[01]))', 1) AS m_meta,
+    regexp_extract(html,
+      '<time[^>]*datetime="((?:19|20)\d\d-(?:0[1-9]|1[0-2])-(?:0[1-9]|[12]\d|3[01]))', 1) AS m_time,
+    regexp_extract(html,
+      '"datePublished"\s*:\s*"((?:19|20)\d\d-(?:0[1-9]|1[0-2])-(?:0[1-9]|[12]\d|3[01]))', 1) AS m_jsonld,
+    regexp_extract(url,
+      '/((?:19|20)\d\d)/(0[1-9]|1[0-2])/(0[1-9]|[12]\d|3[01])(?:/|$)', 1) AS g1,
+    regexp_extract(url,
+      '/((?:19|20)\d\d)/(0[1-9]|1[0-2])/(0[1-9]|[12]\d|3[01])(?:/|$)', 2) AS g2,
+    regexp_extract(url,
+      '/((?:19|20)\d\d)/(0[1-9]|1[0-2])/(0[1-9]|[12]\d|3[01])(?:/|$)', 3) AS g3
+  FROM syn
+), chain AS (
+  SELECT url,
+    CASE WHEN m_meta <> '' THEN m_meta
+         WHEN m_time <> '' THEN m_time
+         WHEN m_jsonld <> '' THEN m_jsonld
+         WHEN g1 <> '' THEN g1 || '-' || g2 || '-' || g3 END AS raw,
+    CASE WHEN m_meta <> '' THEN 'meta'
+         WHEN m_time <> '' THEN 'time'
+         WHEN m_jsonld <> '' THEN 'jsonld'
+         WHEN g1 <> '' THEN 'url'
+         ELSE 'none' END AS pub_src
+  FROM hits
+)
+SELECT url, strftime(TRY_CAST(raw AS DATE), '%Y-%m-%d') AS pub_date, pub_src
+FROM chain
+"""
+
+
+_CONCENTRATION_ORACLE = r"""
+WITH t AS (
+  SELECT 'h' || (doc_id % 37) AS k,
+         CAST(length(text) AS BIGINT) *
+         (CASE WHEN doc_id % 37 = 0 THEN 64 ELSE doc_id % 13 + 1 END) AS sz
+  FROM documents
+), totals AS (
+  SELECT k, CAST(SUM(sz) AS BIGINT) AS total FROM t GROUP BY k
+  HAVING SUM(sz) > 0
+), b AS (
+  SELECT CAST(length(regexp_replace(bin(total), '^0+', '')) AS INTEGER)
+           AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(total) AS BIGINT) AS bucket_total
+  FROM totals GROUP BY 1
+), c AS (
+  SELECT bucket, n_keys, bucket_total,
+         CAST(SUM(n_keys) OVER (ORDER BY bucket DESC) AS BIGINT)
+           AS cum_keys,
+         CAST(SUM(bucket_total) OVER (ORDER BY bucket DESC) AS BIGINT)
+           AS cum_total
+  FROM b
+), g AS (
+  SELECT CAST(SUM(n_keys) AS BIGINT) AS gk,
+         CAST(SUM(bucket_total) AS BIGINT) AS gt
+  FROM b
+)
+SELECT bucket, n_keys, bucket_total, cum_keys, cum_total,
+       CAST((cum_keys * 1000000) // gk AS BIGINT) AS cum_keys_ppm,
+       CAST((cum_total * 1000000) // gt AS BIGINT) AS cum_total_ppm
+FROM c, g
+"""
+
+
+_CODE_PROFILE_ORACLE = r"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || chr(10) || 'import os' || chr(10) ||
+                   '    x = 1;' || chr(10) || 'call();' || chr(10) ||
+                   chr(10) || 'plain words here'
+              ELSE text END AS t
+  FROM documents
+), l AS (
+  SELECT doc_id, unnest(string_split(t, chr(10))) AS line FROM aug
+), nb AS (
+  SELECT doc_id, line FROM l WHERE trim(line) <> ''
+), agg AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(COUNT(*) FILTER (WHERE
+              regexp_matches(line, '[;{}]\s*$')
+           OR regexp_matches(line, '^(	|    )')
+           OR regexp_matches(line,
+              '^\s*(def |class |function |#include|import |from |return |var |const |let |public |private |for \(|while \(|if \()')
+         ) AS BIGINT) AS code_lines
+  FROM nb GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(a.n_lines, 0) AS n_lines,
+       COALESCE(a.code_lines, 0) AS code_lines,
+       CAST(CASE WHEN COALESCE(a.n_lines, 0) > 0
+                 THEN (a.code_lines * 1000000) // a.n_lines
+                 ELSE 0 END AS BIGINT) AS code_ppm
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+"""
+
+
+def _seed_distance_oracle_sql(max_hops: int = 3) -> str:
+    """Unrolled-CTE replica of ops/linkgraph.seed_distance over the shared
+    synthetic graph with the TrustRank seed list: per-hop frontier CTEs
+    (successors of the previous frontier, minus everything already
+    settled).  Integer hop labels — exact across engines."""
+    seed_values = ", ".join(f"('h{i}')" for i in range(0, 40, 7))
+    parts = [f"""e0 AS (
+  SELECT doc_id % 40 AS s, (doc_id * 7 + 3) % 40 AS t FROM documents
+  UNION ALL
+  SELECT doc_id % 40, (doc_id * 13 + 11) % 45 FROM documents
+), edges AS (
+  SELECT DISTINCT 'h' || s AS src, 'h' || t AS dst FROM e0 WHERE s <> t
+), nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+), seeds AS (SELECT * FROM (VALUES {seed_values}) sv(node)
+), d0 AS (
+  SELECT n.node, CAST(0 AS INTEGER) AS dist
+  FROM nodes n JOIN seeds s ON s.node = n.node
+), f0 AS (SELECT node FROM d0)"""]
+    for h in range(1, max_hops + 1):
+        parts.append(f""", f{h} AS (
+  SELECT DISTINCT e.dst AS node
+  FROM edges e JOIN f{h - 1} f ON f.node = e.src
+  WHERE e.dst NOT IN (SELECT node FROM d{h - 1})
+), d{h} AS (
+  SELECT node, dist FROM d{h - 1}
+  UNION ALL SELECT node, CAST({h} AS INTEGER) FROM f{h}
+)""")
+    return "WITH " + "".join(parts) + f"\nSELECT node, dist FROM d{max_hops}"
 
 
 def _pagerank_oracle_sql(iterations: int = 3) -> str:
@@ -5551,6 +5859,10 @@ def oracle_sql() -> dict[str, str]:
                   ) >= 300
         """,
         "q_trustrank": _trustrank_oracle_sql(3),
+        "q_click_depth": _seed_distance_oracle_sql(3),
+        "q_pub_dates": _PUB_DATES_ORACLE,
+        "q_concentration": _CONCENTRATION_ORACLE,
+        "q_code_profile": _CODE_PROFILE_ORACLE,
         "q_dom_templates": """
             -- identical page synthesis, then DuckDB's own regexp+md5
             -- recompute the structural signature: a hash match proves the

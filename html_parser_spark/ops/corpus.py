@@ -1363,3 +1363,70 @@ def exact_quantiles(
         F.col("_s.n_le").alias("n_le"),
         F.col("_s.total").alias("total"),
     )
+
+
+def concentration_profile(
+    df: DataFrame, key_col: str = "host", size_col: str = "n_bytes"
+) -> DataFrame:
+    """Corpus-concentration (Lorenz) profile by magnitude bucket: how much
+    of the corpus sits on how few keys — the "top 1% of hosts hold 60% of
+    the bytes" release-audit number that drives domain caps, politeness
+    budgets, and skew-salting decisions.
+
+    A true Lorenz curve needs a global rank over keys — a sort over 10^8
+    hosts.  This is the scale-shaped substitute: keys bucket by the BIT
+    LENGTH of their size total (integer log2 — the same ``length(bin(x))``
+    device as DSIR), so the "curve" is at most 63 points regardless of key
+    count:
+
+    1. per-key totals (ONE partial-agg groupBy over the corpus);
+    2. per-bucket (n_keys, bucket_total) — second groupBy, ≤63 groups;
+    3. cumulative-from-the-top window over the ≤63-row bucket histogram
+       (the only window, provably bounded — same class as pack_shards'
+       P-row offsets) + 1-row broadcast grand totals;
+    4. shares in exact integer ppm (IntegralDivide, non-negative).
+
+    Keys with a zero/negative total are excluded (a zero-byte host is not
+    a concentration datum, and bit-length is undefined there).  Returns
+    (bucket, n_keys, bucket_total, cum_keys, cum_total, cum_keys_ppm,
+    cum_total_ppm), one row per occupied magnitude bucket; reading row
+    ``bucket=b`` says: "keys of magnitude ≥ 2^(b-1) number ``cum_keys``
+    (``cum_keys_ppm`` of all keys) and hold ``cum_total_ppm`` of the
+    corpus"."""
+    from pyspark.sql import Window
+
+    totals = (
+        df.groupBy(F.col(key_col).alias("_key"))
+        .agg(F.sum(F.col(size_col).cast("long")).alias("_total"))
+        .filter(F.col("_total") > 0)
+    )
+    buckets = (
+        totals.withColumn("bucket", F.expr("length(bin(_total))").cast("int"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_keys"),
+            F.sum("_total").alias("bucket_total"),
+        )
+    )
+    w = Window.orderBy(F.col("bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = buckets.select(
+        "bucket",
+        "n_keys",
+        "bucket_total",
+        F.sum("n_keys").over(w).alias("cum_keys"),
+        F.sum("bucket_total").over(w).alias("cum_total"),
+    )
+    grand = cum.agg(
+        F.sum("n_keys").alias("_gk"), F.sum("bucket_total").alias("_gt")
+    )
+    return cum.crossJoin(F.broadcast(grand)).select(
+        "bucket",
+        "n_keys",
+        "bucket_total",
+        "cum_keys",
+        "cum_total",
+        F.expr("(cum_keys * 1000000) div _gk").alias("cum_keys_ppm"),
+        F.expr("(cum_total * 1000000) div _gt").alias("cum_total_ppm"),
+    )

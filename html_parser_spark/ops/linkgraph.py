@@ -443,3 +443,56 @@ def label_propagation(
         if checkpoint:
             labels = labels.localCheckpoint(eager=False)
     return labels.select("node", F.col("label").alias("community"))
+
+
+def seed_distance(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 3,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Click-depth BFS: minimum hop distance from a trusted seed set over
+    the (src, dst) host graph — the crawl-depth prior behind seed-based
+    frontier gating ("only fetch hosts within k clicks of the seed list")
+    and the integer backbone of harmonic-centrality-style quality scores.
+    The TrustRank seed list (``trustrank_fixed_point``) answers "how much
+    trust flows here"; this answers the cheaper, sharper "how FAR is this
+    host from anything we trust".
+
+    Semantics: ``dist(v) = min hops from any seed``, exact BFS.  Hosts not
+    reachable within ``max_hops`` are absent from the output (at corpus
+    scale the unreachable set is the majority — materializing it would be
+    the expensive way to say "infinity").  Seeds not present in the graph's
+    node set are dropped (they have no edges to relax).
+
+    Scale shape: frontier relaxation, NOT settled-set relaxation — hop ``h``
+    joins only the hosts first reached at ``h-1`` against the edge list
+    (one equi-join on src), dedups the successors (partial-agg distinct),
+    and anti-joins the settled set.  Each iteration's shuffle is bounded by
+    the frontier × out-degree, never by hosts × edges; the settled table is
+    one row per reached host.  Lineage is truncated per hop with
+    ``localCheckpoint`` (cluster: reliable checkpoint), exactly like the
+    PageRank/HITS/LPA loops.  Returns (node, dist).
+    """
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    settled = nodes.join(
+        seeds.select("node").distinct(), "node"
+    ).select("node", F.lit(0).cast("int").alias("dist"))
+    frontier = settled.select("node")
+    for hop in range(1, int(max_hops) + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(settled, "node", "left_anti")
+            .select("node", F.lit(hop).cast("int").alias("dist"))
+        )
+        settled = settled.unionByName(nxt)
+        if checkpoint:
+            settled = settled.localCheckpoint(eager=False)
+        frontier = settled.filter(F.col("dist") == hop).select("node")
+    return settled

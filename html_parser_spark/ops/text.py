@@ -776,3 +776,64 @@ def token_prf(
             ).cast("long").alias("f1_ppm"),
         )
     )
+
+
+# Code-line signals — three independent, deliberately simple detectors
+# (statement terminators, block indentation, declaration keywords).  Plain
+# character classes and alternations only: Java regex and RE2 compile the
+# identical automaton, so the DuckDB oracle replays them verbatim.
+CODE_PUNCT_RE = r"[;{}]\s*$"
+CODE_INDENT_RE = r"^(\t|    )"
+CODE_KEYWORD_RE = (
+    r"^\s*(def |class |function |#include|import |from |return |"
+    r"var |const |let |public |private |for \(|while \(|if \()"
+)
+
+
+def code_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Code-vs-prose routing profile — the signal behind splitting a web
+    corpus into natural-language and code streams (separate quality gates,
+    separate tokenizers, separate mixing weights; the StarCoder/CodeParrot
+    pipelines are entire corpora built from what this flags).
+
+    Per NON-BLANK line, a line is a "code line" iff any of:
+
+    * it ends with a statement terminator / block brace (``;`` ``{`` ``}``);
+    * it starts with block indentation (a tab or 4+ spaces);
+    * it starts with a declaration keyword (``def``, ``function``,
+      ``import``, ``#include``, ``const``, ``for (`` …).
+
+    Returns (doc_id, n_lines, code_lines, code_ppm) with ``code_ppm`` the
+    exact integer parts-per-million of non-blank lines flagged (0 for a
+    doc with no non-blank lines).  Routing is the caller's threshold
+    filter, same contract as ``c4_line_filter``'s ``page_keep``.
+
+    Scale shape: pure codegen (split → filter inside one projection) —
+    zero shuffle, zero Python; fuses into the preceding scan."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.filter(
+        F.split(text, "\n"), lambda l: F.trim(l) != ""
+    )
+    code = F.filter(
+        lines,
+        lambda l: l.rlike(CODE_PUNCT_RE)
+        | l.rlike(CODE_INDENT_RE)
+        | l.rlike(CODE_KEYWORD_RE),
+    )
+    n_lines = F.size(lines).cast("long")
+    n_code = F.size(code).cast("long")
+    base = docs.select(
+        "doc_id", n_lines.alias("n_lines"), n_code.alias("code_lines")
+    )
+    return base.select(
+        "doc_id",
+        "n_lines",
+        "code_lines",
+        F.when(
+            F.col("n_lines") > 0,
+            F.expr("(code_lines * 1000000) div n_lines"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("code_ppm"),
+    )

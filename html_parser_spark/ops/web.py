@@ -821,3 +821,106 @@ def url_templates(
         )
         .filter(F.col("n_urls") >= min_urls)
     )
+
+
+# (19|20)YY-MM-DD with month/day ranges enforced IN the regex, so both
+# engines agree on what is a date-shaped string BEFORE the calendar cast;
+# plain character classes + non-capturing groups only — identical under
+# Java regex and RE2.
+_ISO_DATE_RE = r"((?:19|20)\d\d-(?:0[1-9]|1[0-2])-(?:0[1-9]|[12]\d|3[01]))"
+_URL_DATE_RE = (
+    r"/((?:19|20)\d\d)/(0[1-9]|1[0-2])/(0[1-9]|[12]\d|3[01])(?:/|$)"
+)
+_PUB_META_RE = (
+    r'<meta[^>]*property="article:published_time"[^>]*content="'
+    + _ISO_DATE_RE
+)
+_PUB_TIME_RE = r'<time[^>]*datetime="' + _ISO_DATE_RE
+_PUB_JSONLD_RE = r'"datePublished"\s*:\s*"' + _ISO_DATE_RE
+
+
+def publication_dates(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Publication-date extraction — the temporal axis of a training
+    corpus (knowledge-cutoff filtering, time-sliced evaluation sets,
+    freshness-weighted mixing all need a per-document date).
+
+    Pure-codegen regexp priority chain, first hit wins:
+
+    1. ``meta``   — ``<meta property="article:published_time"
+       content="ISO…">`` (the Open Graph article tag, the most reliable
+       in-page signal);
+    2. ``time``   — the first ``<time datetime="ISO…">`` element;
+    3. ``jsonld`` — a ``"datePublished": "ISO…"`` pair (schema.org
+       Article JSON-LD, matched textually — no JSON parse needed for a
+       date-shaped literal);
+    4. ``url``    — a ``/YYYY/MM/DD/`` path segment (the blog/CMS
+       permalink convention).
+
+    The date-shape regex enforces month/day ranges so both engines agree
+    before any cast; the final ``try_to_date`` round-trip additionally
+    nulls regex-valid but calendar-invalid dates (2023-02-30) —
+    identically to DuckDB's ``TRY_CAST`` (oracle-pinned).  ``pub_src`` reports which
+    rule fired ('none' if none did) even when the matched string fails
+    the calendar check, so extraction QA can distinguish "no signal"
+    from "damaged signal".
+
+    Scale shape: one pure-codegen projection — zero shuffle, zero
+    Python; the regexes are anchored scans over the page prefix the JVM
+    executes inside whole-stage codegen.  Returns (url, pub_date STRING
+    yyyy-MM-dd or NULL, pub_src).
+    """
+    html = F.col(html_col).cast("string")
+    url = F.col(url_col)
+    m_meta = F.regexp_extract(html, _PUB_META_RE, 1)
+    m_time = F.regexp_extract(html, _PUB_TIME_RE, 1)
+    m_jsonld = F.regexp_extract(html, _PUB_JSONLD_RE, 1)
+    g1 = F.regexp_extract(url, _URL_DATE_RE, 1)
+    m_url = F.when(
+        g1 != "",
+        F.concat(
+            g1,
+            F.lit("-"),
+            F.regexp_extract(url, _URL_DATE_RE, 2),
+            F.lit("-"),
+            F.regexp_extract(url, _URL_DATE_RE, 3),
+        ),
+    ).otherwise(F.lit(""))
+    raw = (
+        F.when(m_meta != "", m_meta)
+        .when(m_time != "", m_time)
+        .when(m_jsonld != "", m_jsonld)
+        .when(m_url != "", m_url)
+    )
+    src = (
+        F.when(m_meta != "", F.lit("meta"))
+        .when(m_time != "", F.lit("time"))
+        .when(m_jsonld != "", F.lit("jsonld"))
+        .when(m_url != "", F.lit("url"))
+        .otherwise(F.lit("none"))
+    )
+    return pages.select(
+        url.alias("url"),
+        F.date_format(F.try_to_date(raw, "yyyy-MM-dd"), "yyyy-MM-dd").alias(
+            "pub_date"
+        ),
+        src.alias("pub_src"),
+    )
+
+
+def date_cutoff_filter(
+    dated: DataFrame,
+    cutoff: str,
+    date_col: str = "pub_date",
+    keep_undated: bool = True,
+) -> DataFrame:
+    """Knowledge-cutoff gate over :func:`publication_dates` output: keep
+    documents dated on/before ``cutoff`` ('yyyy-MM-dd').  ``keep_undated``
+    decides the policy for NULL dates (most corpus recipes keep undated
+    docs and let quality gates judge them; strict temporal eval splits
+    drop them).  Pure filter — pushes down to the scan."""
+    dated_ok = F.col(date_col) <= F.lit(cutoff)
+    if keep_undated:
+        return dated.filter(F.col(date_col).isNull() | dated_ok)
+    return dated.filter(dated_ok)

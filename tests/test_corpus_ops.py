@@ -843,3 +843,86 @@ def test_exact_quantiles_grouped_empty_and_partition_independent(spark):
         map(tuple, exact_quantiles(docs.repartition(13), "x", group_col="g").collect())
     )
     assert one == many
+
+
+def test_concentration_profile_exact_shares(spark):
+    from html_parser_spark.ops.corpus import concentration_profile
+
+    # 3 keys: totals 12 (bucket 4), 5 and 6 (bucket 3), 1 (bucket 1);
+    # zero-total key dropped
+    df = spark.createDataFrame(
+        [("a", 7), ("a", 5), ("b", 5), ("c", 6), ("d", 1), ("z", 0)],
+        ["host", "n_bytes"],
+    )
+    rows = {
+        r["bucket"]: r
+        for r in concentration_profile(df, "host", "n_bytes").collect()
+    }
+    assert set(rows) == {4, 3, 1}
+    top = rows[4]
+    assert (top["n_keys"], top["bucket_total"]) == (1, 12)
+    assert (top["cum_keys"], top["cum_total"]) == (1, 12)
+    assert top["cum_keys_ppm"] == 250000  # 1 of 4 keys
+    assert top["cum_total_ppm"] == 500000  # 12 of 24 bytes
+    mid = rows[3]
+    assert (mid["n_keys"], mid["cum_keys"], mid["cum_total"]) == (2, 3, 23)
+    assert mid["cum_total_ppm"] == (23 * 1000000) // 24
+    bot = rows[1]
+    assert (bot["cum_keys_ppm"], bot["cum_total_ppm"]) == (1000000, 1000000)
+
+
+def test_concentration_profile_partition_invariant(spark):
+    from html_parser_spark.ops.corpus import concentration_profile
+
+    df = spark.range(500).select(
+        (F.col("id") % 41).cast("string").alias("host"),
+        (F.col("id") % 97 + 1).alias("n_bytes"),
+    )
+    a = sorted(
+        tuple(r) for r in concentration_profile(df, "host", "n_bytes").collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in concentration_profile(
+            df.repartition(13), "host", "n_bytes"
+        ).collect()
+    )
+    assert a == b and len(a) >= 2
+
+
+def test_code_profile_detectors_and_ppm(spark):
+    from html_parser_spark.ops.text import code_profile
+
+    text = "\n".join(
+        [
+            "A normal prose sentence here.",
+            "x = compute(y);",          # terminator
+            "    indented block line",  # indentation
+            "import os",                # keyword
+            "",                         # blank: not counted at all
+            "\t",                       # whitespace-only tab line: trim('\t')
+            "another prose line",
+        ]
+    )
+    # '\t' survives Spark/DuckDB space-only trim as non-blank AND matches
+    # the indent detector — pinned so both engines count it the same way
+    df = spark.createDataFrame([(1, text), (2, ""), (3, "just prose")],
+                               ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in code_profile(df).collect()}
+    assert (rows[1]["n_lines"], rows[1]["code_lines"]) == (6, 4)
+    assert rows[1]["code_ppm"] == (4 * 1000000) // 6
+    assert (rows[2]["n_lines"], rows[2]["code_lines"], rows[2]["code_ppm"]) == (
+        0, 0, 0)
+    assert (rows[3]["n_lines"], rows[3]["code_lines"], rows[3]["code_ppm"]) == (
+        1, 0, 0)
+
+
+def test_code_profile_pure_codegen(spark):
+    from html_parser_spark.ops.text import code_profile
+
+    out = code_profile(
+        spark.createDataFrame([(1, "a;\nb")], ["doc_id", "text"])
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for bad in ("Exchange", "ArrowEvalPython", "BatchEvalPython"):
+        assert bad not in plan, plan

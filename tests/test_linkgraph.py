@@ -440,3 +440,52 @@ def test_graph_job_hits_and_communities(spark, tmp_path, capsys):
     assert got["c.com"]["hub"] == 0
     # every node got a community label
     assert all(r["community"] is not None for r in got.values())
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(
+        [(s, d, 1) for s, d in pairs], ["src", "dst", "weight"]
+    )
+
+
+def test_seed_distance_bfs_min_hops(spark):
+    from html_parser_spark.ops.linkgraph import seed_distance
+
+    # a -> b -> c -> d, plus a shortcut a -> c: dist(c) must be 1, not 2
+    edges = _edges_df(
+        spark, [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"), ("x", "y")]
+    )
+    seeds = spark.createDataFrame([("a",)], ["node"])
+    got = {r["node"]: r["dist"] for r in seed_distance(edges, seeds, 3).collect()}
+    # x/y unreachable from the seed: absent, not infinity rows
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2}
+
+
+def test_seed_distance_hop_cap_and_foreign_seed(spark):
+    from html_parser_spark.ops.linkgraph import seed_distance
+
+    edges = _edges_df(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")])
+    # seed 'z' is not a node in the graph: dropped, contributes nothing
+    seeds = spark.createDataFrame([("a",), ("z",)], ["node"])
+    got = {r["node"]: r["dist"] for r in seed_distance(edges, seeds, 2).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2}  # d, e beyond the cap
+
+
+def test_seed_distance_multi_seed_and_partition_invariance(spark):
+    from html_parser_spark.ops.linkgraph import seed_distance
+
+    pairs = [("a", "b"), ("b", "c"), ("e", "c"), ("e", "f"), ("f", "g")]
+    seeds = spark.createDataFrame([("a",), ("e",)], ["node"])
+    base = {
+        r["node"]: r["dist"]
+        for r in seed_distance(_edges_df(spark, pairs), seeds, 3).collect()
+    }
+    # c is 2 hops from a but 1 hop from e: min wins
+    assert base == {"a": 0, "e": 0, "b": 1, "c": 1, "f": 1, "g": 2}
+    repart = {
+        r["node"]: r["dist"]
+        for r in seed_distance(
+            _edges_df(spark, pairs).repartition(7), seeds, 3
+        ).collect()
+    }
+    assert repart == base

@@ -523,3 +523,86 @@ def test_domain_cap_plan_uses_window_group_limit(spark):
     plan.collect()
     s = plan._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in s, s
+
+
+def _pub_pages(spark, rows):
+    return spark.createDataFrame(
+        [(u, h.encode("utf-8")) for u, h in rows], ["url", "html"]
+    )
+
+
+def test_publication_dates_priority_chain(spark):
+    from html_parser_spark.ops.web import publication_dates
+
+    rows = [
+        # meta beats time beats jsonld beats url
+        ("https://a.example/2001/02/03/p0",
+         '<meta property="article:published_time" content="2020-01-02T08:00:00Z">'
+         '<time datetime="2021-03-04">x</time>'
+         '"datePublished": "2022-05-06"'),
+        ("https://a.example/2001/02/03/p1",
+         '<time datetime="2021-03-04">x</time>"datePublished": "2022-05-06"'),
+        ("https://a.example/2001/02/03/p2", '"datePublished": "2022-05-06"'),
+        ("https://a.example/2001/02/03/p3", "<p>nothing</p>"),
+        ("https://a.example/p4", "<p>nothing</p>"),
+    ]
+    got = {
+        r["url"][-2:]: (r["pub_date"], r["pub_src"])
+        for r in publication_dates(_pub_pages(spark, rows)).collect()
+    }
+    assert got["p0"] == ("2020-01-02", "meta")
+    assert got["p1"] == ("2021-03-04", "time")
+    assert got["p2"] == ("2022-05-06", "jsonld")
+    assert got["p3"] == ("2001-02-03", "url")
+    assert got["p4"] == (None, "none")
+
+
+def test_publication_dates_invalid_dates(spark):
+    from html_parser_spark.ops.web import publication_dates
+
+    rows = [
+        # regex-valid, calendar-invalid: src reports the rule, date is NULL
+        ("https://a.example/p0",
+         '<meta property="article:published_time" content="2023-02-30T00:00:00Z">'),
+        # month 13 fails the SHAPE regex entirely: falls through to the url rule
+        ("https://a.example/2019/11/22/p1", '"datePublished": "2023-13-05"'),
+        # day 00 fails the shape regex; no url date either
+        ("https://a.example/p2", '<time datetime="2023-05-00">x</time>'),
+        # url rule needs the full /YYYY/MM/DD/ segment run, not fragments
+        ("https://a.example/2019/5/22/p3", "<p></p>"),
+    ]
+    got = {
+        r["url"][-2:]: (r["pub_date"], r["pub_src"])
+        for r in publication_dates(_pub_pages(spark, rows)).collect()
+    }
+    assert got["p0"] == (None, "meta")
+    assert got["p1"] == ("2019-11-22", "url")
+    assert got["p2"] == (None, "none")
+    assert got["p3"] == (None, "none")
+
+
+def test_publication_dates_pure_codegen_no_shuffle(spark):
+    from html_parser_spark.ops.web import publication_dates
+
+    out = publication_dates(
+        _pub_pages(spark, [("https://a.example/p0", "<p>x</p>")])
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for bad in ("Exchange", "ArrowEvalPython", "BatchEvalPython"):
+        assert bad not in plan, plan
+
+
+def test_date_cutoff_filter(spark):
+    from html_parser_spark.ops.web import date_cutoff_filter
+
+    df = spark.createDataFrame(
+        [("u0", "2019-06-30"), ("u1", "2019-07-01"), ("u2", None)],
+        ["url", "pub_date"],
+    )
+    kept = {r["url"] for r in date_cutoff_filter(df, "2019-06-30").collect()}
+    assert kept == {"u0", "u2"}
+    strict = {
+        r["url"]
+        for r in date_cutoff_filter(df, "2019-06-30", keep_undated=False).collect()
+    }
+    assert strict == {"u0"}

@@ -1129,6 +1129,62 @@ def main():
         )
     )
 
+    p = plan_of(entrymod.q_click_depth(spark, sf_dir, checkpoint=False))
+    checks.append(
+        (
+            "q_click_depth — seed BFS: per-hop frontier⋈edges equi-join + "
+            "partial-agg distinct + left-anti against the settled set; the "
+            "frontier (not hosts×edges) bounds every hop's shuffle; zero "
+            "Python, no window, no cartesian product",
+            p,
+            ["HashAggregate", "Join"],
+            ["ArrowEvalPython", "BatchEvalPython", "Window",
+             "CartesianProduct"],
+        )
+    )
+
+    p = plan_of(entrymod.q_pub_dates(spark, sf_dir))
+    checks.append(
+        (
+            "q_pub_dates — publication-date extraction: the whole regexp "
+            "priority chain is ONE pure-codegen projection over the page "
+            "scan — zero shuffle, zero Python, no join, no window",
+            p,
+            ["*("],
+            ["Exchange", "ArrowEvalPython", "BatchEvalPython", "Join",
+             "Window", "CartesianProduct"],
+        )
+    )
+
+    p = plan_of(entrymod.q_concentration(spark, sf_dir))
+    checks.append(
+        (
+            "q_concentration — magnitude-bucket Lorenz profile: per-key "
+            "totals with map-side partials, second groupBy bounded by <=63 "
+            "bit-length buckets, cumulative window + 1-row broadcast grand "
+            "totals over that bounded histogram (the SinglePartition window "
+            "is over <=63 rows by construction — same class as pack_shards' "
+            "P-row offsets); zero Python, no cartesian product over data",
+            p,
+            ["HashAggregate", "Window", "BroadcastNestedLoopJoin"],
+            ["ArrowEvalPython", "BatchEvalPython", "SortMergeJoin"],
+        )
+    )
+
+    p = plan_of(entrymod.q_code_profile(spark, sf_dir))
+    checks.append(
+        (
+            "q_code_profile — code-vs-prose routing: split + two "
+            "higher-order array filters + integer ppm, ONE pure-codegen "
+            "projection over the scan — zero shuffle, zero Python, no "
+            "join, no window",
+            p,
+            ["*("],
+            ["Exchange", "ArrowEvalPython", "BatchEvalPython", "Join",
+             "Window", "CartesianProduct"],
+        )
+    )
+
     p = plan_of(entrymod.q_dom_templates(spark, sf_dir))
     checks.append(
         (
