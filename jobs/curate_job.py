@@ -197,6 +197,14 @@ def main(argv=None):
                          "encoded UTF-8 signatures + U+FFFD, ppm of chars "
                          "— ops/encoding.mojibake_score) exceeds this "
                          "(0 = off)")
+    ap.add_argument("--code-route", default="",
+                    help="route code-heavy docs (ops/text.code_profile "
+                         "code_ppm > --code-max-ppm) OUT of the NL stream "
+                         "into this parquet dir — the separate-stream "
+                         "split code corpora are built from; runs after "
+                         "the mojibake gate, before the quality battery")
+    ap.add_argument("--code-max-ppm", type=int, default=500000,
+                    help="code_ppm routing threshold for --code-route")
     ap.add_argument("--c4-lines", action="store_true",
                     help="apply C4 line-level cleaning (terminal punct, "
                          ">=3 words, no javascript; drop lorem-ipsum/"
@@ -322,6 +330,23 @@ def main(argv=None):
             .select("doc_id")
         )
         docs = docs.join(clean_ids, "doc_id", "left_semi")
+    n_code_routed = None
+    if args.code_route:
+        # code-vs-prose routing BEFORE the NL quality battery: C4/Gopher
+        # style gates are calibrated for prose and would junk legitimate
+        # code, so code-heavy docs leave the stream here (one codegen
+        # projection + doc_id semi-joins) and land in their own parquet
+        # for a code-calibrated pipeline to pick up
+        from html_parser_spark.ops.text import code_profile
+
+        prof = code_profile(docs).select("doc_id", "code_ppm")
+        code_ids = prof.where(
+            F.col("code_ppm") > args.code_max_ppm
+        ).select("doc_id")
+        code_stream = docs.join(code_ids, "doc_id", "left_semi")
+        code_stream.write.mode("overwrite").parquet(args.code_route)
+        n_code_routed = spark.read.parquet(args.code_route).count()
+        docs = docs.join(code_ids, "doc_id", "left_anti")
     n_before_c4 = None
     if args.c4_lines:
         # C4 line-level cleaning BEFORE the doc-level gates: lines that
@@ -475,6 +500,8 @@ def main(argv=None):
         **({"captures_in": n_captures} if n_captures is not None else {}),
         **({"before_mojibake": n_before_mojibake}
            if n_before_mojibake is not None else {}),
+        **({"code_routed": n_code_routed}
+           if n_code_routed is not None else {}),
         **({"before_c4_lines": n_before_c4} if n_before_c4 is not None else {}),
         **funnel,
         "splits": splits,

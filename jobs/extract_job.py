@@ -97,6 +97,16 @@ def main(argv=None):
              "original payload bytes and digests)",
     )
     ap.add_argument(
+        "--pub-dates", default="",
+        help="also extract per-page publication dates (ops/web."
+             "publication_dates: meta article:published_time > <time "
+             "datetime> > JSON-LD datePublished > /YYYY/MM/DD/ permalink) "
+             "and write the (url, pub_date, pub_src) sidecar parquet into "
+             "this dir — the temporal axis downstream cutoff filters and "
+             "time-sliced evals consume.  Pure-codegen projection over the "
+             "processed page set (after --limit/--robots)",
+    )
+    ap.add_argument(
         "--max-html-bytes", type=int, default=8 * 1024 * 1024,
         help="route pages over this size around the parse as fmt='oversized' "
              "(bounds worst-case task time at crawl scale; 0 disables)",
@@ -217,6 +227,19 @@ def main(argv=None):
             pages, parse_robots(robots), groups=robots_groups(robots)
         )
 
+    n_pub = None
+    if args.pub_dates:
+        from pyspark.sql import functions as F
+
+        from html_parser_spark.ops.web import publication_dates
+
+        dated = publication_dates(pages)
+        dated.write.mode("overwrite").parquet(args.pub_dates)
+        dated = spark.read.parquet(args.pub_dates)
+        n_pub = int(
+            dated.filter(F.col("pub_date").isNotNull()).count()
+        )
+
     if args.markdown:
         from pyspark.sql import functions as F
 
@@ -257,6 +280,7 @@ def main(argv=None):
                ("docs", "blocks", "bytes_in", "md_chars")},
             **({"wet_parts": n_wet} if n_wet is not None else {}),
             **({"cdx_shards": n_cdx} if n_cdx is not None else {}),
+            **({"pub_dated": n_pub} if n_pub is not None else {}),
             **({"dedup_warc_parts": n_dedup_warc}
                if n_dedup_warc is not None else {}),
         }))
@@ -300,6 +324,7 @@ def main(argv=None):
             "mimes": {k: int(v) for k, v in sorted(mimes.items())},
             **({"wet_parts": n_wet} if n_wet is not None else {}),
             **({"cdx_shards": n_cdx} if n_cdx is not None else {}),
+            **({"pub_dated": n_pub} if n_pub is not None else {}),
             **({"dedup_warc_parts": n_dedup_warc}
                if n_dedup_warc is not None else {}),
         }))
@@ -355,6 +380,7 @@ def main(argv=None):
                ("docs", "content_blocks", "bytes_in", "content_chars")},
             **({"wet_parts": n_wet} if n_wet is not None else {}),
             **({"cdx_shards": n_cdx} if n_cdx is not None else {}),
+            **({"pub_dated": n_pub} if n_pub is not None else {}),
             **({"dedup_warc_parts": n_dedup_warc}
                if n_dedup_warc is not None else {}),
         }))
@@ -416,6 +442,7 @@ def main(argv=None):
         },
         **({"wet_parts": n_wet} if n_wet is not None else {}),
         **({"cdx_shards": n_cdx} if n_cdx is not None else {}),
+        **({"pub_dated": n_pub} if n_pub is not None else {}),
         **({"dedup_warc_parts": n_dedup_warc}
            if n_dedup_warc is not None else {}),
     }))

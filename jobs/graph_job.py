@@ -44,6 +44,16 @@ def main(argv=None):
     ap.add_argument("--communities", action="store_true",
                     help="also run deterministic label propagation and "
                          "join the community id onto ranks")
+    ap.add_argument("--seeds", default="",
+                    help="comma-separated trusted seed hosts (required by "
+                         "--trustrank / --seed-depth)")
+    ap.add_argument("--trustrank", action="store_true",
+                    help="also run seed-gated TrustRank (spam demotion) and "
+                         "join the trust mass onto ranks")
+    ap.add_argument("--seed-depth", type=int, default=0,
+                    help="also compute min click-depth from the seed set "
+                         "(BFS, this many hops) and join seed_dist onto "
+                         "ranks (unreached hosts stay NULL)")
     ap.add_argument("--limit", type=int, default=0)
     args = ap.parse_args(argv)
 
@@ -101,6 +111,32 @@ def main(argv=None):
         out = out.join(
             label_propagation(edges, iterations=args.iterations), "node", "left"
         )
+    if args.trustrank or args.seed_depth > 0:
+        if not args.seeds:
+            raise SystemExit("--trustrank/--seed-depth require --seeds")
+        seeds = spark.createDataFrame(
+            [(h.strip(),) for h in args.seeds.split(",") if h.strip()],
+            ["node"],
+        )
+        if args.trustrank:
+            from html_parser_spark.ops.linkgraph import trustrank_fixed_point
+
+            out = out.join(
+                trustrank_fixed_point(
+                    edges, seeds, iterations=args.iterations
+                ).withColumnRenamed("rank", "trust"),
+                "node",
+                "left",
+            )
+        if args.seed_depth > 0:
+            from html_parser_spark.ops.linkgraph import seed_distance
+
+            out = out.join(
+                seed_distance(edges, seeds, max_hops=args.seed_depth)
+                .withColumnRenamed("dist", "seed_dist"),
+                "node",
+                "left",
+            )
     if args.budget_pages > 0:
         out = crawl_budget(out, args.budget_pages)
     out.write.mode("overwrite").parquet(os.path.join(args.output, "ranks"))
@@ -121,6 +157,9 @@ def main(argv=None):
         "top_rank": int(top["rank"]) if top else 0,
         **({"communities": int(out.select("community").distinct().count())}
            if args.communities else {}),
+        **({"seed_reached": int(
+                out.filter(F.col("seed_dist").isNotNull()).count())}
+           if args.seed_depth > 0 else {}),
     }))
 
 

@@ -578,3 +578,44 @@ def test_datacard_job_manifest_and_drift(spark, tmp_path, capsys):
     assert stats["drift_tvd_ppm"] == 300000
     card = json.load(open(os.path.join(out, "datacard.json")))
     assert card["drift_tvd_ppm"] == 300000
+
+
+def test_curate_job_code_route(spark, tmp_path, capsys):
+    """--code-route splits code-heavy docs out of the NL stream BEFORE the
+    quality battery: they land in their own parquet, the survivors table
+    never sees them, and the funnel reports the routing."""
+    import jobs.curate_job as cj
+
+    prose = [
+        (i, " ".join(f"w{i}{j} word{j} token{j}" for j in range(6)), "en")
+        for i in range(4)
+    ]
+    code = [
+        (77,
+         "import os\nimport sys\n    x = 1;\n    y = 2;\nreturn x;\n"
+         "def f():\n    pass\nz = {\n}\n",
+         "en"),
+    ]
+    docs_dir = str(tmp_path / "docs_in")
+    spark.createDataFrame(
+        prose + code, "doc_id long, text string, lang string"
+    ).write.parquet(docs_dir)
+
+    out = str(tmp_path / "curated")
+    code_dir = str(tmp_path / "code_stream")
+    cj.main([
+        "--docs", docs_dir,
+        "--output", out,
+        "--min-tokens", "3",
+        "--code-route", code_dir,
+        "--code-max-ppm", "500000",
+        "--num-hashes", "4",
+        "--bands", "2",
+    ])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["code_routed"] == 1
+    assert stats["docs_in"] == 4  # routing ran before the funnel counted
+    routed = spark.read.parquet(code_dir)
+    assert {r["doc_id"] for r in routed.collect()} == {77}
+    surv = spark.read.parquet(os.path.join(out, "docs"))
+    assert 77 not in {r["doc_id"] for r in surv.select("doc_id").collect()}

@@ -489,3 +489,39 @@ def test_seed_distance_multi_seed_and_partition_invariance(spark):
         ).collect()
     }
     assert repart == base
+
+
+def test_graph_job_trustrank_and_seed_depth(spark, tmp_path, capsys):
+    """--seeds + --trustrank/--seed-depth join trust mass and click depth
+    onto the ranks table; hosts unreachable from the seeds get trust 0 and
+    a NULL seed_dist."""
+    import json as _json
+
+    import jobs.graph_job as gj
+
+    pages = [
+        ("https://a.com/1",
+         b'<html><body><a href="https://b.com/x">b</a></body></html>'),
+        ("https://b.com/2",
+         b'<html><body><a href="https://c.com/z">c</a></body></html>'),
+        # spam island: links only to itself and its twin
+        ("https://s1.spam/1",
+         b'<html><body><a href="https://s2.spam/x">s2</a></body></html>'),
+        ("https://s2.spam/1",
+         b'<html><body><a href="https://s1.spam/x">s1</a></body></html>'),
+    ]
+    src = str(tmp_path / "pages")
+    spark.createDataFrame(pages, ["url", "html"]).write.parquet(src)
+    out = str(tmp_path / "graph")
+    gj.main(["--pages", src, "--output", out, "--partitions", "2",
+             "--seeds", "a.com", "--trustrank", "--seed-depth", "3"])
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["seed_reached"] == 3  # a.com, b.com, c.com
+    got = {r["node"]: r for r in
+           spark.read.parquet(f"{out}/ranks").collect()}
+    assert got["a.com"]["seed_dist"] == 0
+    assert got["b.com"]["seed_dist"] == 1
+    assert got["c.com"]["seed_dist"] == 2
+    assert got["s1.spam"]["seed_dist"] is None
+    assert got["s1.spam"]["trust"] == 0 and got["s2.spam"]["trust"] == 0
+    assert got["a.com"]["trust"] > 0

@@ -606,3 +606,40 @@ def test_date_cutoff_filter(spark):
         for r in date_cutoff_filter(df, "2019-06-30", keep_undated=False).collect()
     }
     assert strict == {"u0"}
+
+
+def test_extract_job_pub_dates_sidecar(spark, tmp_path, capsys):
+    """--pub-dates writes the (url, pub_date, pub_src) temporal sidecar
+    and the report counts the dated pages."""
+    import json as _json
+
+    import jobs.extract_job as ej
+
+    pages = [
+        ("https://a.example/2020/05/06/post",
+         b"<html><body><p>permalink dated</p></body></html>"),
+        ("https://a.example/plain",
+         b'<html><head><meta property="article:published_time" '
+         b'content="2021-07-08T00:00:00Z"></head><body>x</body></html>'),
+        ("https://a.example/undated",
+         b"<html><body><p>nothing</p></body></html>"),
+    ]
+    src = str(tmp_path / "pages")
+    spark.createDataFrame(pages, ["url", "html"]).withColumn(
+        "lang", F.lit("en")
+    ).withColumn(
+        "warc_ts", F.timestamp_seconds(F.lit(1704067200))
+    ).write.parquet(src)
+    out = str(tmp_path / "results")
+    side = str(tmp_path / "pub")
+    ej.main([
+        "--pages", src, "--output", out, "--partitions", "2",
+        "--pub-dates", side,
+    ])
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["pub_dated"] == 2
+    got = {r["url"]: (r["pub_date"], r["pub_src"])
+           for r in spark.read.parquet(side).collect()}
+    assert got["https://a.example/2020/05/06/post"] == ("2020-05-06", "url")
+    assert got["https://a.example/plain"] == ("2021-07-08", "meta")
+    assert got["https://a.example/undated"] == (None, "none")
