@@ -3412,6 +3412,38 @@ def q_code_profile(spark, sf_dir):
     )
     return code_profile(aug)
 
+def q_bpe_roundtrip(spark, sf_dir):
+    """Tokenizer release-QA (ops/bpe.bpe_decode + bpe_roundtrip_check):
+    decode∘encode identity over the whole corpus.  Encode splits on
+    whitespace, lowercases, and marks word ends with </w>, so decode is
+    closed-form (drop inter-token spaces, </w> → space, trim) and MUST
+    reconstruct the whitespace-normalized lowercased source exactly.
+    The oracle states the identity property itself (every doc_id, ok =
+    TRUE): a Spark-side decode defect (dropped marker, wrong join order,
+    symbol damage) emits false rows and hash-mismatches."""
+    from html_parser_spark.ops.bpe import bpe_encode, bpe_roundtrip_check
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.regexp_replace("text", "‖", "").alias("text")
+    )
+    return bpe_roundtrip_check(docs, bpe_encode(docs, _bpe_seed_merges()))
+
+
+def q_cocitation(spark, sf_dir):
+    """Co-citation related hosts (ops/linkgraph.cocitation_pairs) over the
+    shared synthetic graph: hosts are related when the same third hosts
+    link to both (Dean & Henzinger 1999).  max_out_degree=8 actually
+    prunes the synthetic graph's widest citers (the stop-shingle df cap
+    of the graph), min_common=2; Jaccard over in-link sets in integer
+    basis points, in-degrees defined over the SAME capped postings.  The
+    oracle replays postings/cap/pair-join/degree-join verbatim —
+    hash-exact."""
+    docs = _docs(spark, sf_dir)
+    from html_parser_spark.ops.linkgraph import cocitation_pairs
+
+    edges = _synth_host_edges(docs)
+    return cocitation_pairs(edges, min_common=2, max_out_degree=8)
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-query CORRECTNESS window rotates coverage.
 
@@ -3508,6 +3540,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pub_dates": q_pub_dates,
         "q_concentration": q_concentration,
         "q_code_profile": q_code_profile,
+        "q_bpe_roundtrip": q_bpe_roundtrip,
+        "q_cocitation": q_cocitation,
         # -- longest-unexposed veterans (driver-green in round 3, pushed
         #    past the window by the round-4 additions) --
         "q_filter_project": q_filter_project,
@@ -3778,6 +3812,38 @@ SELECT d.doc_id,
                  THEN (a.code_lines * 1000000) // a.n_lines
                  ELSE 0 END AS BIGINT) AS code_ppm
 FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+"""
+
+
+_BPE_ROUNDTRIP_ORACLE = """
+SELECT doc_id, TRUE AS ok FROM documents
+"""
+
+_COCITATION_ORACLE = r"""
+WITH e0 AS (
+  SELECT doc_id % 40 AS s, (doc_id * 7 + 3) % 40 AS t FROM documents
+  UNION ALL
+  SELECT doc_id % 40, (doc_id * 13 + 11) % 45 FROM documents
+), edges AS (
+  SELECT DISTINCT 'h' || s AS src, 'h' || t AS dst FROM e0 WHERE s <> t
+), deg AS (
+  SELECT src, COUNT(*) AS d FROM edges GROUP BY src
+), posts AS (
+  SELECT e.src, e.dst FROM edges e JOIN deg USING (src) WHERE deg.d <= 8
+), indeg AS (
+  SELECT dst, CAST(COUNT(*) AS BIGINT) AS deg FROM posts GROUP BY dst
+), pairs AS (
+  SELECT a.dst AS host_a, b.dst AS host_b,
+         CAST(COUNT(*) AS BIGINT) AS common
+  FROM posts a JOIN posts b ON a.src = b.src AND a.dst < b.dst
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)
+SELECT p.host_a, p.host_b, p.common,
+       CAST((p.common * 10000) // (ia.deg + ib.deg - p.common) AS BIGINT)
+         AS jaccard_bp
+FROM pairs p
+JOIN indeg ia ON ia.dst = p.host_a
+JOIN indeg ib ON ib.dst = p.host_b
 """
 
 
@@ -5863,6 +5929,8 @@ def oracle_sql() -> dict[str, str]:
         "q_pub_dates": _PUB_DATES_ORACLE,
         "q_concentration": _CONCENTRATION_ORACLE,
         "q_code_profile": _CODE_PROFILE_ORACLE,
+        "q_bpe_roundtrip": _BPE_ROUNDTRIP_ORACLE,
+        "q_cocitation": _COCITATION_ORACLE,
         "q_dom_templates": """
             -- identical page synthesis, then DuckDB's own regexp+md5
             -- recompute the structural signature: a hash match proves the

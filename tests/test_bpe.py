@@ -170,3 +170,53 @@ def test_fertility_by_group(spark):
     assert got["en"]["n_tokens"] == n_tok
     assert got["en"]["fertility"] == round(n_tok / 3, 4)
     assert got["xx"]["n_words"] == 0 and got["xx"]["fertility"] is None
+
+
+def test_bpe_decode_roundtrip_identity(spark):
+    from html_parser_spark.ops.bpe import (
+        bpe_encode,
+        bpe_roundtrip_check,
+        train_bpe,
+    )
+
+    merges = train_bpe(
+        [("lower", 9), ("low", 7), ("newest", 6), ("widest", 3)], n_merges=8
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "  Low lower LOWEST\nnewest   widest  "),
+            (2, "unseen synergy tokens"),
+            (3, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    enc = bpe_encode(docs, merges)
+    got = {r["doc_id"]: r["ok"]
+           for r in bpe_roundtrip_check(docs, enc).collect()}
+    assert got == {1: True, 2: True, 3: True}
+
+
+def test_bpe_decode_detects_damage(spark):
+    from pyspark.sql import functions as F
+
+    from html_parser_spark.ops.bpe import (
+        bpe_encode,
+        bpe_roundtrip_check,
+        train_bpe,
+    )
+
+    merges = train_bpe([("ab", 5)], n_merges=2)
+    docs = spark.createDataFrame([(1, "ab ab")], ["doc_id", "text"])
+    enc = bpe_encode(docs, merges).withColumn(
+        "bpe_text", F.concat(F.col("bpe_text"), F.lit(" x</w>"))
+    )
+    assert bpe_roundtrip_check(docs, enc).collect()[0]["ok"] is False
+
+
+def test_bpe_decode_pure_codegen(spark):
+    from html_parser_spark.ops.bpe import bpe_decode
+
+    df = spark.createDataFrame([("a b</w>",)], ["bpe_text"])
+    plan = bpe_decode(df)._jdf.queryExecution().executedPlan().toString()
+    for bad in ("Exchange", "ArrowEvalPython", "BatchEvalPython"):
+        assert bad not in plan, plan

@@ -1185,6 +1185,34 @@ def main():
         )
     )
 
+    p = plan_of(entrymod.q_bpe_roundtrip(spark, sf_dir))
+    checks.append(
+        (
+            "q_bpe_roundtrip — tokenizer decode QA: ONE MapInPandas encode "
+            "stage, pure-codegen decode (two replaces), ONE doc_id "
+            "equi-join for the identity check; no window, no cartesian "
+            "product",
+            p,
+            ["MapInPandas", "Join"],
+            ["CartesianProduct", "Window", "BatchEvalPython"],
+        )
+    )
+
+    p = plan_of(entrymod.q_cocitation(spark, sf_dir))
+    checks.append(
+        (
+            "q_cocitation — related-hosts mining: distinct postings, "
+            "out-degree df-cap semi-join pruning directory hosts BEFORE "
+            "the posting self-join (fan-out <= cap^2 per citer), pair "
+            "groupBy with map-side partials, two bounded degree joins; "
+            "zero Python, no window, no cartesian product",
+            p,
+            ["HashAggregate", "Join"],
+            ["CartesianProduct", "ArrowEvalPython", "BatchEvalPython",
+             "Window"],
+        )
+    )
+
     p = plan_of(entrymod.q_dom_templates(spark, sf_dir))
     checks.append(
         (
