@@ -3444,6 +3444,67 @@ def q_cocitation(spark, sf_dir):
     edges = _synth_host_edges(docs)
     return cocitation_pairs(edges, min_common=2, max_out_degree=8)
 
+def q_norm_dedup(spark, sf_dir):
+    """Normalized exact dedup (ops/dedup.normalized_duplicates): the
+    RefinedWeb/CCNet tier between byte-identical and MinHash — lowercase
+    + strip-all-non-alphanumerics + md5, so re-punctuated / re-flowed
+    syndication copies collapse.  Each doc gets a mangled twin at
+    doc_id+10000 (spaces → '---', trailing ' ...!!!') that must land in
+    the SAME group with the original as min-id canonical; the oracle
+    rebuilds the twins and the identical normalization chain in SQL."""
+    from html_parser_spark.ops.dedup import normalized_duplicates
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    twins = docs.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(
+            F.regexp_replace("text", " ", "---"), F.lit(" ...!!!")
+        ).alias("text"),
+    )
+    return normalized_duplicates(docs.unionByName(twins))
+
+
+def q_dedup_prf(spark, sf_dir):
+    """Dedup-QA pair precision/recall (ops/dedup.dedup_prf) over
+    arithmetically labeled pairs: labels = (i, i+300) for i<200;
+    predictions drop every i%5==0 (misses), arrive REVERSED (orientation
+    canonicalization pinned), are emitted twice for i%11==0 (distinct
+    pinned), and add false pairs (i, i+301) for i%7==0 plus a self-pair
+    (7,7) that must be filtered.  One row of exact ppm metrics; the
+    oracle replays the same arithmetic and the multiset-Dice f1."""
+    from html_parser_spark.ops.dedup import dedup_prf
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    labeled = docs.filter(d < 200).select(
+        d.alias("a"), (d + 300).alias("b")
+    )
+    hits = docs.filter((d < 200) & (d % 5 != 0)).select(
+        (d + 300).alias("a"), d.alias("b")
+    )
+    dups = docs.filter((d < 200) & (d % 5 != 0) & (d % 11 == 0)).select(
+        (d + 300).alias("a"), d.alias("b")
+    )
+    fps = docs.filter((d < 200) & (d % 7 == 0)).select(
+        d.alias("a"), (d + 301).alias("b")
+    )
+    selfp = docs.filter(d == 7).select(d.alias("a"), d.alias("b"))
+    predicted = hits.unionByName(dups).unionByName(fps).unionByName(selfp)
+    return dedup_prf(predicted, labeled)
+
+def q_gate_ablation(spark, sf_dir):
+    """Quality-gate ablation table (ops/gopher.gate_ablation) over the
+    Gopher battery: per rule, how many docs it kills and how many it
+    ALONE kills (its marginal value — the C4/Gopher/RefinedWeb release
+    table and the threshold-tuning signal).  All 15 counters accumulate
+    in ONE map-side aggregate; the oracle replays the full flag
+    arithmetic (the q_gopher CTEs) and the same FILTER aggregations per
+    rule — hash-exact integer ppm."""
+    from html_parser_spark.ops.gopher import gate_ablation, gopher_rules
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return gate_ablation(gopher_rules(docs, min_words=30))
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-query CORRECTNESS window rotates coverage.
 
@@ -3542,6 +3603,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_code_profile": q_code_profile,
         "q_bpe_roundtrip": q_bpe_roundtrip,
         "q_cocitation": q_cocitation,
+        "q_norm_dedup": q_norm_dedup,
+        "q_dedup_prf": q_dedup_prf,
+        "q_gate_ablation": q_gate_ablation,
         # -- longest-unexposed veterans (driver-green in round 3, pushed
         #    past the window by the round-4 additions) --
         "q_filter_project": q_filter_project,
@@ -3844,6 +3908,161 @@ SELECT p.host_a, p.host_b, p.common,
 FROM pairs p
 JOIN indeg ia ON ia.dst = p.host_a
 JOIN indeg ib ON ib.dst = p.host_b
+"""
+
+
+_NORM_DEDUP_ORACLE = r"""
+WITH u AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000,
+         replace(text, ' ', '---') || ' ...!!!'
+  FROM documents
+), k AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')) AS h
+  FROM u
+)
+SELECT h, CAST(COUNT(*) AS BIGINT) AS dup_count,
+       MIN(doc_id) AS canonical_id
+FROM k GROUP BY h
+"""
+
+_DEDUP_PRF_ORACLE = r"""
+WITH labeled AS (
+  SELECT doc_id AS _a, doc_id + 300 AS _b FROM documents WHERE doc_id < 200
+), pred AS (
+  SELECT DISTINCT LEAST(a, b) AS _a, GREATEST(a, b) AS _b FROM (
+    SELECT doc_id + 300 AS a, doc_id AS b FROM documents
+    WHERE doc_id < 200 AND doc_id % 5 <> 0
+    UNION ALL
+    SELECT doc_id + 300, doc_id FROM documents
+    WHERE doc_id < 200 AND doc_id % 5 <> 0 AND doc_id % 11 = 0
+    UNION ALL
+    SELECT doc_id, doc_id + 301 FROM documents
+    WHERE doc_id < 200 AND doc_id % 7 = 0
+  ) t WHERE a <> b
+), tp AS (
+  SELECT COUNT(*) AS tp FROM pred p JOIN labeled l
+    ON p._a = l._a AND p._b = l._b
+), c AS (
+  SELECT CAST((SELECT COUNT(*) FROM pred) AS BIGINT) AS n_pred,
+         CAST((SELECT COUNT(*) FROM labeled) AS BIGINT) AS n_labeled,
+         CAST((SELECT tp FROM tp) AS BIGINT) AS tp
+)
+SELECT n_pred, n_labeled, tp,
+       CAST(CASE WHEN n_pred > 0 THEN (tp * 1000000) // n_pred
+                 ELSE 0 END AS BIGINT) AS precision_ppm,
+       CAST(CASE WHEN n_labeled > 0 THEN (tp * 1000000) // n_labeled
+                 ELSE 0 END AS BIGINT) AS recall_ppm,
+       CAST(CASE WHEN n_pred + n_labeled > 0
+                 THEN (2 * tp * 1000000) // (n_pred + n_labeled)
+                 ELSE 0 END AS BIGINT) AS f1_ppm
+FROM c
+"""
+
+
+_GATE_ABLATION_ORACLE = r"""
+            WITH g AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\s+') AS toks,
+                     string_split(text, chr(10)) AS lines,
+                     CAST(length(regexp_replace(text, '\s+', '', 'g'))
+                          AS BIGINT) AS word_chars,
+                     CAST(length(text) - length(replace(text, '#', ''))
+                          AS BIGINT)
+                     + CAST(length(text) - length(replace(text, '…', ''))
+                          AS BIGINT)
+                     + CAST((length(text) - length(replace(text, '...', '')))
+                            // 3 AS BIGINT) AS symbols
+              FROM documents
+            ), m AS (
+              SELECT doc_id, word_chars, symbols,
+                     CAST(len(toks) AS BIGINT) AS n_words,
+                     CAST(len(lines) AS BIGINT) AS n_lines,
+                     CAST(len(list_filter(lines,
+                          x -> regexp_matches(ltrim(x), '^[•*-]')))
+                          AS BIGINT) AS bullet_lines,
+                     CAST(len(list_filter(lines,
+                          x -> regexp_matches(rtrim(x), '(\.\.\.|…)$')))
+                          AS BIGINT) AS ellipsis_lines,
+                     CAST(len(list_filter(toks,
+                          x -> regexp_matches(x, '[A-Za-z]')))
+                          AS BIGINT) AS alpha_words,
+                     len(list_filter(['the','be','to','of','and','that',
+                                      'have','with'],
+                          w -> list_contains(list_transform(toks,
+                               x -> lower(x)), w))) AS stop_hits
+              FROM g
+            ), f AS (
+              SELECT (n_words >= 30 AND n_words <= 100000) AS r0,
+                     (word_chars >= 3 * n_words AND word_chars <= 10 * n_words) AS r1,
+                     (10 * symbols <= n_words) AS r2,
+                     (10 * bullet_lines <= 9 * n_lines) AS r3,
+                     (10 * ellipsis_lines <= 3 * n_lines) AS r4,
+                     (5 * alpha_words >= 4 * n_words) AS r5,
+                     (stop_hits >= 2) AS r6
+              FROM m
+            ), t AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS total FROM f
+            ), k AS (
+              SELECT 'keep_word_count' AS rule,
+                     CAST(COUNT(*) FILTER (WHERE NOT r0) AS BIGINT)
+                       AS kills,
+                     CAST(COUNT(*) FILTER (WHERE NOT r0 AND r1 AND r2 AND r3 AND r4 AND r5 AND r6)
+                          AS BIGINT) AS unique_kills
+              FROM f
+              UNION ALL
+              SELECT 'keep_mean_len' AS rule,
+                     CAST(COUNT(*) FILTER (WHERE NOT r1) AS BIGINT)
+                       AS kills,
+                     CAST(COUNT(*) FILTER (WHERE NOT r1 AND r0 AND r2 AND r3 AND r4 AND r5 AND r6)
+                          AS BIGINT) AS unique_kills
+              FROM f
+              UNION ALL
+              SELECT 'keep_symbol_ratio' AS rule,
+                     CAST(COUNT(*) FILTER (WHERE NOT r2) AS BIGINT)
+                       AS kills,
+                     CAST(COUNT(*) FILTER (WHERE NOT r2 AND r0 AND r1 AND r3 AND r4 AND r5 AND r6)
+                          AS BIGINT) AS unique_kills
+              FROM f
+              UNION ALL
+              SELECT 'keep_bullets' AS rule,
+                     CAST(COUNT(*) FILTER (WHERE NOT r3) AS BIGINT)
+                       AS kills,
+                     CAST(COUNT(*) FILTER (WHERE NOT r3 AND r0 AND r1 AND r2 AND r4 AND r5 AND r6)
+                          AS BIGINT) AS unique_kills
+              FROM f
+              UNION ALL
+              SELECT 'keep_ellipsis_lines' AS rule,
+                     CAST(COUNT(*) FILTER (WHERE NOT r4) AS BIGINT)
+                       AS kills,
+                     CAST(COUNT(*) FILTER (WHERE NOT r4 AND r0 AND r1 AND r2 AND r3 AND r5 AND r6)
+                          AS BIGINT) AS unique_kills
+              FROM f
+              UNION ALL
+              SELECT 'keep_alpha' AS rule,
+                     CAST(COUNT(*) FILTER (WHERE NOT r5) AS BIGINT)
+                       AS kills,
+                     CAST(COUNT(*) FILTER (WHERE NOT r5 AND r0 AND r1 AND r2 AND r3 AND r4 AND r6)
+                          AS BIGINT) AS unique_kills
+              FROM f
+              UNION ALL
+              SELECT 'keep_stopwords' AS rule,
+                     CAST(COUNT(*) FILTER (WHERE NOT r6) AS BIGINT)
+                       AS kills,
+                     CAST(COUNT(*) FILTER (WHERE NOT r6 AND r0 AND r1 AND r2 AND r3 AND r4 AND r5)
+                          AS BIGINT) AS unique_kills
+              FROM f
+            )
+            SELECT rule, kills, unique_kills,
+                   CAST(CASE WHEN total > 0
+                        THEN (kills * 1000000) // total ELSE 0 END
+                        AS BIGINT) AS kills_ppm,
+                   CAST(CASE WHEN total > 0
+                        THEN (unique_kills * 1000000) // total ELSE 0 END
+                        AS BIGINT) AS unique_kills_ppm
+            FROM k, t
 """
 
 
@@ -5931,6 +6150,9 @@ def oracle_sql() -> dict[str, str]:
         "q_code_profile": _CODE_PROFILE_ORACLE,
         "q_bpe_roundtrip": _BPE_ROUNDTRIP_ORACLE,
         "q_cocitation": _COCITATION_ORACLE,
+        "q_norm_dedup": _NORM_DEDUP_ORACLE,
+        "q_dedup_prf": _DEDUP_PRF_ORACLE,
+        "q_gate_ablation": _GATE_ABLATION_ORACLE,
         "q_dom_templates": """
             -- identical page synthesis, then DuckDB's own regexp+md5
             -- recompute the structural signature: a hash match proves the

@@ -581,3 +581,93 @@ def incremental_lsh_dedup(
             ).alias("dup_of"),
         )
     )
+
+
+def normalized_text_key(col) -> "F.Column":
+    """Aggressive normalization key for near-exact dedup (the RefinedWeb /
+    CCNet "normalized exact" tier between byte-identical and MinHash):
+    lowercase, strip every non-alphanumeric character (punctuation,
+    whitespace, markup residue all vanish), md5 the residue.  Two pages
+    differing only in casing, punctuation, or re-flowed whitespace —
+    the classic syndication/mirror edit distance — collapse to one key;
+    plain character classes so Java regex ≡ RE2 and the oracle replays
+    the identical key.  Pure codegen."""
+    norm = F.regexp_replace(F.lower(col), "[^a-z0-9]+", "")
+    return F.md5(F.encode(norm, "UTF-8"))
+
+
+def normalized_duplicates(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """`exact_duplicates` on the normalized key: ONE pure-codegen
+    projection (the shuffle key is 32 bytes regardless of page size) +
+    ONE partial-agg groupBy, deterministic min-id survivor election.
+    Returns (h, dup_count, canonical_id)."""
+    return (
+        docs.select(
+            F.col("doc_id"),
+            normalized_text_key(F.col(text_col)).alias("h"),
+        )
+        .groupBy("h")
+        .agg(
+            F.count("*").cast("long").alias("dup_count"),
+            F.min("doc_id").alias("canonical_id"),
+        )
+    )
+
+
+def dedup_prf(
+    predicted: DataFrame,
+    labeled: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Dedup-QA pair-level precision/recall/F1 — the duplicate-DETECTION
+    twin of ops/text.token_prf's extraction QA: whenever the dedup
+    recipe changes (shingle k, bands, thresholds), score its predicted
+    duplicate pairs against a labeled sample before the new config
+    touches the corpus.
+
+    Both inputs are pair tables; orientation is canonicalized
+    (min, max) and exact duplicates dropped, so metrics count UNORDERED
+    distinct pairs.  tp = inner join on the canonical pair; precision =
+    tp/|pred|, recall = tp/|labeled|, f1 = 2tp/(|pred|+|labeled|)
+    (multiset-Dice identity — no float harmonic mean), all exact BIGINT
+    ppm; empty sides degrade to 0, never divide-by-zero.
+
+    Scale shape: two pure-codegen canonicalizations + distincts, ONE
+    pair equi-join, three 1-row counts — the labeled sample is small by
+    construction, so every join broadcasts.  Returns one row
+    (n_pred, n_labeled, tp, precision_ppm, recall_ppm, f1_ppm)."""
+
+    def canon(df):
+        lo = F.least(F.col(a_col), F.col(b_col))
+        hi = F.greatest(F.col(a_col), F.col(b_col))
+        return (
+            df.filter(F.col(a_col) != F.col(b_col))
+            .select(lo.alias("_a"), hi.alias("_b"))
+            .distinct()
+        )
+
+    p = canon(predicted)
+    l = canon(labeled)
+    tp = p.join(l, ["_a", "_b"])
+    counts = (
+        p.agg(F.count("*").cast("long").alias("n_pred"))
+        .crossJoin(l.agg(F.count("*").cast("long").alias("n_labeled")))
+        .crossJoin(tp.agg(F.count("*").cast("long").alias("tp")))
+    )
+    z = F.lit(0).cast("long")
+    return counts.select(
+        "n_pred",
+        "n_labeled",
+        "tp",
+        F.when(F.col("n_pred") > 0, F.expr("(tp * 1000000) div n_pred"))
+        .otherwise(z).alias("precision_ppm"),
+        F.when(F.col("n_labeled") > 0, F.expr("(tp * 1000000) div n_labeled"))
+        .otherwise(z).alias("recall_ppm"),
+        F.when(
+            F.col("n_pred") + F.col("n_labeled") > 0,
+            F.expr("(2 * tp * 1000000) div (n_pred + n_labeled)"),
+        ).otherwise(z).alias("f1_ppm"),
+    )

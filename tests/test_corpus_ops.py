@@ -926,3 +926,53 @@ def test_code_profile_pure_codegen(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     for bad in ("Exchange", "ArrowEvalPython", "BatchEvalPython"):
         assert bad not in plan, plan
+
+
+def test_normalized_duplicates_collapse_and_canonical(spark):
+    from html_parser_spark.ops.dedup import normalized_duplicates
+
+    df = spark.createDataFrame(
+        [
+            (1, "Hello, World!"),
+            (2, "hello world"),        # same normalized key as 1
+            (3, "HELLO---WORLD..."),   # and as 1/2
+            (4, "hello worlds"),       # different residue
+        ],
+        ["doc_id", "text"],
+    )
+    rows = normalized_duplicates(df).collect()
+    by_canon = {r["canonical_id"]: r["dup_count"] for r in rows}
+    assert by_canon == {1: 3, 4: 1}
+
+
+def test_dedup_prf_exact_metrics(spark):
+    from html_parser_spark.ops.dedup import dedup_prf
+
+    labeled = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6), (7, 8)], ["a", "b"]
+    )
+    predicted = spark.createDataFrame(
+        [
+            (2, 1),   # hit, reversed orientation
+            (1, 2),   # duplicate of the same unordered pair
+            (3, 4),   # hit
+            (9, 10),  # false positive
+            (5, 5),   # self pair: dropped entirely
+        ],
+        ["a", "b"],
+    )
+    r = dedup_prf(predicted, labeled).collect()[0]
+    assert (r["n_pred"], r["n_labeled"], r["tp"]) == (3, 4, 2)
+    assert r["precision_ppm"] == (2 * 1000000) // 3
+    assert r["recall_ppm"] == 500000
+    assert r["f1_ppm"] == (2 * 2 * 1000000) // 7
+
+
+def test_dedup_prf_empty_sides_no_divide_by_zero(spark):
+    from html_parser_spark.ops.dedup import dedup_prf
+
+    empty = spark.createDataFrame([], "a long, b long")
+    some = spark.createDataFrame([(1, 2)], ["a", "b"])
+    r = dedup_prf(empty, some).collect()[0]
+    assert (r["tp"], r["precision_ppm"], r["recall_ppm"], r["f1_ppm"]) == (
+        0, 0, 0, 0)

@@ -1213,6 +1213,48 @@ def main():
         )
     )
 
+    p = plan_of(entrymod.q_norm_dedup(spark, sf_dir))
+    checks.append(
+        (
+            "q_norm_dedup — normalized exact dedup: the 32-byte md5 key is "
+            "a pure-codegen projection (lower + strip-all before the "
+            "shuffle), ONE groupBy(h) with map-side partial aggregation, "
+            "min-id survivor election; zero Python, no join, no window",
+            p,
+            ["HashAggregate", "Exchange hashpartitioning(h"],
+            ["ArrowEvalPython", "BatchEvalPython", "Join", "Window",
+             "CartesianProduct"],
+        )
+    )
+
+    p = plan_of(entrymod.q_dedup_prf(spark, sf_dir))
+    checks.append(
+        (
+            "q_dedup_prf — dedup-QA pair P/R: canonicalize + distinct on "
+            "both (small) pair tables, ONE pair equi-join, three 1-row "
+            "counts stitched by broadcast cross joins (1-row sides only); "
+            "zero Python, no window",
+            p,
+            ["HashAggregate", "Join"],
+            ["ArrowEvalPython", "BatchEvalPython", "Window"],
+        )
+    )
+
+    p = plan_of(entrymod.q_gate_ablation(spark, sf_dir))
+    checks.append(
+        (
+            "q_gate_ablation — per-rule funnel: all 15 counters in ONE "
+            "aggregate with map-side partials (partial_count/partial_sum "
+            "before a 1-row-per-partition exchange), then the |R|-row "
+            "stack fan-out + ppm projection; zero Python, no join, no "
+            "window, no per-rule pass",
+            p,
+            ["HashAggregate", "partial_count(1)", "Generate"],
+            ["ArrowEvalPython", "BatchEvalPython", "Join", "Window",
+             "CartesianProduct"],
+        )
+    )
+
     p = plan_of(entrymod.q_dom_templates(spark, sf_dir))
     checks.append(
         (
