@@ -147,6 +147,14 @@ def main(argv=None):
                          "integrity (ops/corpus.shard_manifest); shards "
                          "are keyed by md5(doc_id) mod N unless the input "
                          "already carries a 'shard' column (0 = off)")
+    ap.add_argument("--concentration", default=None,
+                    help="also write concentration/ — the magnitude-bucket "
+                         "Lorenz profile of character mass over this key "
+                         "column (ops/corpus.concentration_profile; e.g. "
+                         "'host' or 'lang'): how much of the corpus sits "
+                         "on how few keys, in exact integer ppm; the "
+                         "summary line reports the heaviest bucket's "
+                         "cumulative share")
     ap.add_argument("--compare", default=None,
                     help="previous release's docs parquet: also write "
                          "drift/ (per-lang share delta vs this release, "
@@ -183,6 +191,31 @@ def main(argv=None):
         out_manifest = os.path.join(args.output, "manifest")
         shard_manifest(sharded).write.mode("overwrite").parquet(out_manifest)
         extras["manifest_shards"] = spark.read.parquet(out_manifest).count()
+    if args.concentration:
+        from html_parser_spark.ops.corpus import concentration_profile
+
+        if args.concentration not in docs.columns:
+            raise SystemExit(
+                f"--concentration column '{args.concentration}' not in "
+                f"input columns {docs.columns}"
+            )
+        sized = docs.select(
+            F.coalesce(
+                F.col(args.concentration).cast("string"), F.lit("und")
+            ).alias("_key"),
+            F.length("text").cast("long").alias("_chars"),
+        )
+        conc = concentration_profile(sized, "_key", "_chars")
+        out_conc = os.path.join(args.output, "concentration")
+        conc.write.mode("overwrite").parquet(out_conc)
+        top = (
+            spark.read.parquet(out_conc)
+            .orderBy(F.desc("bucket"))
+            .first()
+        )
+        extras["concentration_top_ppm"] = (
+            int(top["cum_total_ppm"]) if top else 0
+        )
     if args.compare:
         from html_parser_spark.ops.corpus import distribution_drift
 

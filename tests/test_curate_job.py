@@ -619,3 +619,33 @@ def test_curate_job_code_route(spark, tmp_path, capsys):
     assert {r["doc_id"] for r in routed.collect()} == {77}
     surv = spark.read.parquet(os.path.join(out, "docs"))
     assert 77 not in {r["doc_id"] for r in surv.select("doc_id").collect()}
+
+
+def test_datacard_job_concentration(spark, tmp_path, capsys):
+    """--concentration writes the magnitude-bucket Lorenz table over the
+    chosen key and reports the heaviest bucket's cumulative ppm share."""
+    import jobs.datacard_job as dj
+
+    # host h0 carries one 80-char doc; h1/h2 carry 10-char docs
+    rows = [(0, "x" * 80, "en", "h0"),
+            (1, "y" * 10, "en", "h1"),
+            (2, "z" * 10, "en", "h2")]
+    docs_dir = str(tmp_path / "docs_in")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, host string"
+    ).write.parquet(docs_dir)
+    out = str(tmp_path / "card")
+    dj.main(["--docs", docs_dir, "--output", out,
+             "--concentration", "host"])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # top bucket: h0's 80 chars of 100 total -> 800000 ppm
+    assert stats["concentration_top_ppm"] == 800000
+    conc = {r["bucket"]: r for r in
+            spark.read.parquet(os.path.join(out, "concentration")).collect()}
+    assert conc[7]["cum_keys"] == 1          # 80 -> bit length 7
+    assert conc[4]["cum_total_ppm"] == 1000000  # 10 -> bit length 4
+
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):
+        dj.main(["--docs", docs_dir, "--output", out,
+                 "--concentration", "nope"])
