@@ -3505,6 +3505,59 @@ def q_gate_ablation(spark, sf_dir):
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     return gate_ablation(gopher_rules(docs, min_words=30))
 
+def _boiler_docs(spark, sf_dir):
+    """Shared synthesis for q_frequent_lines / q_strip_lines: every doc
+    gains a web-wide footer (all 20 hosts), even doc_ids a CMS credit
+    (10 hosts), host h3 a single-host notice (below min_hosts — must NOT
+    be mined).  ONE builder so the two queries and their oracles can
+    never desynchronize."""
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    t = F.concat(
+        F.col("text"),
+        F.lit("\nCopyright 2024 Example"),
+        F.when(d % 2 == 0, F.lit("\nPowered by ExampleCMS")).otherwise(
+            F.lit("")
+        ),
+        F.when(d % 20 == 3, F.lit("\nRare site notice")).otherwise(
+            F.lit("")
+        ),
+    )
+    return docs.select(
+        "doc_id",
+        F.concat(F.lit("h"), (d % 20).cast("string")).alias("host"),
+        t.alias("text"),
+    )
+
+
+def q_frequent_lines(spark, sf_dir):
+    """Global boilerplate-line mining (ops/corpus.frequent_lines): lines
+    repeated across >= 3 DISTINCT hosts — the cross-host complement of
+    host_line_dedup and the CCNet-style global blocklist dictionary.
+    The (host, line) distinct runs BEFORE counting so a mega-host can't
+    vote a line in alone; the single-host 'Rare site notice' plant must
+    stay out.  The oracle replays explode/trim/distinct/count verbatim."""
+    from html_parser_spark.ops.corpus import frequent_lines
+
+    return frequent_lines(_boiler_docs(spark, sf_dir), min_hosts=3)
+
+
+def q_strip_lines(spark, sf_dir):
+    """Blocklist application (ops/corpus.strip_frequent_lines): mine the
+    >= 3-host lines, then strip them from every doc preserving order and
+    the raw (untrimmed) form of survivors.  The oracle mines the same
+    blocklist symbolically and filters the line arrays in DuckDB — a
+    hash match proves the mine+strip composition end-to-end (including
+    that the single-host plant survives on host h3's pages)."""
+    from html_parser_spark.ops.corpus import (
+        frequent_lines,
+        strip_frequent_lines,
+    )
+
+    aug = _boiler_docs(spark, sf_dir)
+    bl = frequent_lines(aug, min_hosts=3)
+    return strip_frequent_lines(aug, bl)
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-query CORRECTNESS window rotates coverage.
 
@@ -3546,6 +3599,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Everything past position 50 carries a driver-green row from round 3
     (the 14 remaining veterans) or round 4 (all 47 round-4-green rows) and
     stays green on the strict local oracle (tools/oracle_check.py).
+    
+
+    Round-5 build session: 51 never-driver-exposed queries now compete for
+    the 50 slots; q_strip_lines (position 51) is the deliberate odd one out —
+    its mining half q_frequent_lines IS exposed, and the strip composition is
+    pinned by the strict local oracle (hash-exact) and unit tests.
     """
     return {
         # -- never driver-green (3 canonicalizer-crash fixes first) --
@@ -3606,6 +3665,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_norm_dedup": q_norm_dedup,
         "q_dedup_prf": q_dedup_prf,
         "q_gate_ablation": q_gate_ablation,
+        "q_frequent_lines": q_frequent_lines,
+        "q_strip_lines": q_strip_lines,
         # -- longest-unexposed veterans (driver-green in round 3, pushed
         #    past the window by the round-4 additions) --
         "q_filter_project": q_filter_project,
@@ -4064,6 +4125,42 @@ _GATE_ABLATION_ORACLE = r"""
                         AS BIGINT) AS unique_kills_ppm
             FROM k, t
 """
+
+
+_BOILER_AUG_CTE = """
+aug AS (
+  SELECT doc_id, 'h' || (doc_id % 20) AS host,
+         text || chr(10) || 'Copyright 2024 Example' ||
+         CASE WHEN doc_id % 2 = 0
+              THEN chr(10) || 'Powered by ExampleCMS' ELSE '' END ||
+         CASE WHEN doc_id % 20 = 3
+              THEN chr(10) || 'Rare site notice' ELSE '' END AS t
+  FROM documents
+), hl AS (
+  SELECT DISTINCT host, trim(line) AS line FROM (
+    SELECT host, unnest(string_split(t, chr(10))) AS line FROM aug
+  ) q WHERE trim(line) <> ''
+), bl AS (
+  SELECT line, CAST(COUNT(*) AS BIGINT) AS n_hosts
+  FROM hl GROUP BY line HAVING COUNT(*) >= 3
+)"""
+
+_FREQUENT_LINES_ORACLE = (
+    "WITH " + _BOILER_AUG_CTE + "\nSELECT line, n_hosts FROM bl"
+)
+
+_STRIP_LINES_ORACLE = (
+    "WITH " + _BOILER_AUG_CTE + """, bll AS (
+  SELECT list(line) AS arr FROM bl
+)
+SELECT a.doc_id,
+       array_to_string(
+         list_filter(string_split(a.t, chr(10)),
+                     x -> NOT list_contains(bll.arr, trim(x))),
+         chr(10)) AS text
+FROM aug a, bll
+"""
+)
 
 
 def _seed_distance_oracle_sql(max_hops: int = 3) -> str:
@@ -6153,6 +6250,8 @@ def oracle_sql() -> dict[str, str]:
         "q_norm_dedup": _NORM_DEDUP_ORACLE,
         "q_dedup_prf": _DEDUP_PRF_ORACLE,
         "q_gate_ablation": _GATE_ABLATION_ORACLE,
+        "q_frequent_lines": _FREQUENT_LINES_ORACLE,
+        "q_strip_lines": _STRIP_LINES_ORACLE,
         "q_dom_templates": """
             -- identical page synthesis, then DuckDB's own regexp+md5
             -- recompute the structural signature: a hash match proves the

@@ -1430,3 +1430,84 @@ def concentration_profile(
         F.expr("(cum_keys * 1000000) div _gk").alias("cum_keys_ppm"),
         F.expr("(cum_total * 1000000) div _gt").alias("cum_total_ppm"),
     )
+
+
+def frequent_lines(
+    docs: DataFrame,
+    host_col: str = "host",
+    text_col: str = "text",
+    min_hosts: int = 3,
+) -> DataFrame:
+    """Global boilerplate-line mining — the cross-HOST complement of
+    :func:`host_line_dedup`: a line repeated across many pages of ONE
+    host is that site's chrome (host_line_dedup removes it), but a line
+    appearing on many DIFFERENT hosts ("all rights reserved", cookie
+    banners, theme footers shipped with a CMS) is web-wide boilerplate —
+    the global blocklist dictionary CCNet-class pipelines mine once per
+    crawl and apply everywhere.
+
+    Machinery: explode lines → trim/non-empty filter → DISTINCT
+    (host, line) — dedup BEFORE counting so a mega-host cannot vote a
+    line into the blocklist alone — → groupBy(line) host count ≥
+    ``min_hosts``.  The count after the distinct IS the distinct-host
+    count, so no count_distinct shuffle is needed.  At crawl scale the
+    output is small by construction (a line on ≥k independent hosts is
+    rare), which is what makes :func:`strip_frequent_lines`'s broadcast
+    legal.  Returns (line, n_hosts)."""
+    lines = docs.select(
+        F.col(host_col).alias("_host"),
+        F.explode(F.split(F.col(text_col), "\n")).alias("_raw"),
+    ).select("_host", F.trim(F.col("_raw")).alias("line")).filter(
+        F.col("line") != ""
+    )
+    return (
+        lines.distinct()
+        .groupBy("line")
+        .agg(F.count("*").cast("long").alias("n_hosts"))
+        .filter(F.col("n_hosts") >= int(min_hosts))
+    )
+
+
+def strip_frequent_lines(
+    docs: DataFrame,
+    blocklist: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a :func:`frequent_lines` blocklist: drop every blocklisted
+    line (trim-compared) from every document, preserving the order and
+    original (untrimmed) form of surviving lines.
+
+    Scale shape: posexplode keeps (doc_id, pos, line), ONE left-anti
+    join against the (small, broadcastable) blocklist, then groupBy
+    (doc_id) re-assembly via sort_array over (pos, line) structs — the
+    shuffle is keyed by doc_id and the per-group state is one document's
+    lines.  Docs whose every line is boilerplate come back with empty
+    text, not dropped — the caller's funnel decides their fate.
+    Returns (doc_id, text) with ``text`` rebuilt."""
+    bl = F.broadcast(blocklist.select(F.col("line").alias("_bad")))
+    parts = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "_raw"),
+    )
+    kept = parts.join(
+        bl, F.trim(parts["_raw"]) == bl["_bad"], "left_anti"
+    )
+    rebuilt = (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("pos", F.col("_raw")))
+                    ),
+                    lambda s: s["_raw"],
+                ),
+                "\n",
+            ).alias("text")
+        )
+    )
+    ids = docs.select(F.col(id_col).alias("doc_id")).distinct()
+    return ids.join(rebuilt, "doc_id", "left").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    )

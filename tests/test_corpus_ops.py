@@ -976,3 +976,42 @@ def test_dedup_prf_empty_sides_no_divide_by_zero(spark):
     r = dedup_prf(empty, some).collect()[0]
     assert (r["tp"], r["precision_ppm"], r["recall_ppm"], r["f1_ppm"]) == (
         0, 0, 0, 0)
+
+
+def test_frequent_lines_distinct_hosts_vote_once(spark):
+    from html_parser_spark.ops.corpus import frequent_lines
+
+    rows = [
+        # mega-host h0 repeats the banner on 3 pages: still ONE vote
+        ("h0", "a\nBanner Text\nb"),
+        ("h0", "c\nBanner Text"),
+        ("h0", "Banner Text\nd"),
+        ("h1", "e\n  Banner Text  "),   # trim-matched
+        ("h2", "f\nBanner Text"),
+        ("h1", "only here"),
+    ]
+    df = spark.createDataFrame(rows, ["host", "text"])
+    got = {r["line"]: r["n_hosts"]
+           for r in frequent_lines(df, min_hosts=3).collect()}
+    assert got == {"Banner Text": 3}
+
+
+def test_strip_frequent_lines_order_raw_form_and_empty_doc(spark):
+    from html_parser_spark.ops.corpus import strip_frequent_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "keep one\n  Banner  \n\nkeep two"),
+            (2, "Banner"),               # all-boilerplate -> empty text
+            (3, "untouched\n\nlines"),
+        ],
+        ["doc_id", "text"],
+    )
+    bl = spark.createDataFrame([("Banner",)], ["line"])
+    got = {r["doc_id"]: r["text"]
+           for r in strip_frequent_lines(docs, bl).collect()}
+    # raw form ('  Banner  ' trims to a blocklist hit) removed; empty
+    # lines and order preserved; doc 2 comes back empty, not dropped
+    assert got[1] == "keep one\n\nkeep two"
+    assert got[2] == ""
+    assert got[3] == "untouched\n\nlines"

@@ -1255,6 +1255,34 @@ def main():
         )
     )
 
+    p = plan_of(entrymod.q_frequent_lines(spark, sf_dir))
+    checks.append(
+        (
+            "q_frequent_lines — global boilerplate mining: explode + trim "
+            "projection, (host, line) distinct with map-side partials "
+            "BEFORE the host-count groupBy (a mega-host votes once); zero "
+            "Python, no join, no window",
+            p,
+            ["HashAggregate"],
+            ["ArrowEvalPython", "BatchEvalPython", "Join", "Window",
+             "CartesianProduct"],
+        )
+    )
+
+    p = plan_of(entrymod.q_strip_lines(spark, sf_dir))
+    checks.append(
+        (
+            "q_strip_lines — blocklist application: posexplode, ONE "
+            "left-anti join against the BROADCAST blocklist, groupBy "
+            "(doc_id) reassembly via sort_array over per-doc structs "
+            "(never a corpus-wide window); zero Python",
+            p,
+            ["BroadcastHashJoin", "LeftAnti", "HashAggregate"],
+            ["ArrowEvalPython", "BatchEvalPython", "Window",
+             "CartesianProduct", "SortMergeJoin"],
+        )
+    )
+
     p = plan_of(entrymod.q_dom_templates(spark, sf_dir))
     checks.append(
         (
