@@ -3558,6 +3558,39 @@ def q_strip_lines(spark, sf_dir):
     bl = frequent_lines(aug, min_hosts=3)
     return strip_frequent_lines(aug, bl)
 
+def q_redirects(spark, sf_dir):
+    """Redirect-chain resolution (ops/web.resolve_redirects): 4-hop
+    synthetic chains u(4k)->u(4k+1)->u(4k+2)->u(4k+3) from doc_id
+    arithmetic, a planted 2-cycle x0<->x1 that must report
+    resolved=false at the hop cap, and a duplicate-capture edge
+    (u0 -> u9 next to u0 -> u1) pinning the deterministic min-dst
+    election.  The oracle unrolls the same per-hop LEFT joins —
+    hash-exact."""
+    from html_parser_spark.ops.web import resolve_redirects
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    did = d.cast("string")
+    chain = docs.filter(d % 4 < 3).select(
+        F.concat(F.lit("u"), did).alias("src"),
+        F.concat(F.lit("u"), (d + 1).cast("string")).alias("dst"),
+    )
+    spec = (
+        docs.filter(d == 0)
+        .select(F.lit("x0").alias("src"), F.lit("x1").alias("dst"))
+        .unionByName(
+            docs.filter(d == 1).select(
+                F.lit("x1").alias("src"), F.lit("x0").alias("dst")
+            )
+        )
+        .unionByName(
+            docs.filter(d == 2).select(
+                F.lit("u0").alias("src"), F.lit("u9").alias("dst")
+            )
+        )
+    )
+    return resolve_redirects(chain.unionByName(spec), max_hops=5)
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-query CORRECTNESS window rotates coverage.
 
@@ -3602,9 +3635,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     
 
     Round-5 build session: 51 never-driver-exposed queries now compete for
-    the 50 slots; q_strip_lines (position 51) is the deliberate odd one out —
-    its mining half q_frequent_lines IS exposed, and the strip composition is
-    pinned by the strict local oracle (hash-exact) and unit tests.
+    the 50 slots; q_strip_lines (51) and q_redirects (52)
+    are the deliberate odd ones out — q_strip_lines's mining half
+    q_frequent_lines IS exposed, and both are pinned by the strict local
+    oracle (hash-exact) and unit tests.
     """
     return {
         # -- never driver-green (3 canonicalizer-crash fixes first) --
@@ -3667,6 +3701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_gate_ablation": q_gate_ablation,
         "q_frequent_lines": q_frequent_lines,
         "q_strip_lines": q_strip_lines,
+        "q_redirects": q_redirects,
         # -- longest-unexposed veterans (driver-green in round 3, pushed
         #    past the window by the round-4 additions) --
         "q_filter_project": q_filter_project,
@@ -4161,6 +4196,38 @@ SELECT a.doc_id,
 FROM aug a, bll
 """
 )
+
+
+_REDIRECTS_ORACLE = """WITH e0 AS (
+  SELECT 'u' || doc_id AS src, 'u' || (doc_id + 1) AS dst
+  FROM documents WHERE doc_id % 4 < 3
+  UNION ALL SELECT 'x0', 'x1' FROM documents WHERE doc_id = 0
+  UNION ALL SELECT 'x1', 'x0' FROM documents WHERE doc_id = 1
+  UNION ALL SELECT 'u0', 'u9' FROM documents WHERE doc_id = 2
+), m AS (
+  SELECT src, MIN(dst) AS dst FROM e0 GROUP BY src
+), s1 AS (
+  SELECT src AS url, dst AS cur, 1 AS hops FROM m
+), s2 AS (
+  SELECT s.url, COALESCE(m.dst, s.cur) AS cur,
+         s.hops + CASE WHEN m.dst IS NULL THEN 0 ELSE 1 END AS hops
+  FROM s1 s LEFT JOIN m ON m.src = s.cur
+), s3 AS (
+  SELECT s.url, COALESCE(m.dst, s.cur) AS cur,
+         s.hops + CASE WHEN m.dst IS NULL THEN 0 ELSE 1 END AS hops
+  FROM s2 s LEFT JOIN m ON m.src = s.cur
+), s4 AS (
+  SELECT s.url, COALESCE(m.dst, s.cur) AS cur,
+         s.hops + CASE WHEN m.dst IS NULL THEN 0 ELSE 1 END AS hops
+  FROM s3 s LEFT JOIN m ON m.src = s.cur
+), s5 AS (
+  SELECT s.url, COALESCE(m.dst, s.cur) AS cur,
+         s.hops + CASE WHEN m.dst IS NULL THEN 0 ELSE 1 END AS hops
+  FROM s4 s LEFT JOIN m ON m.src = s.cur
+)
+SELECT s.url AS src, s.cur AS final_url, CAST(s.hops AS INTEGER) AS hops,
+       s.cur NOT IN (SELECT src FROM m) AS resolved
+FROM s5 s"""
 
 
 def _seed_distance_oracle_sql(max_hops: int = 3) -> str:
@@ -6252,6 +6319,7 @@ def oracle_sql() -> dict[str, str]:
         "q_gate_ablation": _GATE_ABLATION_ORACLE,
         "q_frequent_lines": _FREQUENT_LINES_ORACLE,
         "q_strip_lines": _STRIP_LINES_ORACLE,
+        "q_redirects": _REDIRECTS_ORACLE,
         "q_dom_templates": """
             -- identical page synthesis, then DuckDB's own regexp+md5
             -- recompute the structural signature: a hash match proves the

@@ -924,3 +924,55 @@ def date_cutoff_filter(
     if keep_undated:
         return dated.filter(F.col(date_col).isNull() | dated_ok)
     return dated.filter(dated_ok)
+
+
+def resolve_redirects(
+    redirects: DataFrame, max_hops: int = 5
+) -> DataFrame:
+    """Redirect-chain resolution — collapse (src → dst) HTTP redirect
+    edges to each source's FINAL target, the canonical pre-join before
+    any URL-keyed dedup/merge (a corpus keyed on redirecting urls
+    double-counts every moved page; WAT extracts carry exactly these
+    edges).
+
+    Semantics: follow the chain up to ``max_hops`` edges.  ``resolved``
+    is true iff the terminus has no outgoing redirect; a chain still
+    pointing at a redirecting url after the cap (including every cycle —
+    a↔b never terminates) reports ``resolved = false`` with the url it
+    got stuck at.  Multiple recorded redirects for one source (repeat
+    captures) collapse deterministically to the min dst first.
+
+    Scale shape: the next-hop map is one groupBy-min; each hop is ONE
+    equi-join of the state table against it (state is one row per
+    redirecting source, never per page), lineage truncated per hop.
+    Browsers cap redirect chains (~5-20), so the LINEAR loop is the
+    right plan; an unbounded-chain variant would pointer-double the map
+    against itself (log₂ hops joins) — not needed under an HTTP-shaped
+    cap.  Returns (src, final_url, hops, resolved)."""
+    m = redirects.groupBy("src").agg(F.min("dst").alias("dst"))
+    state = m.select(
+        F.col("src").alias("url"),
+        F.col("dst").alias("cur"),
+        F.lit(1).alias("hops"),
+    )
+    nxt = m.select(F.col("src").alias("cur"), F.col("dst").alias("_n"))
+    for _ in range(int(max_hops) - 1):
+        state = (
+            state.join(nxt, "cur", "left")
+            .select(
+                "url",
+                F.coalesce("_n", F.col("cur")).alias("cur"),
+                (
+                    F.col("hops")
+                    + F.when(F.col("_n").isNotNull(), 1).otherwise(0)
+                ).alias("hops"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    has_out = m.select(F.col("src").alias("cur"), F.lit(1).alias("_has"))
+    return state.join(has_out, "cur", "left").select(
+        F.col("url").alias("src"),
+        F.col("cur").alias("final_url"),
+        F.col("hops").cast("int").alias("hops"),
+        F.col("_has").isNull().alias("resolved"),
+    )

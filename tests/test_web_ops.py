@@ -643,3 +643,39 @@ def test_extract_job_pub_dates_sidecar(spark, tmp_path, capsys):
     assert got["https://a.example/2020/05/06/post"] == ("2020-05-06", "url")
     assert got["https://a.example/plain"] == ("2021-07-08", "meta")
     assert got["https://a.example/undated"] == (None, "none")
+
+
+def test_resolve_redirects_chain_cycle_and_election(spark):
+    from html_parser_spark.ops.web import resolve_redirects
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "c"),          # chain a->b->c (c terminal)
+            ("p", "q"), ("q", "p"),          # 2-cycle: never resolves
+            ("m", "z"), ("m", "n"),          # duplicate capture: min dst 'n'
+            ("n", "t"),
+        ],
+        ["src", "dst"],
+    )
+    got = {r["src"]: r for r in resolve_redirects(edges, max_hops=5).collect()}
+    assert (got["a"]["final_url"], got["a"]["hops"], got["a"]["resolved"]) == (
+        "c", 2, True)
+    assert (got["b"]["final_url"], got["b"]["hops"]) == ("c", 1)
+    assert got["p"]["resolved"] is False and got["p"]["hops"] == 5
+    assert got["q"]["resolved"] is False
+    # min-dst election routes m through n, not z
+    assert (got["m"]["final_url"], got["m"]["hops"], got["m"]["resolved"]) == (
+        "t", 2, True)
+
+
+def test_resolve_redirects_hop_cap_reports_stuck_url(spark):
+    from html_parser_spark.ops.web import resolve_redirects
+
+    # 6-long chain under max_hops=3: stuck at the 3rd target, unresolved
+    edges = spark.createDataFrame(
+        [(f"r{i}", f"r{i+1}") for i in range(6)], ["src", "dst"]
+    )
+    got = {r["src"]: r for r in resolve_redirects(edges, max_hops=3).collect()}
+    assert (got["r0"]["final_url"], got["r0"]["hops"], got["r0"]["resolved"]) == (
+        "r3", 3, False)
+    assert got["r3"]["resolved"] is True  # r3->r4->r5->r6(terminal)

@@ -1283,6 +1283,20 @@ def main():
         )
     )
 
+    p = plan_of(entrymod.q_redirects(spark, sf_dir))
+    checks.append(
+        (
+            "q_redirects — redirect resolution: groupBy-min next-hop map, "
+            "per-hop state⋈map equi-join (state = one row per redirecting "
+            "source, never per page), lineage truncated per hop; zero "
+            "Python, no window, no cartesian product",
+            p,
+            ["HashAggregate", "Join"],
+            ["ArrowEvalPython", "BatchEvalPython", "Window",
+             "CartesianProduct"],
+        )
+    )
+
     p = plan_of(entrymod.q_dom_templates(spark, sf_dir))
     checks.append(
         (
