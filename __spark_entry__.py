@@ -350,6 +350,26 @@ def q_ivf_topk(spark, sf_dir):
     )
 
 
+def q_quantized_topk(spark, sf_dir):
+    """int8-quantized cosine top-k (ops/similarity.quantized_topk): the 4x
+    storage/shuffle-cut ANN path.  Quantization (floor(x*127/max|x|)), the
+    BIGINT dot/norms, and the single float division are all replayed
+    symbolically by the oracle — hash match pins the whole SQ8 kernel."""
+    from html_parser_spark.ops.similarity import quantized_topk
+
+    return quantized_topk(_tbl(spark, sf_dir, "embeddings"), query_ids_below=10, k=5)
+
+
+def q_quantization_recall(spark, sf_dir):
+    """Recall@k of the int8 path vs exact float cosine (ops/similarity.
+    quantization_recall) — the release gate before switching a 10^12-vector
+    corpus to quantized storage.  Integral-divide ppm, no float in the
+    metric; the oracle recomputes BOTH top-k sets and the overlap."""
+    from html_parser_spark.ops.similarity import quantization_recall
+
+    return quantization_recall(_tbl(spark, sf_dir, "embeddings"), query_ids_below=10, k=5)
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs (exact baseline on a bounded id range;
     the n_planes>0 LSH-bucketed variant is the scale path)."""
@@ -3591,6 +3611,46 @@ def q_redirects(spark, sf_dir):
     )
     return resolve_redirects(chain.unionByName(spec), max_hops=5)
 
+
+def q_url_survival(spark, sf_dir):
+    """URL survival by birth cohort (ops/web.url_survival): each doc's url
+    is born at snap doc_id%3 and lives doc_id%4 extra snapshots (explode of
+    sequence(birth, birth+span)); even docs carry a duplicate birth-snap
+    capture to pin the DISTINCT.  The oracle re-derives the cohort table
+    from the same arithmetic via generate_series — hash-exact, including
+    the integral-divide survival_ppm."""
+    from html_parser_spark.ops.web import url_survival
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    url = F.concat(F.lit("https://h"), (d % 7).cast("string"),
+                   F.lit(".com/p"), d.cast("string"))
+    birth = (d % 3).cast("long")
+    span = (d % 4).cast("long")
+    caps = docs.select(
+        url.alias("url"), F.explode(F.sequence(birth, birth + span)).alias("snap")
+    )
+    dup = docs.filter(d % 2 == 0).select(url.alias("url"), birth.alias("snap"))
+    return url_survival(caps.unionByName(dup))
+
+
+def q_sitemap_coverage(spark, sf_dir):
+    """Sitemap-vs-crawl coverage audit (ops/web.sitemap_coverage): hosts
+    s0..s4 declare every doc_id%3!=0 url, the crawl fetched every even
+    one — so both/declared-only/crawled-only all occur on every host.
+    The oracle replays the tag-union + flag-merge + host rollup in SQL;
+    hash match pins the host parse and the nullif-guarded ppm."""
+    from html_parser_spark.ops.web import sitemap_coverage
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    url = F.concat(F.lit("https://s"), (d % 5).cast("string"),
+                   F.lit(".example/page/"), d.cast("string"))
+    declared = docs.filter(d % 3 != 0).select(url.alias("url"))
+    crawled = docs.filter(d % 2 == 0).select(url.alias("url"))
+    return sitemap_coverage(declared, crawled)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-query CORRECTNESS window rotates coverage.
 
@@ -3639,6 +3699,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     are the deliberate odd ones out — q_strip_lines's mining half
     q_frequent_lines IS exposed, and both are pinned by the strict local
     oracle (hash-exact) and unit tests.
+
+    Final continuation session: q_quantized_topk / q_quantization_recall /
+    q_url_survival / q_sitemap_coverage land at positions 53-56 (the window
+    was already over-subscribed by never-exposed queries, so they stay
+    past-window by construction); all four are pinned hash-exact by the
+    strict local oracle (tools/oracle_check.py) plus unit tests and
+    plan-audit sections.
     """
     return {
         # -- never driver-green (3 canonicalizer-crash fixes first) --
@@ -3702,6 +3769,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_frequent_lines": q_frequent_lines,
         "q_strip_lines": q_strip_lines,
         "q_redirects": q_redirects,
+        "q_quantized_topk": q_quantized_topk,
+        "q_quantization_recall": q_quantization_recall,
+        "q_url_survival": q_url_survival,
+        "q_sitemap_coverage": q_sitemap_coverage,
         # -- longest-unexposed veterans (driver-green in round 3, pushed
         #    past the window by the round-4 additions) --
         "q_filter_project": q_filter_project,
@@ -5107,6 +5178,105 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, cosine, rank
             FROM ranked WHERE rank <= 5
         """,
+        "q_quantized_topk": """
+            -- symbolic replay of the SQ8 kernel: floor(x*127/max|x|) int8
+            -- quantization, exact integer dot/norms (values <= 64*127^2 so
+            -- DOUBLE carries them exactly), one float division at the end.
+            WITH q AS (
+              SELECT vec_id,
+                     CASE WHEN list_max(list_transform(embedding,
+                                x -> abs(CAST(x AS DOUBLE)))) = 0
+                          THEN list_transform(embedding, x -> 0.0)
+                          ELSE list_transform(embedding,
+                                 x -> floor(CAST(x AS DOUBLE) * 127.0 /
+                                      list_max(list_transform(embedding,
+                                        y -> abs(CAST(y AS DOUBLE))))))
+                     END AS qvecd
+              FROM embeddings
+            ), n AS (
+              SELECT vec_id, qvecd,
+                     CAST(list_dot_product(qvecd, qvecd) AS BIGINT) AS n2
+              FROM q
+            ), scored AS (
+              SELECT qn.vec_id AS query_id, cn.vec_id AS neighbor_id,
+                     CAST(list_dot_product(qn.qvecd, cn.qvecd) AS BIGINT)
+                       AS qdot,
+                     CASE WHEN qn.n2 = 0 OR cn.n2 = 0 THEN 0.0
+                          ELSE round(list_dot_product(qn.qvecd, cn.qvecd) /
+                               (sqrt(CAST(qn.n2 AS DOUBLE)) *
+                                sqrt(CAST(cn.n2 AS DOUBLE))), 4)
+                     END AS cosine_q
+              FROM n qn JOIN n cn
+                ON qn.vec_id < 10 AND cn.vec_id != qn.vec_id
+            ), ranked AS (
+              SELECT query_id, neighbor_id, qdot, cosine_q,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine_q DESC, neighbor_id ASC) AS rank
+              FROM scored
+            )
+            SELECT query_id, neighbor_id, qdot, cosine_q, rank
+            FROM ranked WHERE rank <= 5
+        """,
+        "q_quantization_recall": """
+            -- recall@5 of the int8 path vs exact float cosine: both top-k
+            -- sets re-derived symbolically, overlap counted, ppm by
+            -- integral divide (no float in the metric).
+            WITH exact_scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     round(list_dot_product(q.embedding, c.embedding) /
+                           (sqrt(list_dot_product(q.embedding, q.embedding)) *
+                            sqrt(list_dot_product(c.embedding, c.embedding))), 4)
+                       AS cosine
+              FROM embeddings q JOIN embeddings c ON q.vec_id < 10
+               AND c.vec_id != q.vec_id
+            ), exact_topk AS (
+              SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY cosine DESC, neighbor_id ASC) AS rank
+                FROM exact_scored) WHERE rank <= 5
+            ), qz AS (
+              SELECT vec_id,
+                     CASE WHEN list_max(list_transform(embedding,
+                                x -> abs(CAST(x AS DOUBLE)))) = 0
+                          THEN list_transform(embedding, x -> 0.0)
+                          ELSE list_transform(embedding,
+                                 x -> floor(CAST(x AS DOUBLE) * 127.0 /
+                                      list_max(list_transform(embedding,
+                                        y -> abs(CAST(y AS DOUBLE))))))
+                     END AS qvecd
+              FROM embeddings
+            ), n AS (
+              SELECT vec_id, qvecd,
+                     CAST(list_dot_product(qvecd, qvecd) AS BIGINT) AS n2
+              FROM qz
+            ), quant_topk AS (
+              SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY cosine_q DESC, neighbor_id ASC) AS rank
+                FROM (
+                  SELECT qn.vec_id AS query_id, cn.vec_id AS neighbor_id,
+                         CASE WHEN qn.n2 = 0 OR cn.n2 = 0 THEN 0.0
+                              ELSE round(list_dot_product(qn.qvecd, cn.qvecd) /
+                                   (sqrt(CAST(qn.n2 AS DOUBLE)) *
+                                    sqrt(CAST(cn.n2 AS DOUBLE))), 4)
+                         END AS cosine_q
+                  FROM n qn JOIN n cn
+                    ON qn.vec_id < 10 AND cn.vec_id != qn.vec_id)
+                ) WHERE rank <= 5
+            ), hits AS (
+              SELECT e.query_id, count(*) AS overlap
+              FROM exact_topk e JOIN quant_topk t
+                ON e.query_id = t.query_id AND e.neighbor_id = t.neighbor_id
+              GROUP BY 1
+            ), qids AS (SELECT DISTINCT query_id FROM exact_topk)
+            SELECT q.query_id,
+                   CAST(coalesce(h.overlap, 0) AS BIGINT) AS overlap,
+                   CAST(coalesce(h.overlap, 0) * 1000000 // 5 AS BIGINT)
+                     AS recall_ppm
+            FROM qids q LEFT JOIN hits h ON q.query_id = h.query_id
+        """,
         "q_ivf_topk": """
             -- one Lloyd iteration over the seed centroids, then probe+rerank.
             -- Cluster means sum through DECIMAL(30,15): order-independent and
@@ -6320,6 +6490,63 @@ def oracle_sql() -> dict[str, str]:
         "q_frequent_lines": _FREQUENT_LINES_ORACLE,
         "q_strip_lines": _STRIP_LINES_ORACLE,
         "q_redirects": _REDIRECTS_ORACLE,
+        "q_url_survival": """
+            -- re-derive the capture stream from the same doc_id arithmetic
+            -- (the even-doc duplicate birth capture is subsumed by DISTINCT,
+            -- exactly as in the Spark op), then cohort counts + integral-
+            -- divide survival ppm.
+            WITH caps AS (
+              SELECT DISTINCT
+                     'https://h' || CAST(doc_id % 7 AS VARCHAR) ||
+                       '.com/p' || CAST(doc_id AS VARCHAR) AS url,
+                     CAST(s AS BIGINT) AS snap
+              FROM documents,
+                   unnest(generate_series(doc_id % 3,
+                                          doc_id % 3 + doc_id % 4)) AS t(s)
+            ), birth AS (
+              SELECT url, min(snap) AS birth_snap FROM caps GROUP BY 1
+            ), aged AS (
+              SELECT b.birth_snap, c.snap - b.birth_snap AS age
+              FROM caps c JOIN birth b ON c.url = b.url
+            ), counts AS (
+              SELECT birth_snap, age, CAST(count(*) AS BIGINT) AS n_urls
+              FROM aged GROUP BY 1, 2
+            ), cohort AS (
+              SELECT birth_snap AS _b, n_urls AS _size
+              FROM counts WHERE age = 0
+            )
+            SELECT birth_snap, age, n_urls,
+                   CAST(n_urls * 1000000 // _size AS BIGINT) AS survival_ppm
+            FROM counts JOIN cohort ON birth_snap = _b
+        """,
+        "q_sitemap_coverage": """
+            -- tag-union + flag-merge + host rollup, replayed in SQL.
+            WITH urls AS (
+              SELECT doc_id,
+                     'https://s' || CAST(doc_id % 5 AS VARCHAR) ||
+                       '.example/page/' || CAST(doc_id AS VARCHAR) AS url
+              FROM documents
+            ), tagged AS (
+              SELECT url, 1 AS _d, 0 AS _c FROM urls WHERE doc_id % 3 != 0
+              UNION ALL
+              SELECT url, 0 AS _d, 1 AS _c FROM urls WHERE doc_id % 2 = 0
+            ), per_url AS (
+              SELECT url, max(_d) AS _d, max(_c) AS _c FROM tagged GROUP BY 1
+            ), agg AS (
+              SELECT lower(regexp_extract(url,
+                       '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)) AS host,
+                     CAST(sum(_d) AS BIGINT) AS declared_n,
+                     CAST(sum(_c) AS BIGINT) AS crawled_n,
+                     CAST(sum(_d * _c) AS BIGINT) AS both_n
+              FROM per_url GROUP BY 1
+            )
+            SELECT host, declared_n, crawled_n, both_n,
+                   declared_n - both_n AS declared_only_n,
+                   crawled_n - both_n AS crawled_only_n,
+                   CAST(coalesce(both_n * 1000000 //
+                        nullif(declared_n, 0), 0) AS BIGINT) AS coverage_ppm
+            FROM agg
+        """,
         "q_dom_templates": """
             -- identical page synthesis, then DuckDB's own regexp+md5
             -- recompute the structural signature: a hash match proves the

@@ -976,3 +976,84 @@ def resolve_redirects(
         F.col("hops").cast("int").alias("hops"),
         F.col("_has").isNull().alias("resolved"),
     )
+
+
+def url_survival(captures: DataFrame, snap_col: str = "snap") -> DataFrame:
+    """URL survival by birth cohort — the link-rot / freshness planner's
+    table: of the urls FIRST seen in snapshot ``b``, what fraction still
+    appears ``age`` snapshots later?  (Public background: half the web's
+    urls decay within a few years — crawl scheduling and recrawl budgets
+    are sized off exactly this curve.)
+
+    Input: (url, snap) capture observations, snap an integer snapshot
+    index; duplicates within a snapshot are fine (DISTINCT'd).  Output
+    one row per (birth_snap, age) that had at least one observation:
+    (birth_snap, age, n_urls, survival_ppm) where survival_ppm =
+    n_urls * 10^6 div cohort_size (age-0 rows read exactly 10^6).
+
+    Scale shape: the one big shuffle is the per-url min (groupBy(url),
+    map-side partial); the birth join back to captures reuses the url
+    partitioning (AQE), and the cohort aggregate is tiny (snapshots²
+    rows).  No window over the capture stream, no self-join of the full
+    table."""
+    obs = captures.select("url", F.col(snap_col).cast("long").alias("snap")).distinct()
+    birth = obs.groupBy("url").agg(F.min("snap").alias("birth_snap"))
+    aged = obs.join(birth, "url").select(
+        "birth_snap", (F.col("snap") - F.col("birth_snap")).alias("age")
+    )
+    counts = aged.groupBy("birth_snap", "age").agg(
+        F.count("*").cast("long").alias("n_urls")
+    )
+    cohort = counts.filter(F.col("age") == 0).select(
+        F.col("birth_snap").alias("_b"), F.col("n_urls").alias("_size")
+    )
+    return (
+        counts.join(F.broadcast(cohort), counts["birth_snap"] == F.col("_b"))
+        .select(
+            "birth_snap",
+            "age",
+            "n_urls",
+            F.expr("n_urls * 1000000 div _size").alias("survival_ppm"),
+        )
+    )
+
+
+def sitemap_coverage(declared: DataFrame, crawled: DataFrame) -> DataFrame:
+    """Sitemap-vs-crawl coverage audit per host: how much of what each
+    site DECLARES (robots_sitemaps → sitemap_urls) did the crawl actually
+    fetch, and how much of the crawl was undeclared?  The discovery-gap
+    report a crawl operator reads before re-budgeting a host.
+
+    Inputs: two one-column url frames (``url``).  Output per host:
+    (host, declared_n, crawled_n, both_n, declared_only_n, crawled_only_n,
+    coverage_ppm) with coverage_ppm = both * 10^6 div declared (0 when
+    the host declares nothing).
+
+    Scale shape: NOT a full-outer join — each side is tagged and unioned,
+    then ONE groupBy(url) with map-side max-partials merges the flags and
+    ONE tiny groupBy(host) rolls up; at 10^12 urls that is a single wide
+    shuffle on url (the join formulation shuffles both sides AND
+    re-shuffles the joined rows for the host rollup)."""
+    host = F.lower(F.regexp_extract(F.col("url"), r"^[a-z][a-z0-9+.-]*://([^/?#]+)", 1))
+    tagged = declared.select(
+        "url", F.lit(1).alias("_d"), F.lit(0).alias("_c")
+    ).unionByName(crawled.select("url", F.lit(0).alias("_d"), F.lit(1).alias("_c")))
+    per_url = tagged.groupBy("url").agg(
+        F.max("_d").alias("_d"), F.max("_c").alias("_c")
+    )
+    agg = per_url.select(host.alias("host"), "_d", "_c").groupBy("host").agg(
+        F.sum("_d").cast("long").alias("declared_n"),
+        F.sum("_c").cast("long").alias("crawled_n"),
+        F.sum(F.col("_d") * F.col("_c")).cast("long").alias("both_n"),
+    )
+    return agg.select(
+        "host",
+        "declared_n",
+        "crawled_n",
+        "both_n",
+        (F.col("declared_n") - F.col("both_n")).alias("declared_only_n"),
+        (F.col("crawled_n") - F.col("both_n")).alias("crawled_only_n"),
+        F.expr(
+            "coalesce(both_n * 1000000 div nullif(declared_n, 0), 0)"
+        ).alias("coverage_ppm"),
+    )

@@ -309,3 +309,61 @@ def test_incremental_dedup_index_append_closes_loop(spark):
     }
     assert all(r["matched_existing"] for r in rerun.values())
     assert all(not r["keep"] for r in rerun.values())
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization — ops/similarity.quantize_embeddings /
+# quantized_topk / quantization_recall.  The oracle queries
+# (q_quantized_topk / q_quantization_recall) do the cross-engine value-hash
+# check; these pin the hand-checkable semantics.
+# ---------------------------------------------------------------------------
+def _vecs(spark):
+    return spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.5, 0.25, 0.0, 0.0]),   # max 0.5 -> [127, 63, 0, 0]
+            (2, [0.0, 0.0, 0.0, 0.0]),    # zero vector -> all-0, max_abs 0
+            (3, [-0.4, 0.2, 0.0, 0.1]),   # negative max_abs handling
+            (4, [0.9, 0.1, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_quantize_embeddings_values(spark):
+    from html_parser_spark.ops.similarity import quantize_embeddings
+
+    rows = {r["vec_id"]: r for r in quantize_embeddings(_vecs(spark)).collect()}
+    # the max element maps to exactly 127 ((127*x)/x is an exact division)
+    assert rows[0]["qvec"] == [127, 0, 0, 0]
+    assert rows[1]["qvec"] == [127, 63, 0, 0]  # floor(0.25*127/0.5)=floor(63.5)
+    assert rows[2]["qvec"] == [0, 0, 0, 0] and rows[2]["max_abs"] == 0.0
+    # negative extreme: floor maps -max_abs to exactly -127
+    assert rows[3]["qvec"][0] == -127
+    assert all(-127 <= v <= 127 for r in rows.values() for v in r["qvec"])
+
+
+def test_quantized_topk_ranks_by_integer_cosine(spark):
+    from html_parser_spark.ops.similarity import quantized_topk
+
+    out = quantized_topk(_vecs(spark), query_ids_below=1, k=4).collect()
+    assert [r["neighbor_id"] for r in out] == [4, 1, 2, 3]
+    by_n = {r["neighbor_id"]: r for r in out}
+    # vec 4 vs query 0: q=[127,14,0,0] (floor(0.1*127/0.9)=14) -> dot 127*127
+    assert by_n[4]["qdot"] == 127 * 127
+    # the zero vector scores cosine 0.0 (guarded division), not NULL/NaN
+    assert by_n[2]["cosine_q"] == 0.0 and by_n[2]["qdot"] == 0
+
+
+def test_quantization_recall_perfect_and_ppm(spark):
+    from html_parser_spark.ops.similarity import quantization_recall
+
+    # no zero vector here: the EXACT baseline (cosine_topk) documents the
+    # nonzero-vector assumption of the embeddings table (its oracle divides
+    # unguarded too); the quantized path's zero guard is pinned above.
+    vecs = _vecs(spark).filter(F.col("vec_id") != 2)
+    rows = quantization_recall(vecs, query_ids_below=2, k=2).collect()
+    assert sorted(r["query_id"] for r in rows) == [0, 1]
+    for r in rows:
+        assert 0 <= r["overlap"] <= 2
+        assert r["recall_ppm"] == r["overlap"] * 1000000 // 2

@@ -679,3 +679,76 @@ def test_resolve_redirects_hop_cap_reports_stuck_url(spark):
     assert (got["r0"]["final_url"], got["r0"]["hops"], got["r0"]["resolved"]) == (
         "r3", 3, False)
     assert got["r3"]["resolved"] is True  # r3->r4->r5->r6(terminal)
+
+
+# ---------------------------------------------------------------------------
+# URL survival cohorts — ops/web.url_survival
+# ---------------------------------------------------------------------------
+def test_url_survival_cohort_curve(spark):
+    from html_parser_spark.ops.web import url_survival
+
+    # cohort 0: a,b,c born at snap 0; b survives to 1; c to 1 and 2.
+    # cohort 1: d born at snap 1, gone after.  Duplicate (a,0) is DISTINCT'd.
+    caps = spark.createDataFrame(
+        [("a", 0), ("a", 0), ("b", 0), ("b", 1), ("c", 0), ("c", 1),
+         ("c", 2), ("d", 1)],
+        "url string, snap long",
+    )
+    rows = {(r["birth_snap"], r["age"]): r for r in url_survival(caps).collect()}
+    assert rows[(0, 0)]["n_urls"] == 3 and rows[(0, 0)]["survival_ppm"] == 1000000
+    assert rows[(0, 1)]["n_urls"] == 2 and rows[(0, 1)]["survival_ppm"] == 666666
+    assert rows[(0, 2)]["n_urls"] == 1 and rows[(0, 2)]["survival_ppm"] == 333333
+    assert rows[(1, 0)]["n_urls"] == 1 and rows[(1, 0)]["survival_ppm"] == 1000000
+    assert set(rows) == {(0, 0), (0, 1), (0, 2), (1, 0)}
+
+
+def test_url_survival_rebirth_counts_from_first_sighting(spark):
+    from html_parser_spark.ops.web import url_survival
+
+    # a url that disappears and returns (snap 0 and 2, not 1) still belongs
+    # to its FIRST cohort: the age-2 row exists with no age-1 row.
+    caps = spark.createDataFrame(
+        [("x", 0), ("x", 2)], "url string, snap long"
+    )
+    rows = {(r["birth_snap"], r["age"]) for r in url_survival(caps).collect()}
+    assert rows == {(0, 0), (0, 2)}
+
+
+# ---------------------------------------------------------------------------
+# Sitemap coverage audit — ops/web.sitemap_coverage
+# ---------------------------------------------------------------------------
+def test_sitemap_coverage_partition_of_urls(spark):
+    from html_parser_spark.ops.web import sitemap_coverage
+
+    declared = spark.createDataFrame(
+        [("https://a.com/1",), ("https://a.com/2",), ("https://a.com/3",),
+         ("https://b.com/1",)],
+        "url string",
+    )
+    crawled = spark.createDataFrame(
+        [("https://a.com/2",), ("https://a.com/3",), ("https://a.com/4",),
+         ("https://c.com/1",)],
+        "url string",
+    )
+    rows = {r["host"]: r for r in sitemap_coverage(declared, crawled).collect()}
+    a = rows["a.com"]
+    assert (a["declared_n"], a["crawled_n"], a["both_n"]) == (3, 3, 2)
+    assert (a["declared_only_n"], a["crawled_only_n"]) == (1, 1)
+    assert a["coverage_ppm"] == 2 * 1000000 // 3
+    # crawled-only host: declares nothing -> ppm 0 (nullif guard), not an error
+    c = rows["c.com"]
+    assert (c["declared_n"], c["crawled_n"], c["coverage_ppm"]) == (0, 1, 0)
+    b = rows["b.com"]
+    assert (b["declared_n"], b["crawled_n"], b["coverage_ppm"]) == (1, 0, 0)
+
+
+def test_sitemap_coverage_dedups_within_each_side(spark):
+    from html_parser_spark.ops.web import sitemap_coverage
+
+    declared = spark.createDataFrame(
+        [("https://a.com/1",), ("https://a.com/1",)], "url string"
+    )
+    crawled = spark.createDataFrame([("https://a.com/1",)], "url string")
+    a = sitemap_coverage(declared, crawled).collect()[0]
+    # repeat sitemap declarations collapse: the audit counts URLs, not lines
+    assert (a["declared_n"], a["crawled_n"], a["both_n"]) == (1, 1, 1)

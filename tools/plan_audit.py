@@ -1297,6 +1297,64 @@ def main():
         )
     )
 
+    p = plan_of(entrymod.q_quantized_topk(spark, sf_dir))
+    checks.append(
+        (
+            "q_quantized_topk — SQ8 ANN: quantization is a pure-codegen "
+            "projection (int8 payload = 4x less broadcast/shuffle bytes "
+            "than float32); pair scan = ONE BroadcastNestedLoopJoin "
+            "against the tiny quantized query side, per-query top-k via "
+            "partial WindowGroupLimit; zero Python",
+            p,
+            ["BroadcastNestedLoopJoin", "WindowGroupLimit"],
+            ["ArrowEvalPython", "BatchEvalPython", "SortMergeJoin"],
+        )
+    )
+
+    p = plan_of(entrymod.q_quantization_recall(spark, sf_dir))
+    checks.append(
+        (
+            "q_quantization_recall — the SQ8 release gate: both top-k "
+            "branches end in WindowGroupLimit before their shuffles, the "
+            "overlap is a broadcast equi-join of two k*|Q|-row sides, the "
+            "ppm an integral divide; zero Python, no cartesian residue "
+            "beyond the two bounded query-side broadcasts",
+            p,
+            ["WindowGroupLimit", "BroadcastHashJoin"],
+            ["ArrowEvalPython", "BatchEvalPython"],
+        )
+    )
+
+    p = plan_of(entrymod.q_url_survival(spark, sf_dir))
+    checks.append(
+        (
+            "q_url_survival — survival cohorts: ONE wide shuffle (the "
+            "per-url min birth groupBy, map-side partials), birth join "
+            "back on the same url key, tiny cohort aggregate joined "
+            "BROADCAST; zero Python, no window over the capture stream, "
+            "no full-table self cartesian",
+            p,
+            ["HashAggregate", "BroadcastHashJoin"],
+            ["ArrowEvalPython", "BatchEvalPython", "Window",
+             "CartesianProduct"],
+        )
+    )
+
+    p = plan_of(entrymod.q_sitemap_coverage(spark, sf_dir))
+    checks.append(
+        (
+            "q_sitemap_coverage — coverage audit: tag-union + ONE "
+            "groupBy(url) flag-merge (max partials before the exchange) "
+            "+ tiny host rollup — deliberately NOT a full-outer join "
+            "(which would shuffle both sides and re-shuffle the result); "
+            "zero Python, no join, no window",
+            p,
+            ["HashAggregate", "Union"],
+            ["ArrowEvalPython", "BatchEvalPython", "Window",
+             "CartesianProduct", "SortMergeJoin", "BroadcastHashJoin"],
+        )
+    )
+
     p = plan_of(entrymod.q_dom_templates(spark, sf_dir))
     checks.append(
         (
