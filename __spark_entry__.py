@@ -3651,6 +3651,73 @@ def q_sitemap_coverage(spark, sf_dir):
     return sitemap_coverage(declared, crawled)
 
 
+def q_reciprocity(spark, sf_dir):
+    """Link reciprocity (ops/linkgraph.reciprocity): ring hosts h0..h9 with
+    +1 and +3 forward families, back-edges only below h5, and planted
+    self-loops that must be dropped — out_n/reciprocated_n then differ
+    per host (500000 / 666666 / 333333 / 0 ppm bands).  The oracle
+    replays the distinct + reversed self-join + rollup — hash-exact."""
+    from html_parser_spark.ops.linkgraph import reciprocity
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+
+    def h(expr):
+        return F.concat(F.lit("h"), expr.cast("string"))
+
+    fwd = docs.select(h(d % 10).alias("src"), h((d + 1) % 10).alias("dst"))
+    fwd2 = docs.select(h(d % 10).alias("src"), h((d + 3) % 10).alias("dst"))
+    back = docs.filter(d % 10 < 5).select(
+        h((d + 1) % 10).alias("src"), h(d % 10).alias("dst")
+    )
+    loops = docs.filter(d % 7 == 0).select(
+        h(d % 10).alias("src"), h(d % 10).alias("dst")
+    )
+    edges = fwd.unionByName(fwd2).unionByName(back).unionByName(loops)
+    return reciprocity(edges)
+
+
+def q_fuzzy_pairs(spark, sf_dir):
+    """Blocked edit-distance fuzzy matching (ops/dedup.edit_distance_pairs):
+    quads of keys rec<k>{'',a,ab,zzzz} — within a quad the distances are
+    1/2/1/4+, and the suffixes deliberately straddle the length-band
+    blocking boundary so the oracle must replay the SAME blocking to
+    hash-match (the recall heuristic is part of the pinned contract)."""
+    from html_parser_spark.ops.dedup import edit_distance_pairs
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    suffix = (
+        F.when(d % 4 == 1, "a")
+        .when(d % 4 == 2, "ab")
+        .when(d % 4 == 3, "zzzz")
+        .otherwise("")
+    )
+    key = F.concat(F.lit("rec"), F.expr("doc_id div 4").cast("string"), suffix)
+    return edit_distance_pairs(
+        docs.select("doc_id", key.alias("title")), max_dist=2
+    )
+
+
+def q_text_outlinks(spark, sf_dir):
+    """Plain-text URL mining (ops/html_meta.text_outlinks) for WET-style
+    corpora: two urls per doc with trailing '.'/')' artifacts that the
+    trim must remove; the oracle replays the identical RE2-compatible
+    regexes on the identically rebuilt text — hash-exact."""
+    from html_parser_spark.ops.html_meta import text_outlinks
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    text = F.concat(
+        F.col("text"),
+        F.lit(" See https://ref"), (d % 20).cast("string"),
+        F.lit(".example/a/"), d.cast("string"),
+        F.lit(". Also (http://mirror"), (d % 5).cast("string"),
+        F.lit(".test/p)."),
+    )
+    return text_outlinks(docs.select("doc_id", text.alias("text")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-query CORRECTNESS window rotates coverage.
 
@@ -3701,11 +3768,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracle (hash-exact) and unit tests.
 
     Final continuation session: q_quantized_topk / q_quantization_recall /
-    q_url_survival / q_sitemap_coverage land at positions 53-56 (the window
-    was already over-subscribed by never-exposed queries, so they stay
-    past-window by construction); all four are pinned hash-exact by the
-    strict local oracle (tools/oracle_check.py) plus unit tests and
-    plan-audit sections.
+    q_url_survival / q_sitemap_coverage / q_reciprocity / q_fuzzy_pairs /
+    q_text_outlinks land at positions 53-59 (the window was already
+    over-subscribed by never-exposed queries, so they stay past-window by
+    construction); all seven are pinned hash-exact by the strict local
+    oracle (tools/oracle_check.py) plus unit tests and plan-audit
+    sections.  Registry: 155 contract queries, 155 oracles.
     """
     return {
         # -- never driver-green (3 canonicalizer-crash fixes first) --
@@ -3773,6 +3841,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quantization_recall": q_quantization_recall,
         "q_url_survival": q_url_survival,
         "q_sitemap_coverage": q_sitemap_coverage,
+        "q_reciprocity": q_reciprocity,
+        "q_fuzzy_pairs": q_fuzzy_pairs,
+        "q_text_outlinks": q_text_outlinks,
         # -- longest-unexposed veterans (driver-green in round 3, pushed
         #    past the window by the round-4 additions) --
         "q_filter_project": q_filter_project,
@@ -6518,6 +6589,78 @@ def oracle_sql() -> dict[str, str]:
             SELECT birth_snap, age, n_urls,
                    CAST(n_urls * 1000000 // _size AS BIGINT) AS survival_ppm
             FROM counts JOIN cohort ON birth_snap = _b
+        """,
+        "q_fuzzy_pairs": """
+            -- identical key synthesis, identical (first char, length-band)
+            -- blocking, triangle filter, exact Levenshtein <= 2.
+            WITH keyed AS (
+              SELECT doc_id AS _id,
+                     'rec' || CAST(doc_id // 4 AS VARCHAR) ||
+                       CASE doc_id % 4 WHEN 1 THEN 'a' WHEN 2 THEN 'ab'
+                            WHEN 3 THEN 'zzzz' ELSE '' END AS _key
+              FROM documents
+            ), blk AS (
+              SELECT _id, _key,
+                     substr(_key, 1, 1) || '|' ||
+                       CAST(length(_key) // 8 AS VARCHAR) AS _blk
+              FROM keyed
+            )
+            SELECT a._id AS id_a, b._id AS id_b,
+                   CAST(levenshtein(a._key, b._key) AS INT) AS dist
+            FROM blk a JOIN blk b ON a._blk = b._blk AND a._id < b._id
+            WHERE levenshtein(a._key, b._key) <= 2
+        """,
+        "q_text_outlinks": """
+            -- identical text rebuild, identical RE2 url class + trailing
+            -- punctuation trim + length floor.
+            WITH src AS (
+              SELECT doc_id,
+                     text || ' See https://ref' ||
+                       CAST(doc_id % 20 AS VARCHAR) || '.example/a/' ||
+                       CAST(doc_id AS VARCHAR) || '. Also (http://mirror' ||
+                       CAST(doc_id % 5 AS VARCHAR) || '.test/p).' AS text
+              FROM documents
+            ), ex AS (
+              SELECT doc_id,
+                     regexp_replace(
+                       unnest(regexp_extract_all(text,
+                         'https?://[^\\s<>"'')]+', 0)),
+                       '[.,;:!?]+$', '') AS url
+              FROM src
+            )
+            SELECT doc_id, url FROM ex WHERE length(url) > 8
+        """,
+        "q_reciprocity": """
+            -- distinct directed host edges (self-loops dropped), reversed
+            -- self-join, per-host rollup with integral-divide ppm.
+            WITH raw AS (
+              SELECT 'h' || CAST(doc_id % 10 AS VARCHAR) AS src,
+                     'h' || CAST((doc_id + 1) % 10 AS VARCHAR) AS dst
+              FROM documents
+              UNION ALL
+              SELECT 'h' || CAST(doc_id % 10 AS VARCHAR),
+                     'h' || CAST((doc_id + 3) % 10 AS VARCHAR)
+              FROM documents
+              UNION ALL
+              SELECT 'h' || CAST((doc_id + 1) % 10 AS VARCHAR),
+                     'h' || CAST(doc_id % 10 AS VARCHAR)
+              FROM documents WHERE doc_id % 10 < 5
+              UNION ALL
+              SELECT 'h' || CAST(doc_id % 10 AS VARCHAR),
+                     'h' || CAST(doc_id % 10 AS VARCHAR)
+              FROM documents WHERE doc_id % 7 = 0
+            ), e AS (
+              SELECT DISTINCT src, dst FROM raw WHERE src != dst
+            ), j AS (
+              SELECT a.src, CASE WHEN b.src IS NULL THEN 0 ELSE 1 END AS _back
+              FROM e a LEFT JOIN e b ON a.src = b.dst AND a.dst = b.src
+            )
+            SELECT src AS host,
+                   CAST(count(*) AS BIGINT) AS out_n,
+                   CAST(sum(_back) AS BIGINT) AS reciprocated_n,
+                   CAST(sum(_back) * 1000000 // count(*) AS BIGINT)
+                     AS reciprocity_ppm
+            FROM j GROUP BY 1
         """,
         "q_sitemap_coverage": """
             -- tag-union + flag-merge + host rollup, replayed in SQL.

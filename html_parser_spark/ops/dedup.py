@@ -671,3 +671,56 @@ def dedup_prf(
             F.expr("(2 * tp * 1000000) div (n_pred + n_labeled)"),
         ).otherwise(z).alias("f1_ppm"),
     )
+
+
+def edit_distance_pairs(
+    docs: DataFrame,
+    key_col: str = "title",
+    id_col: str = "doc_id",
+    max_dist: int = 2,
+    band: int = 8,
+) -> DataFrame:
+    """Fuzzy key matching by bounded edit distance with blocking — the
+    entity-resolution tier below normalized dedup (titles/headwords that
+    differ by a typo or an OCR slip; classic record-linkage blocking,
+    public: Christen 2012).  Returns (id_a, id_b, dist), id_a < id_b.
+
+    Blocking key = (first char, length div ``band``): only pairs sharing
+    it are compared, so the self-join fans out per block instead of n².
+    This is a RECALL HEURISTIC, stated, not hidden: pairs that differ in
+    their first character or straddle a length-band boundary are not
+    candidates (the standard trade; tighten by unioning a second pass on
+    a different key if a release needs it).  Within a block the exact
+    Levenshtein filter runs JVM-side; keys longer than ~1e3 chars should
+    be pre-truncated by the caller (edit distance is O(len²) per pair).
+
+    Scale shape: ONE distinct projection, ONE self equi-join on the
+    block key (AQE skew-splits hot blocks), the id_a < id_b triangle
+    filter before the Levenshtein so each unordered pair is scored
+    once."""
+    keyed = docs.select(
+        F.col(id_col).alias("_id"),
+        F.col(key_col).alias("_key"),
+        F.concat(
+            F.substring(F.col(key_col), 1, 1),
+            F.lit("|"),
+            (F.length(F.col(key_col)).cast("long") / F.lit(int(band)))
+            .cast("long").cast("string"),
+        ).alias("_blk"),
+    ).filter(F.col("_key").isNotNull() & (F.length("_key") > 0)).distinct()
+    a = keyed.select(
+        F.col("_id").alias("id_a"), F.col("_key").alias("_ka"), "_blk"
+    )
+    b = keyed.select(
+        F.col("_id").alias("id_b"), F.col("_key").alias("_kb"), "_blk"
+    )
+    return (
+        a.join(b, "_blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein(F.col("_ka"), F.col("_kb")).alias("dist"),
+        )
+        .filter(F.col("dist") <= int(max_dist))
+    )

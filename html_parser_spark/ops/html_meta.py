@@ -294,3 +294,28 @@ def jsonld_blocks(
         F.get_json_object(raw, "$['@type']").alias("schema_type"),
         F.get_json_object(raw, "$['@context']").alias("schema_context"),
     )
+
+
+def text_outlinks(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """URL mining from PLAIN TEXT — the link extractor for WET-style
+    corpora where the HTML (and hence ``extract_anchors``) is gone but
+    the prose still cites urls.  Returns exploded (doc_id, url) with
+    trailing sentence punctuation trimmed (the classic 'https://x.com/.'
+    artifact of urls ending a sentence).
+
+    Both regexes are literal character classes (Java regex ≡ RE2, ≡
+    DuckDB), so the oracle replays them verbatim.  ONE codegen
+    projection + explode — no UDF, no shuffle; dedup/graph building is
+    the caller's next groupBy."""
+    urls = F.regexp_extract_all(
+        F.col(text_col), F.lit("""https?://[^\\s<>"')]+"""), 0
+    )
+    trimmed = F.transform(
+        urls, lambda u: F.regexp_replace(u, r"[.,;:!?]+$", "")
+    )
+    out_col = "url" if id_col != "url" else "out_url"
+    return docs.select(
+        id_col, F.explode(trimmed).alias(out_col)
+    ).filter(F.length(out_col) > F.lit(8))

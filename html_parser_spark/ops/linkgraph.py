@@ -559,3 +559,40 @@ def cocitation_pairs(
             ),
         )
     )
+
+
+def reciprocity(edges: DataFrame) -> DataFrame:
+    """Per-host link reciprocity — the link-exchange / link-farm signal
+    (public background: nepotistic reciprocal linking is a canonical
+    web-spam feature, Gyöngyi & Garcia-Molina 2005; organic hosts link
+    out far more than they are linked back by the same peers).
+
+    Input: (src, dst[, weight]) host edges (weights ignored — the signal
+    is the distinct-peer structure).  Output per host with out-links:
+    (host, out_n, reciprocated_n, reciprocity_ppm) where reciprocated_n
+    counts distinct out-neighbors that also link back and
+    reciprocity_ppm = reciprocated_n * 10^6 div out_n.
+
+    Scale shape: ONE distinct over the edge pairs (map-side partials),
+    then ONE self equi-join on the reversed key — both sides are the
+    same deduped edge list, so AQE plans a plain shuffled hash join on
+    (src,dst)=(dst,src) — and ONE groupBy(src) rollup.  No window, no
+    cartesian, no per-host collect."""
+    e = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"),
+                   F.lit(1).alias("_back"))
+    joined = e.join(rev, ["src", "dst"], "left")
+    return (
+        joined.groupBy(F.col("src").alias("host"))
+        .agg(
+            F.count("*").cast("long").alias("out_n"),
+            F.sum(F.coalesce(F.col("_back"), F.lit(0))).cast("long")
+            .alias("reciprocated_n"),
+        )
+        .select(
+            "host",
+            "out_n",
+            "reciprocated_n",
+            F.expr("reciprocated_n * 1000000 div out_n").alias("reciprocity_ppm"),
+        )
+    )

@@ -73,6 +73,14 @@ def main(argv=None):
              "the Common-Crawl text format downstream consumers read",
     )
     ap.add_argument(
+        "--text-links", default="",
+        help="also mine urls cited in the EXTRACTED TEXT (ops/html_meta."
+             "text_outlinks: literal-class regex + trailing-punctuation "
+             "trim) and write the (url, out_url) sidecar parquet into this "
+             "dir — the link source for WET-style corpora whose HTML is "
+             "gone, feeding host_edges/graph_job downstream",
+    )
+    ap.add_argument(
         "--cdx", default="",
         help="also publish a CDXJ capture index (sorted cdx-*.gz shards + "
              "cluster.idx) of the ingest set into this dir; with a warc: "
@@ -309,6 +317,9 @@ def main(argv=None):
             out.write.mode("overwrite").parquet(os.path.join(args.output, "data"))
             out = spark.read.parquet(os.path.join(args.output, "data"))
         n_wet = _write_wet_sidecar(out, "extracted_text", args.wet)
+        n_text_links = _write_text_links_sidecar(
+            out, "extracted_text", args.text_links
+        )
         mimes = {
             r["mime"]: r["count"]
             for r in out.groupBy("mime").count().collect()
@@ -323,6 +334,8 @@ def main(argv=None):
             **{k: int(row[k] or 0) for k in ("docs", "bytes_in", "text_chars")},
             "mimes": {k: int(v) for k, v in sorted(mimes.items())},
             **({"wet_parts": n_wet} if n_wet is not None else {}),
+            **({"text_links": n_text_links}
+               if n_text_links is not None else {}),
             **({"cdx_shards": n_cdx} if n_cdx is not None else {}),
             **({"pub_dated": n_pub} if n_pub is not None else {}),
             **({"dedup_warc_parts": n_dedup_warc}
@@ -368,6 +381,9 @@ def main(argv=None):
             out.write.mode("overwrite").parquet(os.path.join(args.output, "data"))
             out = spark.read.parquet(os.path.join(args.output, "data"))
         n_wet = _write_wet_sidecar(out, "main_text", args.wet)
+        n_text_links = _write_text_links_sidecar(
+            out, "main_text", args.text_links
+        )
         row = out.agg(
             F.count("*").alias("docs"),
             F.sum("n_content_blocks").alias("content_blocks"),
@@ -379,6 +395,8 @@ def main(argv=None):
             **{k: int(row[k] or 0) for k in
                ("docs", "content_blocks", "bytes_in", "content_chars")},
             **({"wet_parts": n_wet} if n_wet is not None else {}),
+            **({"text_links": n_text_links}
+               if n_text_links is not None else {}),
             **({"cdx_shards": n_cdx} if n_cdx is not None else {}),
             **({"pub_dated": n_pub} if n_pub is not None else {}),
             **({"dedup_warc_parts": n_dedup_warc}
@@ -434,6 +452,9 @@ def main(argv=None):
         metrics = {k: row[k] for k in ("docs", "entries", "bytes_in", "errors")}
 
     n_wet = _write_wet_sidecar(results, "extracted_text", args.wet)
+    n_text_links = _write_text_links_sidecar(
+        results, "extracted_text", args.text_links
+    )
     print(json.dumps({
         "job": "extract",
         **{
@@ -441,6 +462,8 @@ def main(argv=None):
             for k, v in metrics.items()
         },
         **({"wet_parts": n_wet} if n_wet is not None else {}),
+        **({"text_links": n_text_links}
+           if n_text_links is not None else {}),
         **({"cdx_shards": n_cdx} if n_cdx is not None else {}),
         **({"pub_dated": n_pub} if n_pub is not None else {}),
         **({"dedup_warc_parts": n_dedup_warc}
@@ -502,6 +525,28 @@ def _write_wet_sidecar(results, text_col: str, out_dir: str):
         "url", "warc_ts", F.col(text_col).alias("text")
     )
     return write_wet_files(docs, out_dir)
+
+
+def _write_text_links_sidecar(results, text_col: str, out_dir: str):
+    """--text-links: urls cited in the extracted text as a (url, out_url)
+    parquet sidecar — the graph source for text-only releases.  Returns
+    the mined-link count, or None when the flag is off."""
+    if not out_dir:
+        return None
+    from pyspark.sql import functions as F
+
+    from html_parser_spark.ops.html_meta import text_outlinks
+
+    links = text_outlinks(
+        results.where(F.col(text_col).isNotNull()).select(
+            "url", F.col(text_col).alias("text")
+        ),
+        id_col="url",
+    )
+    links.write.mode("overwrite").parquet(out_dir)
+    from pyspark.sql import SparkSession
+
+    return int(SparkSession.getActiveSession().read.parquet(out_dir).count())
 
 
 if __name__ == "__main__":

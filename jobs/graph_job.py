@@ -4,7 +4,7 @@
     spark-submit --py-files htmlps.zip jobs/graph_job.py \
         --pages <pages parquet | synth:<sf_dir> | warc:<glob>> \
         --output <dir> [--partitions 256] [--iterations 3] \
-        [--budget-pages 0] [--hits] [--communities]
+        [--budget-pages 0] [--hits] [--communities] [--reciprocity]
 
 Chain (each step's scale shape documented at its op):
 
@@ -44,6 +44,10 @@ def main(argv=None):
     ap.add_argument("--communities", action="store_true",
                     help="also run deterministic label propagation and "
                          "join the community id onto ranks")
+    ap.add_argument("--reciprocity", action="store_true",
+                    help="join per-host link reciprocity (out_n / "
+                         "reciprocated_n / reciprocity_ppm — the "
+                         "link-exchange screen) onto the ranks table")
     ap.add_argument("--seeds", default="",
                     help="comma-separated trusted seed hosts (required by "
                          "--trustrank / --seed-depth)")
@@ -111,6 +115,14 @@ def main(argv=None):
         out = out.join(
             label_propagation(edges, iterations=args.iterations), "node", "left"
         )
+    if args.reciprocity:
+        from html_parser_spark.ops.linkgraph import reciprocity
+
+        out = out.join(
+            reciprocity(edges).withColumnRenamed("host", "node"),
+            "node",
+            "left",
+        )
     if args.trustrank or args.seed_depth > 0:
         if not args.seeds:
             raise SystemExit("--trustrank/--seed-depth require --seeds")
@@ -160,6 +172,9 @@ def main(argv=None):
         **({"seed_reached": int(
                 out.filter(F.col("seed_dist").isNotNull()).count())}
            if args.seed_depth > 0 else {}),
+        **({"reciprocal_hosts": int(
+                out.filter(F.col("reciprocity_ppm") > 0).count())}
+           if args.reciprocity else {}),
     }))
 
 

@@ -563,3 +563,81 @@ def test_cocitation_cap_bounds_fanout_and_dedups_parallel_edges(spark):
     r = got[0]
     assert (r["host_a"], r["host_b"], r["common"]) == ("a", "b", 2)
     assert r["jaccard_bp"] == 10000  # identical in-link sets
+
+
+# ---------------------------------------------------------------------------
+# Link reciprocity — ops/linkgraph.reciprocity
+# ---------------------------------------------------------------------------
+def test_reciprocity_counts_and_ppm(spark):
+    from html_parser_spark.ops.linkgraph import reciprocity
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "a"),          # mutual pair
+            ("a", "c"),                        # one-way
+            ("a", "c"),                        # duplicate edge: counted once
+            ("c", "c"),                        # self-loop: dropped
+            ("d", "a"),                        # one-way into a
+        ],
+        "src string, dst string",
+    )
+    rows = {r["host"]: r for r in reciprocity(edges).collect()}
+    a = rows["a"]
+    assert (a["out_n"], a["reciprocated_n"]) == (2, 1)
+    assert a["reciprocity_ppm"] == 500000
+    b = rows["b"]
+    assert (b["out_n"], b["reciprocated_n"], b["reciprocity_ppm"]) == (1, 1, 1000000)
+    d = rows["d"]
+    assert (d["out_n"], d["reciprocated_n"], d["reciprocity_ppm"]) == (1, 0, 0)
+    # c has no out-edges after the self-loop drop -> absent, not a 0/0 row
+    assert "c" not in rows
+
+
+def test_reciprocity_ignores_weights_column(spark):
+    from html_parser_spark.ops.linkgraph import reciprocity
+
+    edges = spark.createDataFrame(
+        [("a", "b", 9), ("b", "a", 1)], "src string, dst string, weight long"
+    )
+    rows = reciprocity(edges).collect()
+    assert all(r["reciprocity_ppm"] == 1000000 for r in rows)
+
+
+def test_graph_job_reciprocity(spark, tmp_path, capsys):
+    """--reciprocity joins the link-exchange screen onto the ranks table."""
+    import json as _json
+
+    import jobs.graph_job as gj
+
+    def page(url, *links):
+        body = "".join(f'<a href="{u}">x</a>' for u in links)
+        return (url, f"<html><body>{body}</body></html>".encode())
+
+    pages = [
+        page("https://a.com/1", "https://b.com/p"),     # a -> b
+        page("https://b.com/1", "https://a.com/p"),     # b -> a (mutual)
+        page("https://a.com/2", "https://c.com/p"),     # a -> c (one-way)
+        page("https://c.com/1", "https://d.com/p"),     # c -> d (one-way)
+    ]
+    src = str(tmp_path / "pages")
+    spark.createDataFrame(pages, ["url", "html"]).withColumn(
+        "lang", F.lit("en")
+    ).withColumn(
+        "warc_ts", F.timestamp_seconds(F.lit(1704067200))
+    ).write.parquet(src)
+    out = str(tmp_path / "graph")
+    gj.main([
+        "--pages", src, "--output", out, "--partitions", "2",
+        "--iterations", "2", "--reciprocity",
+    ])
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["reciprocal_hosts"] == 2  # a.com and b.com
+    ranks = {r["node"]: r for r in
+             spark.read.parquet(out + "/ranks").collect()}
+    assert ranks["a.com"]["out_n"] == 2
+    assert ranks["a.com"]["reciprocated_n"] == 1
+    assert ranks["a.com"]["reciprocity_ppm"] == 500000
+    assert ranks["b.com"]["reciprocity_ppm"] == 1000000
+    assert ranks["c.com"]["reciprocity_ppm"] == 0
+    # d.com has no out-edges: reciprocity columns NULL via the left join
+    assert ranks["d.com"]["reciprocity_ppm"] is None

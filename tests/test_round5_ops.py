@@ -367,3 +367,70 @@ def test_quantization_recall_perfect_and_ppm(spark):
     for r in rows:
         assert 0 <= r["overlap"] <= 2
         assert r["recall_ppm"] == r["overlap"] * 1000000 // 2
+
+
+# ---------------------------------------------------------------------------
+# Blocked edit-distance fuzzy matching — ops/dedup.edit_distance_pairs
+# ---------------------------------------------------------------------------
+def test_edit_distance_pairs_within_block(spark):
+    from html_parser_spark.ops.dedup import edit_distance_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "kitten"), (2, "sitten"), (3, "kittens"), (4, "kitchen"),
+         (5, "zebra")],
+        "doc_id long, title string",
+    )
+    out = {(r["id_a"], r["id_b"]): r["dist"]
+           for r in edit_distance_pairs(docs, max_dist=2).collect()}
+    # same first char + same length band: kitten/kittens/kitchen compare
+    assert out[(1, 3)] == 1          # kitten -> kittens (insert)
+    assert out[(1, 4)] == 2          # kitten -> kitchen (sub+insert)
+    assert (3, 4) not in out         # kittens -> kitchen is dist 3: filtered
+    # sitten differs in FIRST CHAR: blocked away even though dist 1 —
+    # the stated recall heuristic
+    assert (1, 2) not in out
+    # zebra: different block entirely
+    assert all(5 not in p for p in out)
+
+
+def test_edit_distance_pairs_triangle_and_threshold(spark):
+    from html_parser_spark.ops.dedup import edit_distance_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "aaab"), (3, "abbb")], "doc_id long, title string"
+    )
+    rows = edit_distance_pairs(docs, max_dist=1).collect()
+    # each unordered pair once, id_a < id_b; dist(aaaa,abbb)=3 filtered
+    assert {(r["id_a"], r["id_b"]) for r in rows} == {(1, 2)}
+    assert all(r["id_a"] < r["id_b"] for r in rows)
+
+
+def test_edit_distance_pairs_skips_empty_keys(spark):
+    from html_parser_spark.ops.dedup import edit_distance_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "abc"), (2, ""), (3, None)], "doc_id long, title string"
+    )
+    assert edit_distance_pairs(docs, max_dist=2).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Plain-text URL mining — ops/html_meta.text_outlinks
+# ---------------------------------------------------------------------------
+def test_text_outlinks_trim_and_floor(spark):
+    from html_parser_spark.ops.html_meta import text_outlinks
+
+    docs = spark.createDataFrame(
+        [(1, "see https://a.com/x. then (http://b.org/y), done"),
+         (2, "bare http://c.io!? end"),
+         (3, "no urls here"),
+         (4, "scheme only https:// nothing")],
+        "doc_id long, text string",
+    )
+    rows = {(r["doc_id"], r["url"]) for r in text_outlinks(docs).collect()}
+    assert (1, "https://a.com/x") in rows       # trailing '.' trimmed
+    assert (1, "http://b.org/y") in rows        # ')' excluded by the class
+    assert (2, "http://c.io") in rows           # '!?' trimmed
+    assert all(d != 3 for d, _ in rows)
+    # 'https://' alone is 8 chars: fails the > 8 floor
+    assert all(d != 4 for d, _ in rows)

@@ -752,3 +752,40 @@ def test_sitemap_coverage_dedups_within_each_side(spark):
     a = sitemap_coverage(declared, crawled).collect()[0]
     # repeat sitemap declarations collapse: the audit counts URLs, not lines
     assert (a["declared_n"], a["crawled_n"], a["both_n"]) == (1, 1, 1)
+
+
+def test_extract_job_text_links_sidecar(spark, tmp_path, capsys):
+    """--text-links mines urls cited in the EXTRACTED text into a
+    (url, out_url) parquet sidecar and the report counts the links."""
+    import json as _json
+
+    import jobs.extract_job as ej
+
+    pages = [
+        ("https://a.example/one",
+         b"<html><body><p>cites https://cited.example/x. twice: "
+         b"see http://other.test/y</p></body></html>"),
+        ("https://a.example/two",
+         b"<html><body><p>no links here</p></body></html>"),
+    ]
+    src = str(tmp_path / "pages")
+    spark.createDataFrame(pages, ["url", "html"]).withColumn(
+        "lang", F.lit("en")
+    ).withColumn(
+        "warc_ts", F.timestamp_seconds(F.lit(1704067200))
+    ).write.parquet(src)
+    out = str(tmp_path / "results")
+    side = str(tmp_path / "links")
+    ej.main([
+        "--pages", src, "--output", out, "--partitions", "2",
+        "--main-content", "--text-links", side,
+    ])
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["text_links"] == 2
+    got = {(r["url"], r["out_url"])
+           for r in spark.read.parquet(side).collect()}
+    # the trailing '.' artifact is trimmed; the no-link page contributes none
+    assert got == {
+        ("https://a.example/one", "https://cited.example/x"),
+        ("https://a.example/one", "http://other.test/y"),
+    }

@@ -1355,6 +1355,48 @@ def main():
         )
     )
 
+    p = plan_of(entrymod.q_reciprocity(spark, sf_dir))
+    checks.append(
+        (
+            "q_reciprocity — link-exchange signal: ONE distinct over the "
+            "edge pairs (map-side partials), ONE reversed-key self "
+            "equi-join, ONE groupBy(src) rollup with integral-divide ppm; "
+            "zero Python, no window, no cartesian product",
+            p,
+            ["HashAggregate", "Join"],
+            ["ArrowEvalPython", "BatchEvalPython", "Window",
+             "CartesianProduct"],
+        )
+    )
+
+    p = plan_of(entrymod.q_fuzzy_pairs(spark, sf_dir))
+    checks.append(
+        (
+            "q_fuzzy_pairs — blocked edit distance: ONE distinct keyed "
+            "projection, ONE self equi-join on the block key (AQE "
+            "skew-splits hot blocks), triangle filter before the "
+            "Levenshtein so each unordered pair scores once; zero "
+            "Python, no window, no cartesian product",
+            p,
+            ["HashAggregate", "Join"],
+            ["ArrowEvalPython", "BatchEvalPython", "Window",
+             "CartesianProduct"],
+        )
+    )
+
+    p = plan_of(entrymod.q_text_outlinks(spark, sf_dir))
+    checks.append(
+        (
+            "q_text_outlinks — plain-text url mining: ONE codegen "
+            "regexp_extract_all + transform-trim projection + explode; "
+            "zero shuffle, zero Python, no join, no window",
+            p,
+            ["Generate"],
+            ["ArrowEvalPython", "BatchEvalPython", "Window", "Exchange",
+             "CartesianProduct"],
+        )
+    )
+
     p = plan_of(entrymod.q_dom_templates(spark, sf_dir))
     checks.append(
         (
