@@ -3718,6 +3718,33 @@ def q_text_outlinks(spark, sf_dir):
     return text_outlinks(docs.select("doc_id", text.alias("text")))
 
 
+def q_mixture_plan(spark, sf_dir):
+    """Training-mixture epoch planner (ops/corpus.mixture_plan): sources
+    src0..src3 with arithmetic token counts, weights demanding src0-2 plus
+    a phantom src9 (absent from the corpus — must surface as a loud
+    NULL-epochs row, not a crash), src3 present but unweighted.  The
+    oracle replays the aggregate + full-outer join + integral divides."""
+    from html_parser_spark.ops.corpus import mixture_plan
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    src = docs.select(
+        F.concat(F.lit("src"), (d % 4).cast("string")).alias("lang"),
+        ((d % 50) + 1).cast("long").alias("n_tokens"),
+    )
+    out = mixture_plan(
+        src,
+        {"src0": 500000, "src1": 300000, "src2": 150000, "src9": 50000},
+        target_total_tokens=2500000,
+    )
+    # driver-canonicalizer safety: a NULL in a BIGINT column rides pandas as
+    # float64 on the oracle side (400000000 vs 400000000.0 hash split) —
+    # serialize the absent-source sentinel as -1 in BOTH engines
+    return out.withColumn(
+        "epochs_ppm", F.coalesce(F.col("epochs_ppm"), F.lit(-1).cast("long"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-query CORRECTNESS window rotates coverage.
 
@@ -3769,11 +3796,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Final continuation session: q_quantized_topk / q_quantization_recall /
     q_url_survival / q_sitemap_coverage / q_reciprocity / q_fuzzy_pairs /
-    q_text_outlinks land at positions 53-59 (the window was already
-    over-subscribed by never-exposed queries, so they stay past-window by
-    construction); all seven are pinned hash-exact by the strict local
-    oracle (tools/oracle_check.py) plus unit tests and plan-audit
-    sections.  Registry: 155 contract queries, 155 oracles.
+    q_text_outlinks / q_mixture_plan land at positions 53-60 (the window
+    was already over-subscribed by never-exposed queries, so they stay
+    past-window by construction); all eight are pinned hash-exact by the
+    strict local oracle (tools/oracle_check.py) plus unit tests and
+    plan-audit sections.  Registry: 156 contract queries, 156 oracles.
     """
     return {
         # -- never driver-green (3 canonicalizer-crash fixes first) --
@@ -3844,6 +3871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_reciprocity": q_reciprocity,
         "q_fuzzy_pairs": q_fuzzy_pairs,
         "q_text_outlinks": q_text_outlinks,
+        "q_mixture_plan": q_mixture_plan,
         # -- longest-unexposed veterans (driver-green in round 3, pushed
         #    past the window by the round-4 additions) --
         "q_filter_project": q_filter_project,
@@ -6589,6 +6617,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT birth_snap, age, n_urls,
                    CAST(n_urls * 1000000 // _size AS BIGINT) AS survival_ppm
             FROM counts JOIN cohort ON birth_snap = _b
+        """,
+        "q_mixture_plan": """
+            -- per-source token totals, full-outer join against the demanded
+            -- weights, planned tokens + epochs by integral divide.
+            WITH avail AS (
+              SELECT 'src' || CAST(doc_id % 4 AS VARCHAR) AS source,
+                     CAST(sum(doc_id % 50 + 1) AS BIGINT) AS n_tokens
+              FROM documents GROUP BY 1
+            ), w(source, weight_ppm) AS (
+              VALUES ('src0', 500000), ('src1', 300000),
+                     ('src2', 150000), ('src9', 50000)
+            ), j AS (
+              SELECT coalesce(a.source, w.source) AS source,
+                     CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+                     CAST(coalesce(w.weight_ppm, 0) AS BIGINT) AS weight_ppm
+              FROM avail a FULL OUTER JOIN w ON a.source = w.source
+            ), p AS (
+              SELECT source, n_tokens, weight_ppm,
+                     CAST(2500000 * weight_ppm // 1000000 AS BIGINT)
+                       AS planned_tokens
+              FROM j
+            )
+            SELECT source, n_tokens, weight_ppm, planned_tokens,
+                   CAST(coalesce(planned_tokens * 1000000 //
+                        nullif(n_tokens, 0), -1) AS BIGINT) AS epochs_ppm,
+                   coalesce(planned_tokens * 1000000 //
+                            nullif(n_tokens, 0) > 1000000, false) AS repeated
+            FROM p
         """,
         "q_fuzzy_pairs": """
             -- identical key synthesis, identical (first char, length-band)

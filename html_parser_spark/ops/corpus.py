@@ -1511,3 +1511,58 @@ def strip_frequent_lines(
     return ids.join(rebuilt, "doc_id", "left").select(
         "doc_id", F.coalesce("text", F.lit("")).alias("text")
     )
+
+
+def mixture_plan(
+    docs: DataFrame,
+    weights_ppm: "dict[str, int]",
+    target_total_tokens: int,
+    source_col: str = "lang",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Training-mixture epoch planner — given the tokens AVAILABLE per
+    source and the mixture weights a training run wants, how many tokens
+    does each source contribute and how many EPOCHS of it is that?
+    (Public background: repeating a source beyond ~4 epochs stops buying
+    loss — Muennighoff 2023 data-constrained scaling; this table is the
+    release audit that catches "your 2% source is actually 11 epochs of
+    itself" before a run is launched.)
+
+    ``weights_ppm`` maps source → parts-per-million of the target mix
+    (callers validate they sum to ≤ 10^6).  Output one row per source
+    present in EITHER the corpus or the weight map:
+    (source, n_tokens, weight_ppm, planned_tokens, epochs_ppm, repeated)
+    with planned_tokens = target · weight div 10^6, epochs_ppm =
+    planned · 10^6 div available (0-token sources report NULL epochs —
+    a demanded-but-absent source is a loud row, not a crash), repeated =
+    epochs_ppm > 10^6.  All integer arithmetic.
+
+    Scale shape: ONE partial-agg groupBy over docs (#sources rows out),
+    then a full-outer join against the tiny literal weight frame —
+    driver-size both sides after the aggregate; nothing else touches
+    the corpus."""
+    spark = docs.sparkSession
+    avail = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.sum(F.col(tokens_col)).cast("long").alias("n_tokens")
+    )
+    w = spark.createDataFrame(
+        [(k, int(v)) for k, v in sorted(weights_ppm.items())],
+        "source string, weight_ppm long",
+    )
+    joined = avail.join(w, "source", "full_outer").select(
+        "source",
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce("weight_ppm", F.lit(0)).cast("long").alias("weight_ppm"),
+    )
+    planned = F.expr(f"{int(target_total_tokens)}L * weight_ppm div 1000000")
+    return (
+        joined.withColumn("planned_tokens", planned)
+        .withColumn(
+            "epochs_ppm",
+            F.expr("planned_tokens * 1000000 div nullif(n_tokens, 0)"),
+        )
+        .withColumn(
+            "repeated",
+            F.coalesce(F.col("epochs_ppm") > 1000000, F.lit(False)),
+        )
+    )

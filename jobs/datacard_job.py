@@ -19,7 +19,11 @@ Reads any parquet with (doc_id, text, lang[, split]) — e.g. the
 * with ``--compare <old docs>``: ``drift/`` — per-lang share delta vs
   the previous release (ops/corpus.distribution_drift) plus the integer
   total-variation distance in the summary line — the month-over-month
-  crawl-mix alarm.
+  crawl-mix alarm;
+* with ``--mix-weights lang:ppm,... --mix-target N``: ``mixture/`` —
+  the epoch-plan table (ops/corpus.mixture_plan: planned tokens and
+  epochs per source for an N-token run) plus ``repeated_sources`` in
+  the summary line — the "your 2% source is 11 epochs of itself" audit.
 
 Scale shape: ONE partial-agg groupBy(split, lang) for the counts and ONE
 ``percentile_approx`` aggregate per split for the length quantiles
@@ -160,6 +164,17 @@ def main(argv=None):
                          "drift/ (per-lang share delta vs this release, "
                          "ops/corpus.distribution_drift) and report the "
                          "total-variation distance in the summary line")
+    ap.add_argument("--mix-weights", default=None,
+                    help="'lang:ppm,lang:ppm,...' target mixture weights: "
+                         "also write mixture/ — the epoch-plan table "
+                         "(ops/corpus.mixture_plan: planned tokens and "
+                         "epochs per source at --mix-target total tokens) "
+                         "and report repeated_sources (sources a run "
+                         "would see more than one epoch of) in the "
+                         "summary line")
+    ap.add_argument("--mix-target", type=int, default=0,
+                    help="target total training tokens for --mix-weights "
+                         "(required with it)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -234,6 +249,35 @@ def main(argv=None):
         # TVD = Σ|Δshare|/2; delta is in ppm, so halve the integer sum —
         # report in ppm (of 10^6) so the number stays integer-exact
         extras["drift_tvd_ppm"] = tvd2 // 2
+    if args.mix_weights:
+        from html_parser_spark.ops.corpus import mixture_plan
+
+        if args.mix_target <= 0:
+            raise SystemExit("--mix-weights requires --mix-target > 0")
+        try:
+            weights = {
+                k.strip(): int(v)
+                for k, v in (p.split(":") for p in args.mix_weights.split(","))
+            }
+        except ValueError as e:
+            raise SystemExit(f"bad --mix-weights spec: {e}")
+        tokd = docs.select(
+            F.coalesce(F.col("lang"), F.lit("und")).alias("lang"),
+            F.size(
+                F.filter(
+                    F.split(
+                        F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"
+                    ),
+                    lambda x: F.length(x) > 0,
+                )
+            ).cast("long").alias("n_tokens"),
+        )
+        plan = mixture_plan(tokd, weights, args.mix_target)
+        out_mix = os.path.join(args.output, "mixture")
+        plan.write.mode("overwrite").parquet(out_mix)
+        extras["repeated_sources"] = int(
+            spark.read.parquet(out_mix).filter(F.col("repeated")).count()
+        )
     with open(os.path.join(args.output, "datacard.json"), "w") as f:
         json.dump({**card, **extras}, f, indent=2, sort_keys=True)
     print(json.dumps({"job": "datacard", **card["totals"], **extras}))

@@ -1015,3 +1015,36 @@ def test_strip_frequent_lines_order_raw_form_and_empty_doc(spark):
     assert got[1] == "keep one\n\nkeep two"
     assert got[2] == ""
     assert got[3] == "untouched\n\nlines"
+
+
+# ---------------------------------------------------------------------------
+# Training-mixture epoch planner — ops/corpus.mixture_plan
+# ---------------------------------------------------------------------------
+def test_mixture_plan_epochs_and_repeat_flag(spark):
+    from html_parser_spark.ops.corpus import mixture_plan
+
+    docs = spark.createDataFrame(
+        [("web", 800), ("web", 200), ("books", 100), ("code", 400)],
+        "lang string, n_tokens long",
+    )
+    out = {r["source"]: r for r in mixture_plan(
+        docs,
+        {"web": 500000, "books": 400000, "wiki": 100000},
+        target_total_tokens=1000,
+    ).collect()}
+    web = out["web"]
+    assert (web["n_tokens"], web["planned_tokens"]) == (1000, 500)
+    assert web["epochs_ppm"] == 500000 and web["repeated"] is False
+    books = out["books"]
+    # demands 400 tokens of a 100-token source: 4 epochs -> flagged
+    assert (books["planned_tokens"], books["epochs_ppm"]) == (400, 4000000)
+    assert books["repeated"] is True
+    # demanded but absent: loud NULL-epochs row
+    wiki = out["wiki"]
+    assert (wiki["n_tokens"], wiki["planned_tokens"]) == (0, 100)
+    assert wiki["epochs_ppm"] is None and wiki["repeated"] is False
+    # present but unweighted: zero plan
+    code = out["code"]
+    assert (code["weight_ppm"], code["planned_tokens"], code["epochs_ppm"]) == (
+        0, 0, 0,
+    )

@@ -649,3 +649,38 @@ def test_datacard_job_concentration(spark, tmp_path, capsys):
     with _pytest.raises(SystemExit):
         dj.main(["--docs", docs_dir, "--output", out,
                  "--concentration", "nope"])
+
+
+def test_datacard_job_mixture_plan(spark, tmp_path, capsys):
+    """--mix-weights/--mix-target: epoch-plan sidecar + repeated_sources."""
+    import jobs.datacard_job as dj
+
+    rows = [
+        (1, "a b c d e f g h i j", "en", "train"),   # en: 10 tokens
+        (2, "x y", "de", "train"),                    # de: 2 tokens
+    ]
+    docs_dir = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, split string"
+    ).write.parquet(docs_dir)
+    out = str(tmp_path / "card")
+    dj.main([
+        "--docs", docs_dir, "--output", out,
+        "--mix-weights", "en:500000,de:400000,fr:100000",
+        "--mix-target", "20",
+    ])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # de: planned 8 of 2 available = 4 epochs -> the one repeated source
+    assert stats["repeated_sources"] == 1
+    plan = {r["source"]: r for r in
+            spark.read.parquet(os.path.join(out, "mixture")).collect()}
+    assert plan["en"]["planned_tokens"] == 10 and plan["en"]["repeated"] is False
+    assert plan["de"]["epochs_ppm"] == 4000000 and plan["de"]["repeated"] is True
+    # demanded-but-absent source: loud NULL-epochs row
+    assert plan["fr"]["n_tokens"] == 0 and plan["fr"]["epochs_ppm"] is None
+
+    # missing --mix-target fails loudly
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):
+        dj.main(["--docs", docs_dir, "--output", out,
+                 "--mix-weights", "en:1000000"])

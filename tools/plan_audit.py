@@ -1397,6 +1397,20 @@ def main():
         )
     )
 
+    p = plan_of(entrymod.q_mixture_plan(spark, sf_dir))
+    checks.append(
+        (
+            "q_mixture_plan — epoch planner: ONE partial-agg groupBy over "
+            "the corpus (#sources rows out), tiny full-outer join against "
+            "the literal weight frame, integral-divide projections; zero "
+            "Python, no window, nothing else touches the corpus",
+            p,
+            ["HashAggregate", "Join"],
+            ["ArrowEvalPython", "BatchEvalPython", "Window",
+             "CartesianProduct"],
+        )
+    )
+
     p = plan_of(entrymod.q_dom_templates(spark, sf_dir))
     checks.append(
         (
