@@ -3745,6 +3745,68 @@ def q_mixture_plan(spark, sf_dir):
     )
 
 
+def q_reordered_dedup(spark, sf_dir):
+    """Order-insensitive duplicate groups (ops/dedup.reordered_duplicates):
+    each doc gets a word-REVERSED twin (must group, multiset identical)
+    and a one-token-appended mutant (must NOT group).  The oracle rebuilds
+    the same three variants and replays tokenize → binary sort → md5 in
+    SQL — hash match pins the multiset-key semantics cross-engine."""
+    from html_parser_spark.ops.dedup import reordered_duplicates
+
+    docs = _docs(spark, sf_dir)
+    toks = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"), lambda x: F.length(x) > 0
+    )
+    twin = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.array_join(F.reverse(toks), " ").alias("text"),
+    )
+    mutant = docs.select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzzmutant")).alias("text"),
+    )
+    allv = docs.select("doc_id", "text").unionByName(twin).unionByName(mutant)
+    return reordered_duplicates(allv)
+
+
+def q_robots_audit(spark, sf_dir):
+    """Per-host robots-compliance audit (ops/robots.compliance_audit) over
+    the q_robots policy synthesis (20 hosts, two policy families, decoy
+    badbot group, four path kinds).  The oracle aggregates the CLOSED-FORM
+    expected verdicts per host — hash match checks the whole robots
+    machinery AND the rollup arithmetic."""
+    from html_parser_spark.ops.robots import compliance_audit, parse_robots
+
+    docs = _docs(spark, sf_dir)
+    hostn = F.col("doc_id") % 20
+    host = F.concat(F.lit("h"), hostn.cast("string"), F.lit(".example"))
+    robots = (
+        docs.select(hostn.alias("hn")).distinct().select(
+            F.concat(F.lit("h"), F.col("hn").cast("string"),
+                     F.lit(".example")).alias("host"),
+            F.concat(
+                F.lit("# synthetic policy\nUser-agent: *\n"),
+                F.when(
+                    F.col("hn") < 10,
+                    F.lit("Disallow: /private\nAllow: /private/ok\n"),
+                ).otherwise(F.lit("Disallow: /public\n")),
+                F.lit("\nUser-agent: badbot\nDisallow: /\n"),
+            ).alias("body"),
+        )
+    )
+    kind = F.col("doc_id") % 4
+    path = (
+        F.when(kind == 0, F.concat(F.lit("/public/p"), F.col("doc_id").cast("string")))
+        .when(kind == 1, F.concat(F.lit("/private/p"), F.col("doc_id").cast("string")))
+        .when(kind == 2, F.concat(F.lit("/private/ok/p"), F.col("doc_id").cast("string")))
+        .otherwise(F.lit("/"))
+    )
+    pages = docs.select(
+        "doc_id", F.concat(F.lit("https://"), host, path).alias("url")
+    )
+    return compliance_audit(pages, parse_robots(robots))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-query CORRECTNESS window rotates coverage.
 
@@ -3796,11 +3858,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Final continuation session: q_quantized_topk / q_quantization_recall /
     q_url_survival / q_sitemap_coverage / q_reciprocity / q_fuzzy_pairs /
-    q_text_outlinks / q_mixture_plan land at positions 53-60 (the window
-    was already over-subscribed by never-exposed queries, so they stay
-    past-window by construction); all eight are pinned hash-exact by the
-    strict local oracle (tools/oracle_check.py) plus unit tests and
-    plan-audit sections.  Registry: 156 contract queries, 156 oracles.
+    q_text_outlinks / q_mixture_plan / q_reordered_dedup / q_robots_audit
+    land at positions 53-62 (the window was already over-subscribed by
+    never-exposed queries, so they stay past-window by construction); all
+    ten are pinned hash-exact by the strict local oracle
+    (tools/oracle_check.py) plus unit tests and plan-audit sections.
+    Registry: 158 contract queries, 158 oracles.
     """
     return {
         # -- never driver-green (3 canonicalizer-crash fixes first) --
@@ -3872,6 +3935,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fuzzy_pairs": q_fuzzy_pairs,
         "q_text_outlinks": q_text_outlinks,
         "q_mixture_plan": q_mixture_plan,
+        "q_reordered_dedup": q_reordered_dedup,
+        "q_robots_audit": q_robots_audit,
         # -- longest-unexposed veterans (driver-green in round 3, pushed
         #    past the window by the round-4 additions) --
         "q_filter_project": q_filter_project,
@@ -6617,6 +6682,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT birth_snap, age, n_urls,
                    CAST(n_urls * 1000000 // _size AS BIGINT) AS survival_ppm
             FROM counts JOIN cohort ON birth_snap = _b
+        """,
+        "q_reordered_dedup": """
+            -- rebuild original + reversed twin + appended mutant, then
+            -- tokenize -> binary sort -> md5 -> group.
+            WITH base AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000,
+                     array_to_string(list_reverse(
+                       list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                   x -> length(x) > 0)), ' ')
+              FROM documents
+              UNION ALL
+              SELECT doc_id + 2000000, text || ' zzzmutant' FROM documents
+            ), keyed AS (
+              SELECT doc_id,
+                     md5(array_to_string(list_sort(
+                       list_filter(regexp_split_to_array(trim(coalesce(text, '')),
+                                                         '\\s+'),
+                                   x -> length(x) > 0)), ' ')) AS h
+              FROM base
+            )
+            SELECT h, count(*) AS dup_count, min(doc_id) AS canonical_id
+            FROM keyed GROUP BY h
+        """,
+        "q_robots_audit": """
+            -- closed-form expected verdicts aggregated per host:
+            -- low hosts (hn < 10) disallow kind 1 (/private, with the
+            -- /private/ok carve-out = kind 2 allowed); high hosts
+            -- disallow kind 0 (/public); root (kind 3) always allowed.
+            WITH d AS (
+              SELECT doc_id % 20 AS hn, doc_id % 4 AS kind FROM documents
+            ), agg AS (
+              SELECT 'h' || CAST(hn AS VARCHAR) || '.example' AS host,
+                     CAST(count(*) AS BIGINT) AS crawled_n,
+                     CAST(sum(CASE WHEN (hn < 10 AND kind = 1)
+                                     OR (hn >= 10 AND kind = 0)
+                              THEN 1 ELSE 0 END) AS BIGINT) AS disallowed_n
+              FROM d GROUP BY 1
+            )
+            SELECT host, crawled_n, disallowed_n,
+                   CAST(disallowed_n * 1000000 // crawled_n AS BIGINT)
+                     AS disallowed_ppm
+            FROM agg
         """,
         "q_mixture_plan": """
             -- per-source token totals, full-outer join against the demanded

@@ -724,3 +724,31 @@ def edit_distance_pairs(
         )
         .filter(F.col("dist") <= int(max_dist))
     )
+
+
+def reordered_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Order-insensitive duplicate groups: documents whose token MULTISETS
+    are identical even though the word order differs — the tier
+    normalized_text_key cannot see (it preserves order) and MinHash only
+    finds approximately.  Catches listing/feed pages re-rendered with a
+    different sort, template pages whose blocks moved, and shuffled
+    scraper copies.
+
+    Key = md5 of the SORTED token array (binary string sort — Spark's
+    UTF8 comparator and the oracle engine's default binary collation
+    agree codepoint-for-codepoint), computed as a pure-codegen
+    projection; then ONE partial-agg groupBy on the 32-byte key.
+    Returns (h, dup_count, canonical_id) like exact_duplicates."""
+    toks = F.filter(
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda x: F.length(x) > 0,
+    )
+    key = F.md5(F.encode(F.array_join(F.array_sort(toks), " "), "UTF-8"))
+    return (
+        docs.select(F.col("doc_id"), key.alias("h"))
+        .groupBy("h")
+        .agg(
+            F.count("*").alias("dup_count"),
+            F.min("doc_id").alias("canonical_id"),
+        )
+    )

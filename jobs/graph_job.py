@@ -5,6 +5,7 @@
         --pages <pages parquet | synth:<sf_dir> | warc:<glob>> \
         --output <dir> [--partitions 256] [--iterations 3] \
         [--budget-pages 0] [--hits] [--communities] [--reciprocity]
+        [--collapse-domains]
 
 Chain (each step's scale shape documented at its op):
 
@@ -44,6 +45,14 @@ def main(argv=None):
     ap.add_argument("--communities", action="store_true",
                     help="also run deterministic label propagation and "
                          "join the community id onto ranks")
+    ap.add_argument("--collapse-domains", action="store_true",
+                    help="collapse hosts to their PSL registered domain "
+                         "BEFORE ranking (blog.example.co.uk and "
+                         "www.example.co.uk become one node; "
+                         "ops/web.registered_domain_psl — pure-codegen "
+                         "suffix match, then one re-aggregate of the "
+                         "edge list): rank domains, not subdomains, so "
+                         "subdomain farms cannot multiply their vote")
     ap.add_argument("--reciprocity", action="store_true",
                     help="join per-host link reciprocity (out_n / "
                          "reciprocated_n / reciprocity_ppm — the "
@@ -97,6 +106,19 @@ def main(argv=None):
 
     meta = extract_page_meta(pages).select("url", "outlinks")
     edges = host_edges(meta)
+    if args.collapse_domains:
+        from html_parser_spark.ops.web import registered_domain_psl
+
+        edges = (
+            edges.select(
+                registered_domain_psl(F.col("src")).alias("src"),
+                registered_domain_psl(F.col("dst")).alias("dst"),
+                "weight",
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .groupBy("src", "dst")
+            .agg(F.sum("weight").cast("long").alias("weight"))
+        )
     edges.write.mode("overwrite").parquet(os.path.join(args.output, "edges"))
     edges = spark.read.parquet(os.path.join(args.output, "edges"))
 

@@ -641,3 +641,44 @@ def test_graph_job_reciprocity(spark, tmp_path, capsys):
     assert ranks["c.com"]["reciprocity_ppm"] == 0
     # d.com has no out-edges: reciprocity columns NULL via the left join
     assert ranks["d.com"]["reciprocity_ppm"] is None
+
+
+def test_graph_job_collapse_domains(spark, tmp_path, capsys):
+    """--collapse-domains: subdomains fold into one PSL registered-domain
+    node before ranking, so a subdomain farm is one vote."""
+    import json as _json
+
+    import jobs.graph_job as gj
+
+    def page(url, *links):
+        body = "".join(f'<a href="{u}">x</a>' for u in links)
+        return (url, f"<html><body>{body}</body></html>".encode())
+
+    pages = [
+        # three subdomains of farm.com all link to victim.org
+        page("https://a.farm.com/1", "https://victim.org/p"),
+        page("https://b.farm.com/1", "https://victim.org/p"),
+        page("https://www.farm.com/1", "https://victim.org/p"),
+        page("https://victim.org/1", "https://other.net/p"),
+    ]
+    src = str(tmp_path / "pages")
+    spark.createDataFrame(pages, ["url", "html"]).withColumn(
+        "lang", F.lit("en")
+    ).withColumn(
+        "warc_ts", F.timestamp_seconds(F.lit(1704067200))
+    ).write.parquet(src)
+    out = str(tmp_path / "graph")
+    gj.main([
+        "--pages", src, "--output", out, "--partitions", "2",
+        "--iterations", "2", "--collapse-domains",
+    ])
+    _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    edges = {(r["src"], r["dst"]): r["weight"] for r in
+             spark.read.parquet(out + "/edges").collect()}
+    # the three subdomain edges collapse into ONE weighted domain edge
+    assert edges == {
+        ("farm.com", "victim.org"): 3,
+        ("victim.org", "other.net"): 1,
+    }
+    nodes = {r["node"] for r in spark.read.parquet(out + "/ranks").collect()}
+    assert nodes == {"farm.com", "victim.org", "other.net"}

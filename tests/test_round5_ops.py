@@ -434,3 +434,63 @@ def test_text_outlinks_trim_and_floor(spark):
     assert all(d != 3 for d, _ in rows)
     # 'https://' alone is 8 chars: fails the > 8 floor
     assert all(d != 4 for d, _ in rows)
+
+
+# ---------------------------------------------------------------------------
+# Order-insensitive (multiset) dedup — ops/dedup.reordered_duplicates
+# ---------------------------------------------------------------------------
+def test_reordered_duplicates_groups_shuffled_copies(spark):
+    from html_parser_spark.ops.dedup import reordered_duplicates
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),
+            (2, "fox brown the quick"),       # same multiset: groups with 1
+            (3, "the quick brown foxes"),     # different token: own group
+            (4, "the the quick brown fox"),   # different MULTIPLICITY: own group
+            (5, "  the   quick brown fox  "), # whitespace runs collapse: with 1
+        ],
+        "doc_id long, text string",
+    )
+    groups = {r["canonical_id"]: r["dup_count"]
+              for r in reordered_duplicates(docs).collect()}
+    assert groups[1] == 3      # docs 1, 2, 5
+    assert groups[3] == 1 and groups[4] == 1
+
+
+def test_reordered_duplicates_empty_and_null(spark):
+    from html_parser_spark.ops.dedup import reordered_duplicates
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "   ")], "doc_id long, text string"
+    )
+    rows = reordered_duplicates(docs).collect()
+    # all three normalize to the empty multiset: one group, canonical 1
+    assert len(rows) == 1
+    assert rows[0]["dup_count"] == 3 and rows[0]["canonical_id"] == 1
+
+
+# ---------------------------------------------------------------------------
+# Robots compliance audit — ops/robots.compliance_audit
+# ---------------------------------------------------------------------------
+def test_compliance_audit_per_host_ppm(spark):
+    from html_parser_spark.ops.robots import compliance_audit, parse_robots
+
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /private\n")],
+        "host string, body string",
+    )
+    pages = spark.createDataFrame(
+        [("https://a.com/ok",), ("https://a.com/private/1",),
+         ("https://a.com/private/2",), ("https://a.com/also-ok",),
+         ("https://norules.net/x",)],
+        "url string",
+    )
+    rows = {r["host"]: r for r in
+            compliance_audit(pages, parse_robots(robots)).collect()}
+    a = rows["a.com"]
+    assert (a["crawled_n"], a["disallowed_n"]) == (4, 2)
+    assert a["disallowed_ppm"] == 500000
+    # host with no robots.txt: everything allowed
+    n = rows["norules.net"]
+    assert (n["crawled_n"], n["disallowed_n"], n["disallowed_ppm"]) == (1, 0, 0)

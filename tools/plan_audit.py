@@ -1411,6 +1411,37 @@ def main():
         )
     )
 
+    p = plan_of(entrymod.q_reordered_dedup(spark, sf_dir))
+    checks.append(
+        (
+            "q_reordered_dedup — multiset dedup: tokenize + binary "
+            "array_sort + md5 is a pure-codegen projection (32-byte "
+            "shuffle key, the heavy strings never shuffle), then ONE "
+            "partial-agg groupBy; zero Python, no join, no window",
+            p,
+            ["HashAggregate", "Union"],
+            ["ArrowEvalPython", "BatchEvalPython", "Window",
+             "CartesianProduct", "SortMergeJoin"],
+        )
+    )
+
+    p = plan_of(entrymod.q_robots_audit(spark, sf_dir))
+    checks.append(
+        (
+            "q_robots_audit — compliance rollup: the robots_verdict host "
+            "equi-join (rules are host-bounded, never page-bounded — in "
+            "this synthesis the rules side derives from docs so the "
+            "planner cannot prove it small and falls back to SMJ; a real "
+            "robots corpus broadcasts under AQE, same as q_robots) feeds "
+            "ONE groupBy(host) with map-side partials and an "
+            "integral-divide ppm; zero Python, no cartesian product",
+            p,
+            ["HashAggregate", "Join"],
+            ["ArrowEvalPython", "BatchEvalPython", "CartesianProduct",
+             "BroadcastNestedLoopJoin"],
+        )
+    )
+
     p = plan_of(entrymod.q_dom_templates(spark, sf_dir))
     checks.append(
         (
