@@ -569,9 +569,23 @@ def _pairs_table(s: dict) -> str:
     return "\n".join(rows)
 
 
+_WINDOWS_HEADER = "## Secondary-placement sampling windows"
+
+
 def write_baseline_md(s: dict):
     os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH"), exist_ok=True)
     p = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "BASELINE.md")
+    # the sampling-windows section is protocol-freeze EVIDENCE accumulated
+    # across the round (bench.py --secondary-only appends rows); a full
+    # rewrite must carry it over, not drop it
+    windows = ""
+    try:
+        with open(p) as f:
+            old = f.read()
+        if _WINDOWS_HEADER in old:
+            windows = "\n" + old[old.index(_WINDOWS_HEADER):].rstrip() + "\n"
+    except OSError:
+        pass
     with open(p, "w") as f:
         f.write(
             f"""# BENCH baseline — scaling evidence (sandbox protocol)
@@ -664,7 +678,7 @@ and memory buses, the Spark-attributable number is the relevant one.
 
 Reference ceiling for the same workload shape: sequential headless-Chromium
 parse, ~10 docs/sec on one core (BASELINE.md).
-"""
+{windows}"""
         )
 
 
