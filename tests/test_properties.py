@@ -282,3 +282,31 @@ def test_train_bpe_total_and_valid(freqs):
     for a, b in merges:
         assert a in known and b in known
         known.add(a + b)
+
+
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, width=32
+        ),
+        min_size=1,
+        max_size=32,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_int8_quantization_bound_and_range(xs):
+    """The SQ8 math property (pure IEEE-double replay of the Spark/DuckDB
+    expression): q = floor(x*127/max|x|) stays in [-127, 127] and the
+    dequantization error |x - q*max_abs/127| is below one quantization
+    step.  Holds for arbitrary float32 vectors — the 10^12-vector
+    argument that no input can push a value out of int8 range."""
+    import math
+
+    max_abs = max(abs(x) for x in xs)
+    if max_abs == 0.0:
+        return  # all-zero vectors quantize to all-zero by definition
+    step = max_abs / 127.0
+    for x in xs:
+        q = math.floor(x * 127.0 / max_abs)
+        assert -127 <= q <= 127
+        assert abs(x - q * step) <= step * (1 + 1e-9)

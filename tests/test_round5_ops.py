@@ -494,3 +494,51 @@ def test_compliance_audit_per_host_ppm(spark):
     # host with no robots.txt: everything allowed
     n = rows["norules.net"]
     assert (n["crawled_n"], n["disallowed_n"], n["disallowed_ppm"]) == (1, 0, 0)
+
+
+# ---------------------------------------------------------------------------
+# Partition-independence of the session ops (the 10^12-row invariant: the
+# answer must not depend on how the input happens to be partitioned)
+# ---------------------------------------------------------------------------
+def test_session_ops_partition_independence(spark):
+    from html_parser_spark.ops.dedup import reordered_duplicates
+    from html_parser_spark.ops.linkgraph import reciprocity
+    from html_parser_spark.ops.web import url_survival
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{(i * 3) % 7} tok{(i * 5) % 7}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, reordered_duplicates(docs).collect()))
+    b = sorted(map(tuple, reordered_duplicates(docs.repartition(11)).collect()))
+    assert a == b
+
+    caps = spark.createDataFrame(
+        [(f"u{i}", s) for i in range(30) for s in range(i % 3, i % 3 + i % 4 + 1)],
+        "url string, snap long",
+    )
+    a = sorted(map(tuple, url_survival(caps).collect()))
+    b = sorted(map(tuple, url_survival(caps.repartition(13)).collect()))
+    assert a == b
+
+    edges = spark.createDataFrame(
+        [(f"h{i % 6}", f"h{(i + 1) % 6}") for i in range(24)]
+        + [(f"h{(i + 1) % 6}", f"h{i % 6}") for i in range(0, 24, 2)],
+        "src string, dst string",
+    )
+    a = sorted(map(tuple, reciprocity(edges).collect()))
+    b = sorted(map(tuple, reciprocity(edges.repartition(9)).collect()))
+    assert a == b
+
+
+def test_quantized_topk_partition_independence(spark):
+    from html_parser_spark.ops.similarity import quantized_topk
+
+    emb = spark.createDataFrame(
+        [(i, [((i * 7 + j * 13) % 19 - 9) / 10.0 for j in range(8)])
+         for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    a = sorted(map(tuple, quantized_topk(emb, 5, 3).collect()))
+    b = sorted(map(tuple, quantized_topk(emb.repartition(7), 5, 3).collect()))
+    assert a == b
