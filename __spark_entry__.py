@@ -3807,6 +3807,78 @@ def q_robots_audit(spark, sf_dir):
     return compliance_audit(pages, parse_robots(robots))
 
 
+def q_bowtie(spark, sf_dir, checkpoint=True, max_hops=8):
+    """Bowtie decomposition (ops/linkgraph.bowtie_profile, Broder 2000):
+    3-ring SCC around the pivot, a 2-hop OUT chain, a corpus-scaled IN fan
+    (one in-host per doc_id%10==3), and a disconnected island that must be
+    ABSENT.  NULL dists serialize as -1 (BIGINT/pandas float64 hazard).
+    The oracle states the expected regions/distances in closed form —
+    the BFS core itself is oracle-replayed hop-by-hop in q_click_depth."""
+    from html_parser_spark.ops.linkgraph import bowtie_profile
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+
+    def lit_edge(k, s, t):
+        return docs.filter(d == k).select(
+            F.lit(s).alias("src"), F.lit(t).alias("dst")
+        )
+
+    fan = docs.filter(d % 10 == 3).select(
+        F.concat(F.lit("in"), d.cast("string")).alias("src"),
+        F.lit("core0").alias("dst"),
+    )
+    edges = (
+        lit_edge(0, "core0", "core1")
+        .unionByName(lit_edge(1, "core1", "core2"))
+        .unionByName(lit_edge(2, "core2", "core0"))
+        .unionByName(lit_edge(3, "core0", "out0"))
+        .unionByName(lit_edge(4, "out0", "out1"))
+        .unionByName(lit_edge(5, "isl0", "isl1"))
+        .unionByName(fan)
+    )
+    out = bowtie_profile(edges, "core0", max_hops=max_hops, checkpoint=checkpoint)
+    return out.select(
+        "node",
+        "region",
+        F.coalesce(F.col("fwd_dist"), F.lit(-1)).cast("long").alias("fwd_dist"),
+        F.coalesce(F.col("bwd_dist"), F.lit(-1)).cast("long").alias("bwd_dist"),
+    )
+
+
+def q_mirrors(spark, sf_dir):
+    """Mirror detection by shared paths (ops/web.mirror_candidates, Bharat
+    & Broder 1999): m0 serves /p0../p29, m1 the even half, m2 a disjoint
+    tree, and 150 g-hosts share /common which the df cap (100) must drop
+    (leaving the g-hosts posting-less).  The oracle replays postings →
+    cap → pair join → Jaccard bp in SQL — hash-exact."""
+    from html_parser_spark.ops.web import mirror_candidates
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    u_m0 = docs.select(
+        F.concat(F.lit("https://m0.example/p"), (d % 30).cast("string")).alias("url")
+    )
+    u_m1 = docs.filter(d % 2 == 0).select(
+        F.concat(F.lit("https://m1.example/p"), (d % 30).cast("string")).alias("url")
+    )
+    u_m2 = docs.select(
+        F.concat(F.lit("https://m2.example/q"), (d % 20).cast("string")).alias("url")
+    )
+    u_m3 = docs.select(
+        F.concat(F.lit("https://m3.example/p"), (d % 10).cast("string")).alias("url")
+    )
+    u_g = docs.select(
+        F.concat(F.lit("https://g"), (d % 150).cast("string"),
+                 F.lit(".example/common")).alias("url")
+    )
+    pages = (
+        u_m0.unionByName(u_m1).unionByName(u_m2)
+        .unionByName(u_m3).unionByName(u_g)
+    )
+    return mirror_candidates(pages, df_cap=100, min_shared=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-query CORRECTNESS window rotates coverage.
 
@@ -3858,12 +3930,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Final continuation session: q_quantized_topk / q_quantization_recall /
     q_url_survival / q_sitemap_coverage / q_reciprocity / q_fuzzy_pairs /
-    q_text_outlinks / q_mixture_plan / q_reordered_dedup / q_robots_audit
-    land at positions 53-62 (the window was already over-subscribed by
-    never-exposed queries, so they stay past-window by construction); all
-    ten are pinned hash-exact by the strict local oracle
-    (tools/oracle_check.py) plus unit tests and plan-audit sections.
-    Registry: 158 contract queries, 158 oracles.
+    q_text_outlinks / q_mixture_plan / q_reordered_dedup / q_robots_audit /
+    q_bowtie / q_mirrors land at positions 53-64 (the window was already
+    over-subscribed by never-exposed queries, so they stay past-window by
+    construction); all twelve are pinned hash-exact by the strict local
+    oracle (tools/oracle_check.py) plus unit tests and plan-audit
+    sections.  Registry: 160 contract queries, 160 oracles.
     """
     return {
         # -- never driver-green (3 canonicalizer-crash fixes first) --
@@ -3937,6 +4009,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mixture_plan": q_mixture_plan,
         "q_reordered_dedup": q_reordered_dedup,
         "q_robots_audit": q_robots_audit,
+        "q_bowtie": q_bowtie,
+        "q_mirrors": q_mirrors,
         # -- longest-unexposed veterans (driver-green in round 3, pushed
         #    past the window by the round-4 additions) --
         "q_filter_project": q_filter_project,
@@ -6682,6 +6756,71 @@ def oracle_sql() -> dict[str, str]:
             SELECT birth_snap, age, n_urls,
                    CAST(n_urls * 1000000 // _size AS BIGINT) AS survival_ppm
             FROM counts JOIN cohort ON birth_snap = _b
+        """,
+        "q_bowtie": """
+            -- closed-form expected regions/distances around pivot core0:
+            -- ring SCC (hand-traced fwd/bwd hops), OUT chain, corpus-
+            -- scaled IN fan (doc_id%10==3), island absent; -1 = unreached.
+            SELECT node, region, CAST(fwd_dist AS BIGINT) AS fwd_dist,
+                   CAST(bwd_dist AS BIGINT) AS bwd_dist
+            FROM (
+              SELECT 'core0' AS node, 'SCC' AS region, 0 AS fwd_dist,
+                     0 AS bwd_dist FROM documents WHERE doc_id = 0
+              UNION ALL
+              SELECT 'core1', 'SCC', 1, 2 FROM documents WHERE doc_id = 1
+              UNION ALL
+              SELECT 'core2', 'SCC', 2, 1 FROM documents WHERE doc_id = 2
+              UNION ALL
+              SELECT 'out0', 'OUT', 1, -1 FROM documents WHERE doc_id = 3
+              UNION ALL
+              SELECT 'out1', 'OUT', 2, -1 FROM documents WHERE doc_id = 4
+              UNION ALL
+              SELECT 'in' || CAST(doc_id AS VARCHAR), 'IN', -1, 1
+              FROM documents WHERE doc_id % 10 = 3
+            )
+        """,
+        "q_mirrors": """
+            -- postings -> df cap -> pair join -> Jaccard bp, replayed.
+            WITH urls AS (
+              SELECT 'm0.example' AS host,
+                     '/p' || CAST(doc_id % 30 AS VARCHAR) AS path
+              FROM documents
+              UNION ALL
+              SELECT 'm1.example', '/p' || CAST(doc_id % 30 AS VARCHAR)
+              FROM documents WHERE doc_id % 2 = 0
+              UNION ALL
+              SELECT 'm2.example', '/q' || CAST(doc_id % 20 AS VARCHAR)
+              FROM documents
+              UNION ALL
+              SELECT 'm3.example', '/p' || CAST(doc_id % 10 AS VARCHAR)
+              FROM documents
+              UNION ALL
+              SELECT 'g' || CAST(doc_id % 150 AS VARCHAR) || '.example',
+                     '/common'
+              FROM documents
+            ), postings AS (
+              SELECT DISTINCT host, path FROM urls
+            ), capped AS (
+              SELECT p.host, p.path FROM postings p
+              JOIN (SELECT path FROM postings
+                    GROUP BY path HAVING count(*) <= 100) ok
+                ON p.path = ok.path
+            ), sizes AS (
+              SELECT host, CAST(count(*) AS BIGINT) AS n
+              FROM capped GROUP BY 1
+            ), pairs AS (
+              SELECT a.host AS host_a, b.host AS host_b,
+                     CAST(count(*) AS BIGINT) AS shared_paths
+              FROM capped a JOIN capped b
+                ON a.path = b.path AND a.host < b.host
+              GROUP BY 1, 2 HAVING count(*) >= 2
+            )
+            SELECT host_a, host_b, shared_paths,
+                   CAST(shared_paths * 10000 //
+                        (sa.n + sb.n - shared_paths) AS BIGINT) AS jaccard_bp
+            FROM pairs
+            JOIN sizes sa ON host_a = sa.host
+            JOIN sizes sb ON host_b = sb.host
         """,
         "q_reordered_dedup": """
             -- rebuild original + reversed twin + appended mutant, then

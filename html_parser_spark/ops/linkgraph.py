@@ -596,3 +596,46 @@ def reciprocity(edges: DataFrame) -> DataFrame:
             F.expr("reciprocated_n * 1000000 div out_n").alias("reciprocity_ppm"),
         )
     )
+
+
+def bowtie_profile(
+    edges: DataFrame, pivot_node: str, max_hops: int = 8,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Broder-style bowtie decomposition of the link graph around a pivot
+    (Broder 2000 "Graph structure in the Web"): which hosts sit in the
+    pivot's strongly-connected CORE (reach it AND are reached by it),
+    which feed INTO it (reach it, unreached), and which only catch its
+    outflow (OUT) — the structural map behind crawl-seed placement (seed
+    the CORE/IN side; OUT-only islands cannot lead anywhere new).
+
+    Hop-bounded on purpose: both reachability passes are ``max_hops`` BFS
+    frontiers (``seed_distance`` forward + on the reversed edge list),
+    so the label is "within k clicks", the same bound a frontier gate
+    uses — full transitive closure at 10^8 hosts buys nothing a deeper
+    k doesn't.  Returns reached hosts only: (node, region, fwd_dist,
+    bwd_dist) with region ∈ SCC (both), IN (backward-only), OUT
+    (forward-only); the rest of the web is absent by design.
+
+    Scale shape: two frontier-relaxation BFS runs (each hop shuffles
+    |frontier|×out-degree, never |hosts|×|edges|) + ONE full-outer join
+    of the two driver-small reach sets."""
+    spark = edges.sparkSession
+    seeds = spark.createDataFrame([(pivot_node,)], ["node"])
+    fwd = seed_distance(
+        edges, seeds, max_hops=max_hops, checkpoint=checkpoint
+    ).select("node", F.col("dist").alias("fwd_dist"))
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    bwd = seed_distance(
+        rev, seeds, max_hops=max_hops, checkpoint=checkpoint
+    ).select("node", F.col("dist").alias("bwd_dist"))
+    joined = fwd.join(bwd, "node", "full_outer")
+    region = (
+        F.when(F.col("fwd_dist").isNotNull() & F.col("bwd_dist").isNotNull(),
+               F.lit("SCC"))
+        .when(F.col("bwd_dist").isNotNull(), F.lit("IN"))
+        .otherwise(F.lit("OUT"))
+    )
+    return joined.select("node", region.alias("region"), "fwd_dist", "bwd_dist")

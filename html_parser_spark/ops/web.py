@@ -1057,3 +1057,59 @@ def sitemap_coverage(declared: DataFrame, crawled: DataFrame) -> DataFrame:
             "coalesce(both_n * 1000000 div nullif(declared_n, 0), 0)"
         ).alias("coverage_ppm"),
     )
+
+
+def mirror_candidates(
+    pages: DataFrame,
+    df_cap: int = 100,
+    min_shared: int = 2,
+    url_col: str = "url",
+) -> DataFrame:
+    """Mirror-site detection by shared URL paths (Bharat & Broder 1999,
+    "Mirror, mirror on the web"): two hosts serving many IDENTICAL paths
+    (/docs/ch1.html on both) are mirror candidates — the dedup prior that
+    catches mirrors BEFORE any content is fetched or compared, and the
+    crawl-budget signal to fetch a mirrored tree once.
+
+    Same candidate-generation shape as ``cocitation_pairs``: distinct
+    (path, host) postings, a path-df cap dropping generic paths that
+    almost every host serves ('/', '/index.html' — the stop-shingles of
+    the path space; fan-out ≤ cap² per path after it), the posting
+    self-join keyed on path with host_a < host_b, then Jaccard over the
+    hosts' capped path sets in basis points.  Returns
+    (host_a, host_b, shared_paths, jaccard_bp), shared ≥ ``min_shared``."""
+    host = F.lower(F.regexp_extract(F.col(url_col), r"^[a-z][a-z0-9+.-]*://([^/?#]+)", 1))
+    path = F.regexp_extract(F.col(url_col), r"^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    postings = (
+        pages.select(host.alias("host"), path.alias("path"))
+        .filter((F.col("host") != "") & (F.col("path") != ""))
+        .distinct()
+    )
+    df = postings.groupBy("path").agg(F.count("*").alias("_df"))
+    capped = postings.join(
+        df.filter(F.col("_df") <= df_cap).select("path"), "path"
+    )
+    sizes = capped.groupBy("host").agg(F.count("*").cast("long").alias("_n"))
+    a = capped.select(F.col("host").alias("host_a"), "path")
+    b = capped.select(F.col("host").alias("host_b"), "path")
+    shared = (
+        a.join(b, "path")
+        .filter(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count("*").cast("long").alias("shared_paths"))
+        .filter(F.col("shared_paths") >= int(min_shared))
+    )
+    sa = sizes.select(F.col("host").alias("host_a"), F.col("_n").alias("_na"))
+    sb = sizes.select(F.col("host").alias("host_b"), F.col("_n").alias("_nb"))
+    return (
+        shared.join(sa, "host_a")
+        .join(sb, "host_b")
+        .select(
+            "host_a",
+            "host_b",
+            "shared_paths",
+            F.expr(
+                "shared_paths * 10000 div (_na + _nb - shared_paths)"
+            ).alias("jaccard_bp"),
+        )
+    )

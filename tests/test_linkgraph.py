@@ -682,3 +682,37 @@ def test_graph_job_collapse_domains(spark, tmp_path, capsys):
     }
     nodes = {r["node"] for r in spark.read.parquet(out + "/ranks").collect()}
     assert nodes == {"farm.com", "victim.org", "other.net"}
+
+
+def test_bowtie_profile_regions(spark):
+    from html_parser_spark.ops.linkgraph import bowtie_profile
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"),   # SCC ring with pivot a
+         ("x", "a"), ("w", "x"),               # IN chain w -> x -> a
+         ("a", "o"), ("o", "p"),               # OUT chain a -> o -> p
+         ("d1", "d2")],                          # disconnected island
+        "src string, dst string",
+    )
+    rows = {r["node"]: r for r in bowtie_profile(edges, "a", max_hops=5).collect()}
+    assert rows["a"]["region"] == "SCC"
+    assert (rows["a"]["fwd_dist"], rows["a"]["bwd_dist"]) == (0, 0)
+    assert rows["b"]["region"] == "SCC" and rows["c"]["region"] == "SCC"
+    assert (rows["b"]["fwd_dist"], rows["b"]["bwd_dist"]) == (1, 2)
+    assert rows["x"]["region"] == "IN" and rows["x"]["fwd_dist"] is None
+    assert rows["w"]["region"] == "IN" and rows["w"]["bwd_dist"] == 2
+    assert rows["o"]["region"] == "OUT" and rows["o"]["bwd_dist"] is None
+    assert rows["p"]["fwd_dist"] == 2
+    # the island is absent, not labeled
+    assert "d1" not in rows and "d2" not in rows
+
+
+def test_bowtie_profile_hop_cap(spark):
+    from html_parser_spark.ops.linkgraph import bowtie_profile
+
+    chain = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+    )
+    rows = {r["node"] for r in bowtie_profile(chain, "a", max_hops=2).collect()}
+    # d is 3 forward hops away: outside the cap, absent
+    assert rows == {"a", "b", "c"}

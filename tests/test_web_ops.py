@@ -789,3 +789,38 @@ def test_extract_job_text_links_sidecar(spark, tmp_path, capsys):
         ("https://a.example/one", "https://cited.example/x"),
         ("https://a.example/one", "http://other.test/y"),
     }
+
+
+def test_mirror_candidates_shared_paths_and_cap(spark):
+    from html_parser_spark.ops.web import mirror_candidates
+
+    pages = spark.createDataFrame(
+        [("https://a.com/doc/1",), ("https://a.com/doc/2",),
+         ("https://a.com/doc/3",), ("https://a.com/only-a",),
+         ("https://b.com/doc/1",), ("https://b.com/doc/2",),
+         ("https://b.com/doc/3",),
+         ("https://c.com/other",),
+         # /shared-everywhere served by 3 hosts: df_cap=2 drops it
+         ("https://a.com/everywhere",), ("https://b.com/everywhere",),
+         ("https://c.com/everywhere",)],
+        "url string",
+    )
+    rows = mirror_candidates(pages, df_cap=2, min_shared=2).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["host_a"], r["host_b"], r["shared_paths"]) == ("a.com", "b.com", 3)
+    # sizes after cap: a=4, b=3, shared=3 -> 3*10000 // (4+3-3) = 7500
+    assert r["jaccard_bp"] == 7500
+
+
+def test_mirror_candidates_duplicate_urls_counted_once(spark):
+    from html_parser_spark.ops.web import mirror_candidates
+
+    pages = spark.createDataFrame(
+        [("https://a.com/x",), ("https://a.com/x",), ("https://b.com/x",),
+         ("https://a.com/y",), ("https://b.com/y",)],
+        "url string",
+    )
+    r = mirror_candidates(pages, df_cap=10, min_shared=2).collect()[0]
+    # repeat captures of the same url don't inflate the path sets
+    assert (r["shared_paths"], r["jaccard_bp"]) == (2, 10000)

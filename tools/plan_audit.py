@@ -1442,6 +1442,42 @@ def main():
         )
     )
 
+    p = plan_of(entrymod.q_bowtie(spark, sf_dir, checkpoint=False,
+                              max_hops=3))
+    # hops=3 keeps the UNROLLED (checkpoint-free) plan within the
+    # audit JVM's optimizer budget; the per-hop plan shape is
+    # identical at any hop count, and production runs checkpoint
+    checks.append(
+        (
+            "q_bowtie — bowtie decomposition: two hop-bounded frontier "
+            "BFS passes (per hop: frontier⋈edges equi-join + partial-agg "
+            "distinct, lineage truncated — |frontier|×out-degree, never "
+            "|hosts|×|edges|) + ONE full-outer join of the two reach "
+            "sets; zero Python, no cartesian product",
+            p,
+            ["HashAggregate", "Join"],
+            ["ArrowEvalPython", "BatchEvalPython", "CartesianProduct",
+             "BroadcastNestedLoopJoin"],
+        )
+    )
+
+    p = plan_of(entrymod.q_mirrors(spark, sf_dir))
+    checks.append(
+        (
+            "q_mirrors — mirror detection: distinct (path, host) "
+            "postings, df-cap join dropping generic paths BEFORE the "
+            "posting self-join (fan-out ≤ cap² per path — the quadratic "
+            "term is bounded up front, same device as cocitation/"
+            "containment), pair groupBy with map-side partials, size "
+            "joins for the Jaccard; zero Python, no window, no "
+            "cartesian product",
+            p,
+            ["HashAggregate", "Join"],
+            ["ArrowEvalPython", "BatchEvalPython", "Window",
+             "CartesianProduct", "BroadcastNestedLoopJoin"],
+        )
+    )
+
     p = plan_of(entrymod.q_dom_templates(spark, sf_dir))
     checks.append(
         (
