@@ -3879,6 +3879,28 @@ def q_mirrors(spark, sf_dir):
     return mirror_candidates(pages, df_cap=100, min_shared=2)
 
 
+def q_term_blocklist(spark, sf_dir):
+    """C4-style doc-level term blocklist (ops/text.term_blocklist_flags):
+    planted terms with case + punctuation boundaries (doc_id%7 / %13) and
+    an embedded-substring decoy (%5) that must NOT match — token-level
+    word-boundary semantics are the pinned contract.  The oracle replays
+    tokenize → distinct → intersect → sort in SQL — hash-exact."""
+    from html_parser_spark.ops.text import term_blocklist_flags
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    text = F.concat(
+        F.col("text"),
+        F.when(d % 7 == 0, F.lit(" nastyTerm.")).otherwise(F.lit("")),
+        F.when(d % 13 == 0, F.lit(" NASTYTERM2")).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit(" embnastytermded")).otherwise(F.lit("")),
+    )
+    return term_blocklist_flags(
+        docs.select("doc_id", text.alias("text")),
+        ["NastyTerm", "nastyterm2"],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-query CORRECTNESS window rotates coverage.
 
@@ -3931,11 +3953,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Final continuation session: q_quantized_topk / q_quantization_recall /
     q_url_survival / q_sitemap_coverage / q_reciprocity / q_fuzzy_pairs /
     q_text_outlinks / q_mixture_plan / q_reordered_dedup / q_robots_audit /
-    q_bowtie / q_mirrors land at positions 53-64 (the window was already
-    over-subscribed by never-exposed queries, so they stay past-window by
-    construction); all twelve are pinned hash-exact by the strict local
-    oracle (tools/oracle_check.py) plus unit tests and plan-audit
-    sections.  Registry: 160 contract queries, 160 oracles.
+    q_bowtie / q_mirrors / q_term_blocklist land at positions 53-65 (the
+    window was already over-subscribed by never-exposed queries, so they
+    stay past-window by construction); all thirteen are pinned hash-exact
+    by the strict local oracle (tools/oracle_check.py) plus unit tests
+    and plan-audit sections.  Registry: 161 contract queries, 161
+    oracles.
     """
     return {
         # -- never driver-green (3 canonicalizer-crash fixes first) --
@@ -4011,6 +4034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_robots_audit": q_robots_audit,
         "q_bowtie": q_bowtie,
         "q_mirrors": q_mirrors,
+        "q_term_blocklist": q_term_blocklist,
         # -- longest-unexposed veterans (driver-green in round 3, pushed
         #    past the window by the round-4 additions) --
         "q_filter_project": q_filter_project,
@@ -6756,6 +6780,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT birth_snap, age, n_urls,
                    CAST(n_urls * 1000000 // _size AS BIGINT) AS survival_ppm
             FROM counts JOIN cohort ON birth_snap = _b
+        """,
+        "q_term_blocklist": """
+            -- identical text rebuild, token-level match replay: lowercase,
+            -- split on non-alnum runs, distinct, intersect with the sorted
+            -- term list, first hit for explainability.
+            WITH src AS (
+              SELECT doc_id,
+                     text ||
+                     CASE WHEN doc_id % 7 = 0 THEN ' nastyTerm.' ELSE '' END ||
+                     CASE WHEN doc_id % 13 = 0 THEN ' NASTYTERM2' ELSE '' END ||
+                     CASE WHEN doc_id % 5 = 0 THEN ' embnastytermded'
+                          ELSE '' END AS text
+              FROM documents
+            ), hits AS (
+              SELECT doc_id,
+                     list_sort(list_intersect(
+                       list_distinct(list_filter(
+                         regexp_split_to_array(lower(coalesce(text, '')),
+                                               '[^a-z0-9]+'),
+                         x -> length(x) > 0)),
+                       ['nastyterm', 'nastyterm2'])) AS h
+              FROM src
+            )
+            SELECT doc_id, len(h) > 0 AS blocked,
+                   coalesce(h[1], '') AS blocked_term
+            FROM hits
         """,
         "q_bowtie": """
             -- closed-form expected regions/distances around pivot core0:

@@ -837,3 +837,32 @@ def code_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .cast("long")
         .alias("code_ppm"),
     )
+
+
+def term_blocklist_flags(
+    docs: DataFrame, terms: "list[str]", text_col: str = "text"
+) -> DataFrame:
+    """C4-style document-level term-blocklist gate (Raffel 2020 §2.2 drops
+    any page containing a word from a public blocklist): per doc,
+    ``blocked`` plus the first offending term (sorted — deterministic) for
+    gate-audit explainability.  Returns (doc_id, blocked, blocked_term
+    '' when clean).
+
+    Matching is TOKEN-level: lowercase, split on non-alphanumeric runs —
+    so 'badWord.' matches 'badword' but 'embadwordded' does not (the
+    substring false-positive C4's word-boundary matching avoids).  The
+    term list rides the plan as ONE array literal (hundreds of terms —
+    C4's list is ~400 — cost nothing as codegen); for a 10^6-term
+    lexicon, switch to the explode + broadcast semi-join form instead of
+    growing the literal.  Pure projection: zero shuffle, zero Python."""
+    tl = sorted({t.lower() for t in terms})
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"[^a-z0-9]+"),
+        lambda x: F.length(x) > 0,
+    )
+    hits = F.array_sort(F.array_intersect(F.array_distinct(toks), F.lit(tl)))
+    return docs.select(
+        "doc_id",
+        (F.size(hits) > 0).alias("blocked"),
+        F.coalesce(F.try_element_at(hits, F.lit(1)), F.lit("")).alias("blocked_term"),
+    )

@@ -192,6 +192,13 @@ def main(argv=None):
                     help="comma-separated hosts to drop (--from-extract only)")
     ap.add_argument("--chunk-tokens", type=int, default=0,
                     help="also write fixed-size token chunks (0 = skip)")
+    ap.add_argument("--block-terms", default="",
+                    help="comma-separated term blocklist (C4 §2.2 drops any "
+                         "page containing a blocklisted WORD — token-level "
+                         "match, lowercase, so substrings do not false-"
+                         "positive); docs containing any term leave the "
+                         "stream right after the mojibake gate and are "
+                         "counted as term_blocked in the funnel")
     ap.add_argument("--mojibake-max-ppm", type=int, default=0,
                     help="drop docs whose encoding-damage score (double-"
                          "encoded UTF-8 signatures + U+FFFD, ppm of chars "
@@ -330,6 +337,22 @@ def main(argv=None):
             .select("doc_id")
         )
         docs = docs.join(clean_ids, "doc_id", "left_semi")
+    n_term_blocked = None
+    if args.block_terms:
+        # doc-level bad-word gate (C4 §2.2): one codegen projection over
+        # the literal term array + a doc_id semi-join — runs before the
+        # prose battery so blocked docs never pay downstream gate cost
+        from html_parser_spark.ops.text import term_blocklist_flags
+
+        terms = [t.strip() for t in args.block_terms.split(",") if t.strip()]
+        n_before_terms = docs.count()
+        keep_ids = (
+            term_blocklist_flags(docs, terms)
+            .where(~F.col("blocked"))
+            .select("doc_id")
+        )
+        docs = docs.join(keep_ids, "doc_id", "left_semi")
+        n_term_blocked = n_before_terms - docs.count()
     n_code_routed = None
     if args.code_route:
         # code-vs-prose routing BEFORE the NL quality battery: C4/Gopher
@@ -500,6 +523,8 @@ def main(argv=None):
         **({"captures_in": n_captures} if n_captures is not None else {}),
         **({"before_mojibake": n_before_mojibake}
            if n_before_mojibake is not None else {}),
+        **({"term_blocked": n_term_blocked}
+           if n_term_blocked is not None else {}),
         **({"code_routed": n_code_routed}
            if n_code_routed is not None else {}),
         **({"before_c4_lines": n_before_c4} if n_before_c4 is not None else {}),

@@ -684,3 +684,30 @@ def test_datacard_job_mixture_plan(spark, tmp_path, capsys):
     with _pytest.raises(SystemExit):
         dj.main(["--docs", docs_dir, "--output", out,
                  "--mix-weights", "en:1000000"])
+
+
+def test_curate_job_block_terms(spark, tmp_path, capsys):
+    """--block-terms: the C4 bad-word gate drops docs containing a
+    blocklisted WORD (not substring) and reports term_blocked."""
+    import jobs.curate_job as cj
+
+    rows = [
+        (1, "a perfectly clean document with plenty of words here", "en"),
+        (2, "this one mentions forbiddenword right in the text body", "en"),
+        (3, "embforbiddenwordded is only a substring so it stays fine", "en"),
+    ]
+    docs_dir = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).write.parquet(docs_dir)
+    out = str(tmp_path / "curated")
+    cj.main([
+        "--docs", docs_dir, "--output", out,
+        "--block-terms", "ForbiddenWord,otherterm",
+        "--min-tokens", "1",
+    ])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["term_blocked"] == 1
+    kept = {r["doc_id"] for r in
+            spark.read.parquet(os.path.join(out, "docs")).collect()}
+    assert 2 not in kept and {1, 3} <= kept

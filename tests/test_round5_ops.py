@@ -542,3 +542,35 @@ def test_quantized_topk_partition_independence(spark):
     a = sorted(map(tuple, quantized_topk(emb, 5, 3).collect()))
     b = sorted(map(tuple, quantized_topk(emb.repartition(7), 5, 3).collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# C4-style term blocklist — ops/text.term_blocklist_flags
+# ---------------------------------------------------------------------------
+def test_term_blocklist_word_boundaries(spark):
+    from html_parser_spark.ops.text import term_blocklist_flags
+
+    docs = spark.createDataFrame(
+        [(1, "totally clean"), (2, "has badWord. here"),
+         (3, "embadwordded is a substring, not a word"),
+         (4, "BADWORD2 too"), (5, None)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in
+            term_blocklist_flags(docs, ["BadWord", "badword2"]).collect()}
+    assert rows[1]["blocked"] is False and rows[1]["blocked_term"] == ""
+    assert rows[2]["blocked"] is True and rows[2]["blocked_term"] == "badword"
+    assert rows[3]["blocked"] is False        # substring must NOT match
+    assert rows[4]["blocked"] is True and rows[4]["blocked_term"] == "badword2"
+    assert rows[5]["blocked"] is False        # NULL text degrades to clean
+
+
+def test_term_blocklist_first_hit_deterministic(spark):
+    from html_parser_spark.ops.text import term_blocklist_flags
+
+    docs = spark.createDataFrame(
+        [(1, "zzz aaa both present")], "doc_id long, text string"
+    )
+    r = term_blocklist_flags(docs, ["zzz", "aaa"]).collect()[0]
+    # sorted intersection: the lexicographically first hit, not list order
+    assert r["blocked_term"] == "aaa"

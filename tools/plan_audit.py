@@ -1478,6 +1478,20 @@ def main():
         )
     )
 
+    p = plan_of(entrymod.q_term_blocklist(spark, sf_dir))
+    checks.append(
+        (
+            "q_term_blocklist — C4 bad-word gate: the term list rides "
+            "the plan as ONE array literal, tokenize + distinct + "
+            "intersect is a pure-codegen projection; zero shuffle, zero "
+            "Python, no join, no window",
+            p,
+            ["Project"],
+            ["ArrowEvalPython", "BatchEvalPython", "Exchange", "Window",
+             "CartesianProduct"],
+        )
+    )
+
     p = plan_of(entrymod.q_dom_templates(spark, sf_dir))
     checks.append(
         (
